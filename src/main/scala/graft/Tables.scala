@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table access for the driver testdata layout
+  * (`<dir>/<name>.parquet`, see TESTDATA.md).
+  *
+  * Engine dialect: the reference engine (petl, see SURVEY.md §2.2 P5)
+  * swallows per-value conversion errors and yields null. Spark 4 defaults
+  * to ANSI mode (cast/parse errors throw), so the engine pins the
+  * permissive dialect at query-build time — every query built through
+  * [[Tables.load]] runs with `spark.sql.ansi.enabled=false`, matching the
+  * reference's error-as-null semantics without requiring callers to own
+  * the session config.
+  */
+object Tables {
+
+  /** Runtime session confs the engine requires regardless of who built
+    * the SparkSession (the driver's Verify/Bench mains build their own).
+    */
+  def pinDialect(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's µs timestamps
+    // cannot represent; read as raw nanos and convert below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    pinDialect(spark)
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // nanos → µs truncation, identical to DuckDB's read of the same file
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
+  /** Local session factory for tests / CLI. local[*] with shuffle
+    * partitions sized for one machine; AQE on (it is the scale path's
+    * runtime re-planner — skew joins, dynamic coalescing).
+    */
+  def localSession(appName: String, cores: String = "*"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,408 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator layer: every petl/SQL operator class the
+  * reference uses (SURVEY.md §2.1–§2.5), each re-expressed as an
+  * idiomatic Catalyst-optimizable DataFrame query over the driver
+  * testdata, with a DuckDB oracle.
+  *
+  * Determinism notes (these queries are hash-compared cross-engine):
+  *  - money sums go through `cents` (round(x*100)::long) so aggregation
+  *    is exact integer arithmetic, immune to float summation order;
+  *  - per-row double arithmetic (no agg) is IEEE-deterministic and safe;
+  *  - every query ends in a total ORDER BY on a unique key set, mirrored
+  *    in the oracle SQL (NULLS FIRST to match Spark's asc default).
+  */
+object RelationalQueries {
+
+  /** Exact money arithmetic: 2-decimal double → integer cents. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- P1/P2/P3/P4: rename, project-with-reorder, constant + computed
+    // columns (ref: petl rename/cut/addfield, prepare_calls.py:35,51;
+    // SURVEY §2.2). Narrow ops only: no shuffle, whole-stage codegen,
+    // column pruning reaches the parquet scan.
+    "rel_project_derive" -> QueryDef.sql(
+      "projection + rename + constant & computed derived columns")(
+      """SELECT l_orderkey AS orderkey, l_linenumber AS line_no,
+        |       l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) AS net_price,
+        |       'lineitem' AS src
+        |FROM lineitem ORDER BY orderkey, line_no""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").select(
+        col("l_orderkey").as("orderkey"),
+        col("l_linenumber").as("line_no"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+        lit("lineitem").as("src"))
+        .orderBy("orderkey", "line_no")
+    },
+
+    // ---- F1: filter (petl select truthy-predicate, prepare_calls.py:36).
+    // Predicate is pushed to the parquet scan by Catalyst.
+    "rel_filter_project" -> QueryDef.sql(
+      "filter + projection, predicate pushdown to scan")(
+      """SELECT l_orderkey AS orderkey, l_linenumber AS line_no,
+        |       l_quantity, l_shipdate
+        |FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        |ORDER BY orderkey, line_no""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("orderkey"),
+          col("l_linenumber").as("line_no"),
+          col("l_quantity"), col("l_shipdate"))
+        .orderBy("orderkey", "line_no")
+    },
+
+    // ---- A: hash aggregate with partial (map-side) combine — TPC-H Q1
+    // shape. sum_qty is exact (quantities are small integers in double).
+    "rel_agg_group" -> QueryDef.sql(
+      "groupBy aggregate: sum/count with map-side partial aggregation")(
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- J3: multi-way equi-join. Dims are broadcast (no shuffle of the
+    // fact side for the join; only the final group shuffle remains).
+    "rel_join_broadcast_agg" -> QueryDef.sql(
+      "orders⋈customer⋈nation⋈region with broadcast dims, then aggregate")(
+      """SELECT r_name AS region, n_name AS nation,
+        |       count(*) AS n_orders,
+        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY region, nation""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("revenue_cents"))
+        .orderBy("region", "nation")
+    },
+
+    // ---- J1/A1: first-row-per-key, the deterministic form of petl
+    // dictlookupone's first-match semantics (prepare_calls.py:148;
+    // SURVEY §2.4 J1): row_number over an explicit order, not first().
+    "rel_first_per_key" -> QueryDef.sql(
+      "first row per key via row_number window (dictlookupone semantics)")(
+      """SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+        |       o_orderdate AS first_orderdate
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |      FROM orders) WHERE rn = 1 ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey").as("custkey"),
+          col("o_orderkey").as("first_orderkey"),
+          col("o_orderdate").as("first_orderdate"))
+        .orderBy("custkey")
+    },
+
+    // ---- J2/A2/C22: list-per-key (petl dictlookup → collect_list),
+    // rendered order-stable by sorting the collected array.
+    "rel_collect_list" -> QueryDef.sql(
+      "ordered list per key: collect_list + array_sort + array_join")(
+      """SELECT l_orderkey AS orderkey,
+        |       string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_nos,
+        |       count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("orderkey"))
+        .agg(
+          array_join(
+            transform(array_sort(collect_list(col("l_linenumber"))),
+              _.cast("string")), ",").as("line_nos"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("orderkey")
+    },
+
+    // ---- U2: union by column name with null-padding for missing columns
+    // (petl cat, prepare_calls.py:152-155,180-181).
+    "rel_union_by_name" -> QueryDef.sql(
+      "unionByName with allowMissingColumns (petl cat null-padding)")(
+      """SELECT * FROM (
+        |  SELECT c_name AS name, c_acctbal AS acctbal,
+        |         'customer' AS kind, c_mktsegment AS segment FROM customer
+        |  UNION ALL BY NAME
+        |  SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind
+        |  FROM supplier
+        |) ORDER BY kind, name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(
+        col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+        lit("customer").as("kind"), col("c_mktsegment").as("segment"))
+      val sup = t(s, dir, "supplier").select(
+        col("s_name").as("name"), col("s_acctbal").as("acctbal"),
+        lit("supplier").as("kind"))
+      c.unionByName(sup, allowMissingColumns = true).orderBy("kind", "name")
+    },
+
+    // ---- U1/C14: flat-map / UDTF (petl rowmapmany, generate_call_notes
+    // prepare_calls.py:248-274): one row → 0..3 rows. Expressed as
+    // explode(array_repeat(...)) so unmatched rows yield count=0 and
+    // vanish — exactly petl's silent row-skip-on-error semantics, but
+    // declarative and codegen-friendly.
+    "rel_explode_udtf" -> QueryDef.sql(
+      "row → 0..3 rows via explode(array_repeat) (rowmapmany/UDTF)")(
+      """SELECT event_id, unnest(list_transform(
+        |  range(CASE lower(event_type) WHEN 'signup' THEN 1
+        |        WHEN 'purchase' THEN 2 WHEN 'error' THEN 3 ELSE 0 END),
+        |  x -> CASE lower(event_type) WHEN 'signup' THEN 'note_signup'
+        |       WHEN 'purchase' THEN 'note_purchase'
+        |       WHEN 'error' THEN 'note_error' END)) AS category
+        |FROM events ORDER BY event_id, category""".stripMargin) { (s, dir) =>
+      val et = lower(col("event_type"))
+      val n = when(et === "signup", 1).when(et === "purchase", 2)
+        .when(et === "error", 3).otherwise(0)
+      val cat = when(et === "signup", "note_signup")
+        .when(et === "purchase", "note_purchase")
+        .when(et === "error", "note_error")
+      t(s, dir, "events")
+        .withColumn("category", explode(array_repeat(cat, n)))
+        .select(col("event_id"), col("category"))
+        .orderBy("event_id", "category")
+    },
+
+    // ---- Window: running aggregates (needed for J4 surrogate ids and
+    // A1 determinism; SURVEY §2.5).
+    "rel_window_running" -> QueryDef.sql(
+      "row_number + running sum over a partitioned ordered window")(
+      """SELECT event_id, user_id,
+        |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |       sum(CAST(round(value * 100) AS BIGINT)) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        sum(cents(col("value")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_cents"))
+        .orderBy("event_id")
+    },
+
+    // ---- Sort / limit: global top-k. Spark plans TakeOrderedAndProject
+    // (per-partition top-k + merge) — no full sort at scale.
+    "rel_sort_limit" -> QueryDef.sql(
+      "global top-k (TakeOrderedAndProject, not a full sort)")(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // ---- Distinct (dedup of a projection).
+    "rel_distinct" -> QueryDef.sql(
+      "distinct over a joined projection")(
+      """SELECT DISTINCT c_mktsegment AS segment, n_name AS nation
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY segment, nation""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_mktsegment").as("segment"), col("n_name").as("nation"))
+        .distinct()
+        .orderBy("segment", "nation")
+    },
+
+    // ---- J5: left join + COALESCE merge (the UPDATE..FROM pattern of
+    // sql/import_contact_profile_updates.sql, SURVEY §2.4 J5).
+    "rel_left_join_coalesce" -> QueryDef.sql(
+      "left join + coalesce merge (UPDATE..FROM COALESCE upsert shape)")(
+      """SELECT n_nationkey AS nationkey, n_name AS nation,
+        |       coalesce(cnt, 0) AS n_customers,
+        |       coalesce(bal_cents, 0) AS bal_cents
+        |FROM nation LEFT JOIN (
+        |  SELECT c_nationkey, count(*) AS cnt,
+        |         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        |  FROM customer GROUP BY c_nationkey
+        |) ON n_nationkey = c_nationkey ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      val cnts = t(s, dir, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sum(cents(col("c_acctbal"))).as("bal_cents"))
+      t(s, dir, "nation")
+        .join(cnts, col("n_nationkey") === col("c_nationkey"), "left")
+        .select(col("n_nationkey").as("nationkey"), col("n_name").as("nation"),
+          coalesce(col("cnt"), lit(0L)).as("n_customers"),
+          coalesce(col("bal_cents"), lit(0L)).as("bal_cents"))
+        .orderBy("nationkey")
+    },
+
+    // ---- Semi/anti joins (EXISTS / NOT EXISTS): no payload columns from
+    // the right side ever get shuffled.
+    "rel_semi_anti" -> QueryDef.sql(
+      "left_semi + left_anti joins (EXISTS / NOT EXISTS)")(
+      """SELECT * FROM (
+        |  SELECT c_custkey AS custkey, 'has_orders' AS status FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT c_custkey AS custkey, 'no_orders' AS status FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |) ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey").as("custkey"), lit("has_orders").as("status"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey").as("custkey"), lit("no_orders").as("status"))
+      semi.unionByName(anti).orderBy("custkey")
+    },
+
+    // ---- Rollup (grouping sets family).
+    "rel_rollup" -> QueryDef.sql(
+      "rollup aggregation with subtotal rows")(
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation, count(*) AS n
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"), col("n"))
+        .orderBy("region", "nation")
+    },
+
+    // ---- C23-shape: JSON field extraction then aggregate (the QA
+    // queries re-parse serialized JSON, prepare_calls.py:360-374).
+    "rel_json_extract" -> QueryDef.sql(
+      "get_json_object extraction + aggregate")(
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"),
+          min(k).as("min_k"), max(k).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // ---- C1/C17-shape: JSON serialization of a row (serialize_row /
+    // construct_supplemental_data → to_json(struct(...))).
+    "rel_json_serialize" -> QueryDef.sql(
+      "to_json(struct(...)) row serialization")(
+      """SELECT n_nationkey AS nationkey,
+        |       CAST(to_json(struct_pack(n_nationkey := n_nationkey,
+        |                                n_name := n_name)) AS VARCHAR) AS payload
+        |FROM nation ORDER BY nationkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").select(
+        col("n_nationkey").as("nationkey"),
+        to_json(struct(col("n_nationkey"), col("n_name"))).as("payload"))
+        .orderBy("nationkey")
+    },
+
+    // ---- C2/C18/C19: date parse (dd/MM/yyyy, null on mismatch), date
+    // arithmetic (+6 days callback start, prepare_calls.py:338-340).
+    "rel_date_ops" -> QueryDef.sql(
+      "to_date parse/format roundtrip + date_add")(
+      """SELECT o_orderkey AS orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |       CAST(o_orderdate AS DATE) + 6 AS callback_date,
+        |       CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE)
+        |         AS roundtrip_date
+        |FROM orders ORDER BY orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey").as("orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        date_add(to_date(col("o_orderdate")), 6).as("callback_date"),
+        to_date(date_format(col("o_orderdate"), "dd/MM/yyyy"), "dd/MM/yyyy")
+          .as("roundtrip_date"))
+        .orderBy("orderkey")
+    },
+
+    // ---- C15-shape: regexp_extract with null-on-miss (petl convert
+    // error-swallow, SURVEY §2.2 P5).
+    "rel_regexp_extract" -> QueryDef.sql(
+      "regexp_extract + try-cast, null on miss")(
+      """SELECT c_custkey AS custkey,
+        |       TRY_CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT)
+        |         AS name_num,
+        |       TRY_CAST(regexp_extract(c_mktsegment, '(\d+)', 1) AS BIGINT)
+        |         AS seg_num
+        |FROM customer ORDER BY custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey").as("custkey"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).cast("long")
+          .as("name_num"),
+        // no digits in segments → "" → null: petl convert error semantics
+        regexp_extract(col("c_mktsegment"), "(\\d+)", 1).cast("long")
+          .as("seg_num"))
+        .orderBy("custkey")
+    },
+
+    // ---- C3-shape: concat_ws over non-empty parts only (concat_address,
+    // prepare_contacts.py:47-52 — empty strings must be skipped, which
+    // plain concat_ws does not do; hence the higher-order filter).
+    "rel_concat_ws_filter" -> QueryDef.sql(
+      "concat_ws skipping empty segments (higher-order filter)")(
+      """SELECT c_custkey AS custkey,
+        |       array_to_string(list_filter(
+        |         [c_name, CASE WHEN c_acctbal > 0 THEN c_mktsegment ELSE '' END,
+        |          n_name], x -> x <> ''), ', ') AS address_line
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("custkey"),
+          concat_ws(", ", filter(
+            array(col("c_name"),
+              when(col("c_acctbal") > 0, col("c_mktsegment")).otherwise(lit("")),
+              col("n_name")),
+            x => x =!= "")).as("address_line"))
+        .orderBy("custkey")
+    },
+
+    // ---- C12/C13-shape: ternary classification with a genuine null
+    // branch (parse_covid_symptoms yes/no/None, prepare_calls.py:239-246).
+    "rel_case_ternary" -> QueryDef.sql(
+      "when/when/otherwise(null) ternary + null-group aggregate")(
+      """SELECT CASE WHEN lower(event_type) IN ('click','view') THEN 'passive'
+        |            WHEN lower(event_type) IN ('purchase','signup') THEN 'active'
+        |       END AS activity, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY activity NULLS FIRST""".stripMargin) { (s, dir) =>
+      val et = lower(col("event_type"))
+      t(s, dir, "events")
+        .select(when(et.isin("click", "view"), "passive")
+          .when(et.isin("purchase", "signup"), "active")
+          .as("activity"))
+        .groupBy(col("activity"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("activity").asc_nulls_first)
+    }
+  )
+}
