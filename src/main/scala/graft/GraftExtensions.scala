@@ -1,0 +1,16 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** SparkSessionExtensions entry point for cluster deployments:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` makes the engine's
+  * custom expressions available as SQL functions in every session.
+  * (Local/embedded callers can equivalently use GraftFunctions.register.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (id, info, builder) =>
+      ext.injectFunction((id, info, builder))
+    }
+}

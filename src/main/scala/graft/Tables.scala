@@ -19,6 +19,7 @@ object Tables {
     * the SparkSession (the driver's Verify/Bench mains build their own).
     */
   def pinDialect(spark: SparkSession): SparkSession = {
+    graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // events.parquet carries TIMESTAMP(NANOS) which Spark's µs timestamps

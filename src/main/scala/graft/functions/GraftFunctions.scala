@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** The engine's scalar-function surface beyond Spark built-ins, plus the
+  * cross-engine deterministic hashing combinators shared by the dedup /
+  * similarity / text-analysis queries.
+  *
+  * Custom Catalyst expressions are registered into the session's function
+  * registry under `graft_*` names and used through
+  * `functions.call_function`, so query code stays on the public Column API
+  * and any session (including the driver's own Verify/Bench sessions) can
+  * run them after [[register]] — no spark-submit extension wiring needed.
+  * [[graft.GraftExtensions]] injects the same functions via
+  * SparkSessionExtensions for cluster deployments.
+  */
+object GraftFunctions {
+
+  /** Large prime modulus shared with the DuckDB oracles. */
+  val P: Long = Sketches.P
+
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[DotProduct].getName, name)
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** All (name, builder) pairs — one place so both runtime registration and
+    * the SparkSessionExtensions path stay in sync. */
+  val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"), info("graft_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("graft_minhash"), info("graft_minhash"),
+      (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "k"))),
+    (FunctionIdentifier("graft_simhash"), info("graft_simhash"),
+      (es: Seq[Expression]) => SimHash(es(0), intArg(es(1), "bits")))
+  )
+
+  /** Idempotently register the graft functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (id, inf, b) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, b)
+    }
+
+  // ---- Column-API wrappers ------------------------------------------------
+
+  /** Ascending-index IEEE left-fold dot product (see [[DotProduct]]). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** MinHash signature of an array<long> of hashes in [0, P). */
+  def minhashSig(hashes: Column, k: Int): Column =
+    call_function("graft_minhash", hashes, lit(k))
+
+  /** SimHash of an array<long> of token hashes over the low `bits` bits. */
+  def simhash(hashes: Column, bits: Int): Column =
+    call_function("graft_simhash", hashes, lit(bits))
+
+  // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
+
+  /** 60-bit deterministic string hash: first 15 hex chars of md5, as a long.
+    * DuckDB replays it as `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`.
+    * Built from codegen'd built-ins (md5/substring/conv) — stays inside
+    * whole-stage codegen, unlike a Scala UDF.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** hash60 reduced into the minhash field [0, P). */
+  def hash60modP(c: Column): Column = hash60(c) % P
+
+  /** Word tokens (single-space tokenizer, mirrors DuckDB string_split). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word k-shingles joined with single spaces; empty array when there are
+    * fewer than k words (DuckDB `range(n-k+1)` yields [] the same way).
+    */
+  def shingles(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Jaccard similarity of two pre-distinct string arrays, as the single
+    * double division |A∩B| / |A∪B| (bit-identical cross-engine). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline layer
+  * (SURVEY.md §7.1 step 9): exact, n-gram Jaccard, MinHash-LSH, SimHash,
+  * and embedding-cosine near-dup — each over the driver `documents` /
+  * `embeddings` tables with a bit-exact DuckDB oracle.
+  *
+  * Scale design: no query here compares all O(n²) pairs. Candidate
+  * generation is always an equi-join on a deterministic blocking key
+  * (min-shingle-hash, LSH band, SimHash band, IVF-style label cell), so the
+  * physical plan is shuffle-on-key + verify, which survives a 100×
+  * scale-up. The oracles replay the same blocking, so Spark and DuckDB
+  * produce identical rows.
+  *
+  * Determinism: all hashes are the cross-engine 60-bit md5 prefix
+  * ([[graft.functions.GraftFunctions.hash60]]); all float folds are
+  * ascending-index IEEE left folds (see [[graft.functions.DotProduct]]).
+  */
+object DedupQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB CTE prefix: distinct word 3-shingles + their hashes mod P,
+    * mirroring [[shingleHashes]]. */
+  private val ShingleCte =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+      |         i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3])) AS sh
+      |       FROM w WHERE len(ws) >= 3),
+      |hs AS (SELECT doc_id, sh, list_transform(sh,
+      |         s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 1000000007) AS hs
+      |       FROM sh)""".stripMargin
+
+  /** doc_id, sh (distinct 3-shingles), hs (shingle hashes mod P). */
+  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(shingles(col("ws"), 3)).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        transform(col("sh"), x => hash60modP(x)).as("hs"))
+  }
+
+  /** DuckDB CTE prefix: L2-normalized double embeddings, norm computed as
+    * the same ascending fold the codegen'd dot product uses. */
+  private val NormCte =
+    """WITH vd AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+      |            FROM embeddings),
+      |nr AS (SELECT vec_id, label, vd,
+      |         sqrt(list_reduce(list_transform(range(len(vd)),
+      |           i -> vd[i+1]*vd[i+1]), (a,b) -> a+b)) AS nrm FROM vd),
+      |n AS (SELECT vec_id, label,
+      |        list_transform(vd, x -> x / nrm) AS an FROM nr)""".stripMargin
+
+  /** vec_id, label, an (unit-normalized array<double>). */
+  private[queries] def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vd"))
+      .withColumn("nrm", sqrt(dot(col("vd"), col("vd"))))
+      .select(col("vec_id"), col("label"),
+        transform(col("vd"), x => x / col("nrm")).as("an"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- Exact dedup: hash-groupBy on content digest. At 100 TB this is
+    // one shuffle on a 128-bit key with map-side partial aggregation —
+    // never a pairwise compare.
+    "td_dedup_exact" -> QueryDef.sql(
+      "exact dedup: group by md5(text), keep min doc_id per group")(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy("keep_id")
+    },
+
+    // ---- n-gram Jaccard near-dup, blocked on the min shingle hash
+    // (single-permutation MinHash LSH): docs with Jaccard j share the
+    // blocking key with probability j, so ~equal pairs survive to the
+    // exact verify. Equi-join on bkey — no cross join at any scale.
+    "td_dedup_ngram_jaccard" -> QueryDef.sql(
+      "3-gram Jaccard >= 0.5, candidates blocked on min shingle hash")(
+      s"""$ShingleCte,
+        |blk AS (SELECT doc_id, sh, list_min(hs) AS bkey FROM hs)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |         len(list_intersect(x.sh, y.sh)) /
+        |           len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |  FROM blk x JOIN blk y ON x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val blk = shingleHashes(s, dir)
+        .select(col("doc_id"), col("sh"), array_min(col("hs")).as("bkey"))
+      val x = blk.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("bkey"))
+      val y = blk.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("bkey").as("bkey_y"))
+      x.join(y, col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- MinHash + banded LSH (k=8 permutations, 4 bands × 2 rows):
+    // shingle→minhash→band→bucket-equi-join→exact-Jaccard verify.
+    // The signature kernel is the custom expression
+    // graft.functions.MinHashSignature; the oracle replays the same
+    // permutations ((2j+3)h + 5j+7 mod P) in SQL.
+    "td_dedup_minhash_lsh" -> QueryDef.sql(
+      "MinHash(8) banded LSH candidates, verified at Jaccard >= 0.5")(
+      s"""$ShingleCte,
+        |sig AS (SELECT doc_id, list_transform(range(8), k ->
+        |          list_min(list_transform(hs,
+        |            h -> ((2*k+3)*h + (5*k+7)) % 1000000007))) AS sig
+        |        FROM hs),
+        |bands AS (SELECT doc_id,
+        |            b::VARCHAR || '_' || sig[2*b+1]::VARCHAR || '_' ||
+        |            sig[2*b+2]::VARCHAR AS bkey
+        |          FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM bands x JOIN bands y
+        |           ON x.bkey = y.bkey AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id, jaccard FROM (
+        |  SELECT a_id, b_id,
+        |         len(list_intersect(a.sh, b.sh)) /
+        |           len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM cand JOIN hs a ON cand.a_id = a.doc_id
+        |            JOIN hs b ON cand.b_id = b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val sh = shingleHashes(s, dir)
+      val sig = sh.select(col("doc_id"), minhashSig(col("hs"), 8).as("sig"))
+      val bandArr = transform(sequence(lit(0), lit(3)), b =>
+        concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
+          element_at(col("sig"), b * 2 + 2)))
+      val bands = sig.select(col("doc_id"), explode(bandArr).as("bkey"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("bkey"))
+        .join(bands.select(col("doc_id").as("b_id"), col("bkey").as("bkey_y")),
+          col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- SimHash near-dup: 32-bit frequency-weighted simhash, candidates
+    // from 4×8-bit band equi-join. Pigeonhole: hamming <= 3 ⇒ at least one
+    // of the 4 bands is identical, so band blocking is *exact* for this
+    // radius — the all-pairs oracle provably returns the same set.
+    "td_dedup_simhash" -> QueryDef.sql(
+      "SimHash(32) pairs at hamming <= 3 via exact 4-band blocking")(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |wh AS (SELECT doc_id, list_transform(ws,
+        |         t -> CAST(('0x'||substr(md5(t),1,15)) AS BIGINT)) AS wh
+        |       FROM w WHERE len(ws) >= 3),
+        |sim AS (SELECT doc_id, CAST(list_sum(list_transform(range(32), j ->
+        |          CASE WHEN list_sum(list_transform(wh,
+        |                 h -> ((h >> j) & 1)*2 - 1)) > 0
+        |               THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)
+        |          AS sim FROM wh)
+        |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+        |       CAST(bit_count(xor(x.sim, y.sim)) AS INTEGER) AS hamming
+        |FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+        |WHERE bit_count(xor(x.sim, y.sim)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      val wh = t(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), transform(col("ws"), w => hash60(w)).as("wh"))
+      val sims = wh.select(col("doc_id"), simhash(col("wh"), 32).as("sim"))
+      val bandArr = array((0 until 4).map(b => struct(
+        lit(b).as("bi"),
+        shiftright(col("sim"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)
+      val bands = sims
+        .select(col("doc_id"), col("sim"), explode(bandArr).as("band"))
+        .select(col("doc_id"), col("sim"),
+          col("band.bi").as("bi"), col("band.bv").as("bv"))
+      val x = bands.select(col("doc_id").as("a_id"), col("sim").as("a_sim"),
+        col("bi"), col("bv"))
+      val y = bands.select(col("doc_id").as("b_id"), col("sim").as("b_sim"),
+        col("bi").as("bi_y"), col("bv").as("bv_y"))
+      x.join(y, col("bi") === col("bi_y") && col("bv") === col("bv_y") &&
+          col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
+        .distinct()
+        .select(col("a_id"), col("b_id"),
+          bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- Embedding-cosine near-dup, IVF-style: candidates restricted to
+    // the same coarse cell (here the label column stands in for a centroid
+    // assignment), cosine via the codegen'd dot-product kernel.
+    "td_embed_neardup" -> QueryDef.sql(
+      "cosine >= 0.4 near-dup pairs within label cell (IVF-style blocking)")(
+      s"""$NormCte
+        |SELECT a_id, b_id, label, cosine FROM (
+        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.label AS label,
+        |         list_reduce(list_transform(range(len(x.an)),
+        |           i -> x.an[i+1]*y.an[i+1]), (a,b) -> a+b) AS cosine
+        |  FROM n x JOIN n y ON x.label = y.label AND x.vec_id < y.vec_id)
+        |WHERE cosine >= 0.4 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val n = normalizedEmbeddings(s, dir)
+      val x = n.select(col("vec_id").as("a_id"), col("label"),
+        col("an").as("a_an"))
+      val y = n.select(col("vec_id").as("b_id"), col("label").as("label_y"),
+        col("an").as("b_an"))
+      x.join(y, col("label") === col("label_y") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("label"),
+          dot(col("a_an"), col("b_an")).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("a_id", "b_id")
+    }
+  )
+}

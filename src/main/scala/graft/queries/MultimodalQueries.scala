@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.MultimodalPipeline
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column queries: binary payload + batched per-partition
+  * feature extraction (see [[graft.operators.MultimodalPipeline]]). The
+  * oracle recomputes the stubbed features arithmetically in DuckDB
+  * (octet_length / sha256 over the same UTF-8 bytes), proving the Spark
+  * plumbing — encode → Dataset[MediaBlob] → mapPartitions decode →
+  * typed feature rows — is lossless.
+  */
+object MultimodalQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    "td_multimodal_meta" -> QueryDef.sql(
+      "binary payload → batched mapPartitions decode-stub features")(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha_hex,
+        |  CAST(64 + octet_length(encode(text)) % 192 AS INTEGER) AS fake_width,
+        |  CAST(64 + octet_length(encode(text)) % 128 AS INTEGER) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blobs = MultimodalPipeline.toBlobs(Tables.load(s, dir, "documents"))
+      MultimodalPipeline.extractFeatures(blobs)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sha_hex"),
+          col("fake_width"), col("fake_height"))
+        .orderBy("doc_id")
+    }
+  )
+}

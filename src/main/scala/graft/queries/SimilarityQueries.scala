@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §7.1 step 9): brute-force cosine top-k as the correctness
+  * baseline, and a random-hyperplane-LSH bucketed variant as the scale
+  * path (candidates restricted to one bucket → equi-join, no cross join).
+  *
+  * Query set: every 50th vector (vec_id % 50 = 0). Cosines are computed on
+  * unit-normalized double vectors with the codegen'd ascending-fold dot
+  * product ([[graft.functions.DotProduct]]), which the DuckDB oracles
+  * replay bit-identically with list_reduce — so even the row_number ranks
+  * agree without any rounding.
+  */
+object SimilarityQueries {
+
+  /** Shared oracle CTE: normalized embeddings (same as DedupQueries). */
+  private val NormCte =
+    """WITH vd AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+      |            FROM embeddings),
+      |nr AS (SELECT vec_id, label, vd,
+      |         sqrt(list_reduce(list_transform(range(len(vd)),
+      |           i -> vd[i+1]*vd[i+1]), (a,b) -> a+b)) AS nrm FROM vd),
+      |n AS (SELECT vec_id, label, vd,
+      |        list_transform(vd, x -> x / nrm) AS an FROM nr)""".stripMargin
+
+  /** 4-hyperplane random-projection bucket (16 buckets). Hyperplane j's
+    * component i is the small integer ((i*37 + j*101) mod 19) - 9 — exact
+    * in doubles, so the sign test is bit-deterministic cross-engine. */
+  private def bucketExpr(vd: Column): Column =
+    (0 until 4).map { j =>
+      val dotj = aggregate(sequence(lit(0), size(vd) - 1), lit(0.0),
+        (acc, i) => acc + element_at(vd, i + 1) *
+          ((i * 37 + lit(j * 101)) % 19 - 9).cast("double"))
+      when(dotj > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- Brute-force cosine top-k: the exact baseline every ANN variant
+    // is judged against. Queries are broadcast; candidates stream —
+    // O(q × n) work with no shuffle of the candidate side.
+    "td_ann_topk" -> QueryDef.sql(
+      "brute-force cosine top-5 per query vector (vec_id % 50 = 0)")(
+      s"""$NormCte,
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*c.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |      WHERE q.vec_id % 50 = 0),
+        |r AS (SELECT q_id, n_id, cosine, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM p)
+        |SELECT q_id, rnk, n_id, cosine FROM r WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      val n = DedupQueries.normalizedEmbeddings(s, dir)
+      val q = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("an").as("qa"))
+      val c = n.select(col("vec_id").as("n_id"), col("an").as("ca"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      c.join(broadcast(q), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), dot(col("qa"), col("ca")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("cosine"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // ---- LSH-bucketed ANN: 4 random hyperplanes → 16 buckets; search
+    // only the query's bucket. The scale path: bucket assignment is a
+    // narrow map, candidate generation an equi-join on bucket.
+    "td_ann_lsh" -> QueryDef.sql(
+      "random-hyperplane LSH (16 buckets) cosine top-3 within bucket")(
+      s"""$NormCte,
+        |b AS (SELECT vec_id, an, CAST(list_sum(list_transform(range(4), j ->
+        |        CASE WHEN list_reduce(list_transform(range(len(vd)),
+        |               i -> vd[i+1] * CAST((i*37 + j*101) % 19 - 9 AS DOUBLE)),
+        |               (a,b) -> a+b) > 0
+        |             THEN (1 << j) ELSE 0 END)) AS INTEGER) AS bucket FROM n),
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.bucket AS bucket,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*c.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        |      WHERE q.vec_id % 50 = 0),
+        |r AS (SELECT q_id, n_id, bucket, cosine, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM p)
+        |SELECT q_id, rnk, n_id, bucket, cosine FROM r WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      val n = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vd"))
+        .withColumn("nrm", sqrt(dot(col("vd"), col("vd"))))
+        .select(col("vec_id"), col("vd"),
+          transform(col("vd"), x => x / col("nrm")).as("an"))
+      val b = n.select(col("vec_id"), col("an"),
+        bucketExpr(col("vd")).as("bucket"))
+      val q = b.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("an").as("qa"),
+          col("bucket"))
+      val c = b.select(col("vec_id").as("n_id"), col("an").as("ca"),
+        col("bucket").as("bucket_c"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      c.join(broadcast(q),
+          col("bucket") === col("bucket_c") && col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), col("bucket"),
+          dot(col("qa"), col("ca")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("bucket"),
+          col("cosine"))
+        .orderBy("q_id", "rnk")
+    }
+  )
+}

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline layer over the
+  * `documents` table: language ID (marker-word n-gram heuristic), quality
+  * scoring, token counting (whitespace + BPE-ish regex), and document
+  * fingerprinting (rolling hash + md5 prefix). All are narrow per-row
+  * maps — no shuffle except the final presentation sort — and every
+  * formula is replayed operation-for-operation by the DuckDB oracle.
+  */
+object TextQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Marker-word profiles for the language-ID heuristic. Tiny stand-in
+    * profiles (real ones would be char-trigram frequency tables); the
+    * operator shape — per-language score, deterministic argmax — is what
+    * matters for the engine. */
+  private val Profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "de" -> Seq("der", "die", "das"),
+    "es" -> Seq("el", "los", "y"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("de", "shi", "bu"))
+
+  private def occurrences(ws: Column, word: String): Column =
+    size(filter(ws, x => x === word))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- Language ID: per-language marker-word counts, argmax with a
+    // fixed priority order for ties.
+    "td_lang_id" -> QueryDef.sql(
+      "marker-word language-ID heuristic with deterministic argmax")(
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(ws, x -> x = 'the')) + len(list_filter(ws, x -> x = 'a')) + len(list_filter(ws, x -> x = 'and')) AS s_en,
+        |  len(list_filter(ws, x -> x = 'der')) + len(list_filter(ws, x -> x = 'die')) + len(list_filter(ws, x -> x = 'das')) AS s_de,
+        |  len(list_filter(ws, x -> x = 'el')) + len(list_filter(ws, x -> x = 'los')) + len(list_filter(ws, x -> x = 'y')) AS s_es,
+        |  len(list_filter(ws, x -> x = 'le')) + len(list_filter(ws, x -> x = 'les')) + len(list_filter(ws, x -> x = 'et')) AS s_fr,
+        |  len(list_filter(ws, x -> x = 'de')) + len(list_filter(ws, x -> x = 'shi')) + len(list_filter(ws, x -> x = 'bu')) AS s_zh
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  lang AS actual_lang,
+        |  CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+        |  CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
+        |  CAST(s_zh AS BIGINT) AS s_zh
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), ws.as("ws"))
+      val scored = base.select((Seq(col("doc_id"), col("lang")) ++
+        Profiles.map { case (l, ms) =>
+          ms.map(m => occurrences(col("ws"), m)).reduce(_ + _).as(s"s_$l")
+        }): _*)
+      val Seq(en, de, es, fr, zh) =
+        Seq("en", "de", "es", "fr", "zh").map(l => col(s"s_$l"))
+      scored.select(
+        col("doc_id"),
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh").as("pred_lang"),
+        col("lang").as("actual_lang"),
+        en.cast("long").as("s_en"), de.cast("long").as("s_de"),
+        es.cast("long").as("s_es"), fr.cast("long").as("s_fr"),
+        zh.cast("long").as("s_zh"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Quality scoring: length, lexical diversity, and average word
+    // length folded into one bounded score. Every double op mirrors the
+    // oracle left-to-right.
+    "td_quality_score" -> QueryDef.sql(
+      "document quality score from length/diversity/word-length signals")(
+      """WITH w AS (SELECT doc_id, length(text) AS n_char,
+        |             string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, n_char, len(ws) AS n_tok,
+        |        len(list_distinct(ws)) AS n_distinct FROM w)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct AS DOUBLE) / n_tok AS distinct_ratio,
+        |  CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok AS avg_word_len,
+        |  least(CAST(n_tok AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+        |    + (CAST(n_distinct AS DOUBLE) / n_tok) * CAST(0.4 AS DOUBLE)
+        |    + least((CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+        |    AS quality_score
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      val c = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_char"), ws.as("ws"))
+        .select(col("doc_id"), col("n_char"), size(col("ws")).as("n_tok"),
+          size(array_distinct(col("ws"))).as("n_distinct"))
+      val distinctRatio = col("n_distinct").cast("double") / col("n_tok")
+      val avgWordLen =
+        (col("n_char") - (col("n_tok") - 1)).cast("double") / col("n_tok")
+      c.select(
+        col("doc_id"),
+        col("n_tok").cast("long").as("n_tokens"),
+        distinctRatio.as("distinct_ratio"),
+        avgWordLen.as("avg_word_len"),
+        (least(col("n_tok").cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
+          + distinctRatio * lit(0.4)
+          + least(avgWordLen / lit(8.0), lit(1.0)) * lit(0.2))
+          .as("quality_score"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Token counting: whitespace tokens, distinct tokens, and a
+    // BPE-ish fixed-width regex chunking ([a-z]{1,4} greedy max-munch —
+    // identical under Java regex and RE2).
+    "td_token_count" -> QueryDef.sql(
+      "whitespace/distinct/BPE-ish-regex token counts per document")(
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |    AS n_distinct_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT)
+        |    AS n_bpe_chunks,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(ws).cast("long").as("n_ws_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_distinct_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+          .cast("long").as("n_bpe_chunks"),
+        length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Document fingerprinting: a 31-ary rolling hash over characters
+    // (mod P, exact integer math) plus the cross-engine md5-prefix hash.
+    "td_fingerprint" -> QueryDef.sql(
+      "rolling-hash + md5-prefix document fingerprints")(
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''),
+        |      c -> CAST(unicode(c) AS BIGINT))),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS fp_rolling,
+        |  CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        aggregate(split(col("text"), ""), lit(0L),
+          (acc, ch) => (acc * 31 + ascii(ch)) % lit(1000000007L))
+          .as("fp_rolling"),
+        hash60(col("text")).as("fp_md5"))
+        .orderBy("doc_id")
+    }
+  )
+}
