@@ -22,6 +22,9 @@ object Tables {
     graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // the reference's calls CSV is windows-1252 (prepare_calls.py:32-34);
+    // Spark 4 gates non-builtin charsets behind this legacy flag
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     // events.parquet carries TIMESTAMP(NANOS) which Spark's µs timestamps
     // cannot represent; read as raw nanos and convert below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

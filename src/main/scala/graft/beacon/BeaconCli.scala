@@ -1,0 +1,78 @@
+package graft.beacon
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+
+/** Argument-compatible CLI for the two reference commands
+  * (beacon/cli.py:7-12; option names from prepare_calls.py:20-29,
+  * prepare_contacts.py:8-9):
+  *
+  * {{{
+  * beacon prepare-contacts GDS_FILE                          > contacts.csv
+  * beacon prepare-calls -o DIR -fnu N -cnu N -snu N -clru N CALLS_FILE
+  * }}}
+  */
+object BeaconCli {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "prepare-contacts" :: rest => prepareContacts(rest)
+    case "prepare-calls" :: rest => prepareCalls(rest)
+    case other =>
+      System.err.println(
+        s"usage: beacon (prepare-contacts|prepare-calls) ...; got: $other")
+      sys.exit(2)
+  }
+
+  private def session(): SparkSession =
+    Tables.pinDialect(Tables.localSession("beacon"))
+
+  private def prepareContacts(args: List[String]): Unit = args match {
+    case gdsPath :: Nil =>
+      val spark = session()
+      CsvIO.writeStdout(
+        PrepareContacts(PrepareContacts.fromCsv(spark, gdsPath)))
+      spark.stop()
+    case _ =>
+      System.err.println("usage: beacon prepare-contacts GDS_FILE")
+      sys.exit(2)
+  }
+
+  private val callsFlags = Map(
+    "-o" -> "output-dir", "--output-dir" -> "output-dir",
+    "-fnu" -> "food-needs-user", "--food-needs-user" -> "food-needs-user",
+    "-cnu" -> "complex-needs-user", "--complex-needs-user" -> "complex-needs-user",
+    "-snu" -> "simple-needs-user", "--simple-needs-user" -> "simple-needs-user",
+    "-clru" -> "call-log-review-user", "--call-log-review-user" -> "call-log-review-user")
+
+  private def prepareCalls(args: List[String]): Unit = {
+    def parse(rest: List[String], opts: Map[String, String],
+        positional: List[String]): (Map[String, String], List[String]) =
+      rest match {
+        case Nil => (opts, positional.reverse)
+        case flag :: value :: tail if callsFlags.contains(flag) =>
+          parse(tail, opts + (callsFlags(flag) -> value), positional)
+        case arg :: tail => parse(tail, opts, arg :: positional)
+      }
+    val (opts, positional) = parse(args, Map.empty, Nil)
+    val required = callsFlags.values.toSet
+    val missing = required.filterNot(opts.contains)
+    if (missing.nonEmpty || positional.length != 1) {
+      System.err.println(
+        s"usage: beacon prepare-calls -o DIR -fnu N -cnu N -snu N -clru N CALLS_FILE" +
+          (if (missing.nonEmpty) s"\nmissing: ${missing.mkString(", ")}" else ""))
+      sys.exit(2)
+    }
+    val spark = session()
+    val users = PrepareCalls.Users(
+      opts("food-needs-user").toLong,
+      opts("complex-needs-user").toLong,
+      opts("simple-needs-user").toLong,
+      opts("call-log-review-user").toLong)
+    val outputs = PrepareCalls(
+      PrepareCalls.fromCsv(spark, positional.head), users)
+    outputs.all.foreach { case (name, df) =>
+      CsvIO.writeCsv(df, s"${opts("output-dir")}/$name.csv")
+    }
+    spark.stop()
+  }
+}

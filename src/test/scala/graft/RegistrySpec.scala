@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry-wide contract checks at sf0.001: every query builds, returns
+  * rows, and satisfies its structural invariants. (Value-level parity
+  * with DuckDB is the external gate: graft.Verify + tools/check_oracle.)
+  */
+class RegistrySpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("every query has a doc and lowercase snake_case name") {
+    SparkEntry.registry.foreach { case (name, q) =>
+      assert(name.matches("[a-z0-9_]+"), name)
+      assert(q.doc.nonEmpty, name)
+    }
+  }
+
+  test("oracle SQL is defined for every query (strong correctness gate)") {
+    val missing = SparkEntry.registry.collect {
+      case (name, QueryDef(_, None, _)) => name
+    }
+    assert(missing.isEmpty, s"rows-only queries (weak check): $missing")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, q) <- SparkEntry.registry.toSeq.sortBy(_._1)) {
+    test(s"$name builds, runs, and has unique sorted-compatible columns") {
+      val df = q.build(spark, sfDir)
+      val cols = df.columns.toSeq
+      assert(cols.distinct == cols, s"duplicate columns in $name")
+      val n = df.count()
+      assert(n >= 0)
+      withClue(s"$name should not be trivially empty at sf0.001: ") {
+        // pair-finding queries may legitimately be empty at tiny SF;
+        // everything else must produce rows
+        val mayBeEmpty = Set("td_dedup_ngram_jaccard", "td_dedup_minhash_lsh",
+          "td_dedup_simhash", "td_embed_neardup")
+        assert(n > 0 || mayBeEmpty(name))
+      }
+    }
+  }
+}
