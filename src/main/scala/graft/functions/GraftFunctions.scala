@@ -40,7 +40,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_minhash"), info("graft_minhash"),
       (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "k"))),
     (FunctionIdentifier("graft_simhash"), info("graft_simhash"),
-      (es: Seq[Expression]) => SimHash(es(0), intArg(es(1), "bits")))
+      (es: Seq[Expression]) => SimHash(es(0), intArg(es(1), "bits"))),
+    (FunctionIdentifier("graft_shingle_hash"), info("graft_shingle_hash"),
+      (es: Seq[Expression]) => ShingleHash60(es(0), intArg(es(1), "k"),
+        intArg(es(2), "modP") != 0))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -61,6 +64,11 @@ object GraftFunctions {
   /** SimHash of an array<long> of token hashes over the low `bits` bits. */
   def simhash(hashes: Column, bits: Int): Column =
     call_function("graft_simhash", hashes, lit(bits))
+
+  /** Fused k-shingle + hash60 kernel (see
+    * [[graft.functions.ShingleHash60]]); k=1 → per-word hashes. */
+  def shingleHash60(ws: Column, k: Int, modP: Boolean): Column =
+    call_function("graft_shingle_hash", ws, lit(k), lit(if (modP) 1 else 0))
 
   // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
 

@@ -99,3 +99,57 @@ case class SimHash(child: Expression, bits: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Fused shingle + hash kernel: word array → k-shingle strings (joined
+  * with single spaces) → 60-bit md5-prefix hash each, optionally reduced
+  * mod P — one tight JVM loop per row instead of a chain of interpreted
+  * higher-order functions (transform/concat_ws/md5/conv per element).
+  *
+  * Bit-compatible with the composable form
+  * `transform(shingles(ws,k), s -> hash60(s))` and with the DuckDB oracle
+  * `list_transform(range(len(ws)-k+1), i -> CAST('0x'||substr(md5(...),1,15)
+  * AS BIGINT))`: the 60-bit value is exactly the first 15 hex digits of
+  * the md5 of the shingle's UTF-8 bytes. k=1 yields per-word hashes (the
+  * SimHash input).
+  */
+case class ShingleHash60(child: Expression, k: Int, modP: Boolean)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(k >= 1, "k must be >= 1")
+
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hash"
+
+  @transient private lazy val md =
+    java.security.MessageDigest.getInstance("MD5")
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = input.asInstanceOf[ArrayData]
+    val n = ws.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - k + 1)
+    val space = Array[Byte](' ')
+    var i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(space)
+        md.update(ws.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      // first 15 hex digits = bytes 0..6 + the high nibble of byte 7
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((d(7) >> 4) & 0xfL)
+      out(i) = if (modP) v % Sketches.P else v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -26,26 +26,25 @@ object DedupQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** DuckDB CTE prefix: distinct word 3-shingles + their hashes mod P,
-    * mirroring [[shingleHashes]]. */
+  /** DuckDB CTE prefix: distinct 3-shingle hashes (mod P), mirroring
+    * [[shingleHashes]]. Dedup/Jaccard run over the *hashed* shingles
+    * (long arrays, primitive hash-set set-ops, small shuffle payload) —
+    * never over the raw shingle strings. */
   private val ShingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
-      |         i -> ws[i+1]||' '||ws[i+2]||' '||ws[i+3])) AS sh
-      |       FROM w WHERE len(ws) >= 3),
-      |hs AS (SELECT doc_id, sh, list_transform(sh,
-      |         s -> CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 1000000007) AS hs
-      |       FROM sh)""".stripMargin
+      |hs AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
+      |         i -> CAST(('0x'||substr(md5(ws[i+1]||' '||ws[i+2]||' '||ws[i+3]),1,15))
+      |                AS BIGINT) % 1000000007)) AS hs
+      |       FROM w WHERE len(ws) >= 3)""".stripMargin
 
-  /** doc_id, sh (distinct 3-shingles), hs (shingle hashes mod P). */
+  /** doc_id, hs (distinct 3-shingle hashes mod P). */
   private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
     val ws = words(col("text"))
     t(s, dir, "documents")
       .select(col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), array_distinct(shingles(col("ws"), 3)).as("sh"))
-      .select(col("doc_id"), col("sh"),
-        transform(col("sh"), x => hash60modP(x)).as("hs"))
+      .select(col("doc_id"),
+        array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
   }
 
   /** DuckDB CTE prefix: L2-normalized double embeddings, norm computed as
@@ -91,22 +90,22 @@ object DedupQueries {
     "td_dedup_ngram_jaccard" -> QueryDef.sql(
       "3-gram Jaccard >= 0.5, candidates blocked on min shingle hash")(
       s"""$ShingleCte,
-        |blk AS (SELECT doc_id, sh, list_min(hs) AS bkey FROM hs)
+        |blk AS (SELECT doc_id, hs, list_min(hs) AS bkey FROM hs)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-        |         len(list_intersect(x.sh, y.sh)) /
-        |           len(list_distinct(list_concat(x.sh, y.sh))) AS jaccard
+        |         len(list_intersect(x.hs, y.hs)) /
+        |           len(list_distinct(list_concat(x.hs, y.hs))) AS jaccard
         |  FROM blk x JOIN blk y ON x.bkey = y.bkey AND x.doc_id < y.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val blk = shingleHashes(s, dir)
-        .select(col("doc_id"), col("sh"), array_min(col("hs")).as("bkey"))
-      val x = blk.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        .select(col("doc_id"), col("hs"), array_min(col("hs")).as("bkey"))
+      val x = blk.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
         col("bkey"))
-      val y = blk.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+      val y = blk.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
         col("bkey").as("bkey_y"))
       x.join(y, col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
-          jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+          jaccard(col("a_hs"), col("b_hs")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
     },
@@ -132,8 +131,8 @@ object DedupQueries {
         |           ON x.bkey = y.bkey AND x.doc_id < y.doc_id)
         |SELECT a_id, b_id, jaccard FROM (
         |  SELECT a_id, b_id,
-        |         len(list_intersect(a.sh, b.sh)) /
-        |           len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |         len(list_intersect(a.hs, b.hs)) /
+        |           len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
         |  FROM cand JOIN hs a ON cand.a_id = a.doc_id
         |            JOIN hs b ON cand.b_id = b.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
@@ -148,10 +147,10 @@ object DedupQueries {
           col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
       cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+        .join(sh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
         .select(col("a_id"), col("b_id"),
-          jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+          jaccard(col("a_hs"), col("b_hs")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy("a_id", "b_id")
     },
@@ -180,7 +179,7 @@ object DedupQueries {
       val wh = t(s, dir, "documents")
         .select(col("doc_id"), ws.as("ws"))
         .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), transform(col("ws"), w => hash60(w)).as("wh"))
+        .select(col("doc_id"), shingleHash60(col("ws"), 1, modP = false).as("wh"))
       val sims = wh.select(col("doc_id"), simhash(col("wh"), 32).as("sim"))
       val bandArr = array((0 until 4).map(b => struct(
         lit(b).as("bi"),
