@@ -387,6 +387,45 @@ object RelationalQueries {
         .orderBy("custkey")
     },
 
+    // ---- Sessionization (batch form of the streaming
+    // EventStreams.sessionize): gap > 6h starts a new session. lag +
+    // running-sum windows, then one aggregate — all on the user_id
+    // partitioning, so a single shuffle serves every step.
+    "rel_sessionize" -> QueryDef.sql(
+      "gap-based sessionization via lag + running-sum session ids")(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT *, lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL
+        |                       OR epoch_us(ts) - prev_us > 21600000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM g),
+        |sid AS (SELECT *, sum(new_sess) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |       count(*) AS n_events, min(ts) AS session_start,
+        |       max(ts) AS session_end, CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          cents(col("value")).as("cents"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 21600000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("cents")).as("value_cents"))
+        .orderBy("user_id", "session_id")
+    },
+
     // ---- C12/C13-shape: ternary classification with a genuine null
     // branch (parse_covid_symptoms yes/no/None, prepare_calls.py:239-246).
     "rel_case_ternary" -> QueryDef.sql(

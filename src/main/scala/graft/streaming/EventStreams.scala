@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-user session accumulator for [[EventStreams.sessionize]] —
+  * top-level so the state Encoder's generated code can instantiate it. */
+final case class SessionState(startUs: Long, lastUs: Long, n: Long, cents: Long)
+
+/** Structured Streaming layer over the `events` table shape (TESTDATA.md):
+  * the reference is batch-only (SURVEY.md §2.5), so this is the engine's
+  * streaming extension path — the same logical operators expressed as an
+  * unbounded plan: watermarked windowed aggregation for the declarative
+  * case, flatMapGroupsWithState for custom session state.
+  *
+  * Both transforms accept batch or streaming inputs — Spark resolves them
+  * to either Aggregate or StatefulOperator physical plans — so batch
+  * parity tests can compare streaming output to the batch equivalent on
+  * the same rows.
+  */
+object EventStreams {
+
+  final case class Event(
+      user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      value_cents: Long)
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * state: the streaming analogue of the batch groupBy/agg (A-class
+    * operators). Late data beyond `watermark` is dropped, so state is
+    * O(active windows), not O(stream). */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("value_cents"))
+
+  /** Gap-based sessionization with explicit state: events for a user
+    * belong to one session while consecutive gaps stay under `gapSeconds`.
+    * Sessions are emitted when the event-time watermark passes the gap
+    * (timeout) — state per user is O(1). */
+  def sessionize(events: Dataset[Event], gapSeconds: Long,
+      watermark: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    def us(t: Timestamp): Long = t.getTime * 1000L
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          def emit(s: SessionState): Session = Session(userId,
+            new Timestamp(s.startUs / 1000L), new Timestamp(s.lastUs / 1000L),
+            s.n, s.cents)
+
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_type))
+            var current = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = us(e.ts)
+              val cents = math.round(e.value * 100)
+              current match {
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  current = Some(SessionState(s.startUs, math.max(s.lastUs, t),
+                    s.n + 1, s.cents + cents))
+                case Some(s) =>
+                  closed += emit(s)
+                  current = Some(SessionState(t, t, 1, cents))
+                case None =>
+                  current = Some(SessionState(t, t, 1, cents))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

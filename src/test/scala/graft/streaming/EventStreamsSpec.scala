@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestSession
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedCounts on a streaming source matches the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1L, ts("2024-01-01 00:10:00"), "click", 1.5),
+      Event(1L, ts("2024-01-01 00:40:00"), "click", 2.0),
+      Event(2L, ts("2024-01-01 01:10:00"), "view", 0.5),
+      Event(1L, ts("2024-01-01 01:20:00"), "click", 1.0))
+    input.addData(events: _*)
+
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("wc")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    val batch = EventStreams.windowedCounts(events.toDF())
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 350L),
+      ("2024-01-01 01:00:00.0", "click", 1L, 100L),
+      ("2024-01-01 01:00:00.0", "view", 1L, 50L)))
+  }
+
+  test("sessionize emits gap-separated sessions as the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session 1: two events 10 min apart; session 2 after a 2h gap
+      input.addData(
+        Event(7L, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Event(7L, ts("2024-01-01 00:10:00"), "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(7L, ts("2024-01-01 02:10:00"), "click", 3.0))
+      q.processAllAvailable()
+      // push the watermark far ahead so the open session times out
+      input.addData(Event(8L, ts("2024-01-02 00:00:00"), "click", 0.25))
+      q.processAllAvailable()
+      input.addData(Event(9L, ts("2024-01-03 00:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(10L, ts("2024-01-04 00:00:00"), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sessions = spark.table("sessions").as[Session]
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    val u7 = sessions.filter(_.user_id == 7L)
+    assert(u7.length == 2)
+    assert(u7(0).n_events == 2 && u7(0).value_cents == 300L)
+    assert(u7(0).session_start == ts("2024-01-01 00:00:00"))
+    assert(u7(0).session_end == ts("2024-01-01 00:10:00"))
+    assert(u7(1).n_events == 1 && u7(1).value_cents == 300L)
+    val u8 = sessions.filter(_.user_id == 8L)
+    assert(u8.length == 1 && u8(0).value_cents == 25L)
+  }
+}
