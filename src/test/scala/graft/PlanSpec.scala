@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties that make these plans
+  * survive a 100× scale-up — filters reaching the parquet scan, column
+  * pruning, broadcast joins for dims, top-k instead of total sort, and no
+  * accidental cartesian products — asserted so a regression fails CI, not
+  * a cluster.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.registry(name).build(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("rel_filter_project pushes predicates into the parquet scan") {
+    val p = plan("rel_filter_project")
+    // (the toString truncates the PushedFilters list — assert on the
+    // leading entries that fit)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), p)
+  }
+
+  test("rel_filter_project prunes the scan to referenced columns only") {
+    val p = plan("rel_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_comment"), readSchema)
+  }
+
+  test("rel_join_broadcast_agg joins dims with BroadcastHashJoin, no SMJ") {
+    val p = plan("rel_join_broadcast_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("rel_agg_group does map-side partial aggregation") {
+    val p = plan("rel_agg_group")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_"), p)
+  }
+
+  test("rel_sort_limit plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("rel_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dedup candidate generation is an equi-join, never a cross join") {
+    for (name <- Seq("td_dedup_ngram_jaccard", "td_dedup_minhash_lsh",
+        "td_dedup_simhash", "td_embed_neardup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("ANN brute force broadcasts the small query side") {
+    val p = plan("td_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("narrow text-analysis queries shuffle only for the final sort") {
+    for (name <- Seq("td_fingerprint", "td_token_count", "td_quality_score")) {
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2, s"$name has $exchanges exchanges:\n$p")
+    }
+  }
+
+  test("codegen'd dot product stays out of interpreted eval in pair queries") {
+    val p = plan("td_embed_neardup")
+    assert(p.contains("graft_dot"), p)
+  }
+}
