@@ -71,4 +71,42 @@ object MultimodalPipeline {
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       .as[MediaBlob]
   }
+
+  /** Frame-level metadata for a sampled media payload. */
+  final case class FrameMeta(
+      doc_id: Long,
+      n_frames: Long,
+      n_sampled: Long,
+      first_frame_md5: String,
+      sampled_md5: String)
+
+  /** Frame sampling over binary payloads — the video-pipeline shape: chop
+    * the payload into fixed-size frames, keep every `stride`-th, digest.
+    * Per-partition imperative loop (one digest instance per partition),
+    * narrow, no shuffle. The real frame decode would replace the byte
+    * slicing; the sampling/batching plumbing is what this exercises. */
+  def sampleFrames(blobs: Dataset[MediaBlob], frameSize: Int = 32,
+      stride: Int = 4): Dataset[FrameMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      def hex(d: Array[Byte]): String = d.map("%02x".format(_)).mkString
+      it.map { b =>
+        val n = b.content.length
+        val nFrames = (n + frameSize - 1) / frameSize
+        val sampled = 0 until nFrames by stride
+        md.reset()
+        md.update(b.content, 0, math.min(frameSize, n))
+        val firstMd5 = hex(md.digest())
+        md.reset()
+        sampled.foreach { k =>
+          md.update(b.content, k * frameSize,
+            math.min(frameSize, n - k * frameSize))
+        }
+        val sampledMd5 = hex(md.digest())
+        FrameMeta(b.doc_id, nFrames.toLong, sampled.size.toLong, firstMd5,
+          sampledMd5)
+      }
+    }
+  }
 }

@@ -29,6 +29,28 @@ object MultimodalQueries {
         .select(col("doc_id"), col("n_bytes"), col("sha_hex"),
           col("fake_width"), col("fake_height"))
         .orderBy("doc_id")
+    },
+
+    // Frame sampling: 32-byte frames, every 4th kept, digests of the
+    // first and of the sampled concatenation. Payloads are ASCII, so the
+    // oracle's char-based substr slicing equals the byte slicing.
+    "td_multimodal_frames" -> QueryDef.sql(
+      "fixed-size frame split + stride sampling over binary payloads")(
+      """WITH f AS (SELECT doc_id, text,
+        |             CAST((length(text) + 31) // 32 AS BIGINT) AS n_frames
+        |           FROM documents)
+        |SELECT doc_id, n_frames,
+        |  CAST((n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+        |  md5(substr(text, 1, 32)) AS first_frame_md5,
+        |  md5(array_to_string(list_transform(
+        |    list_filter(range(n_frames), k -> k % 4 = 0),
+        |    k -> substr(text, CAST(k*32 + 1 AS INTEGER), 32)), ''))
+        |    AS sampled_md5
+        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blobs = MultimodalPipeline.toBlobs(Tables.load(s, dir, "documents"))
+      MultimodalPipeline.sampleFrames(blobs)
+        .toDF()
+        .orderBy("doc_id")
     }
   )
 }

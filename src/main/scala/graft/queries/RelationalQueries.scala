@@ -103,6 +103,45 @@ object RelationalQueries {
         .orderBy("region", "nation")
     },
 
+    // ---- Large ⋈ large equi-join: both sides shuffle on the join key
+    // (at bench SF Catalyst broadcasts the smaller side, which is the
+    // right call there; at 100 TB AQE picks SMJ/shuffled-hash on the
+    // same declarative plan — nothing here pins a strategy).
+    "rel_join_big" -> QueryDef.sql(
+      "lineitem ⋈ orders fact-fact equi-join + aggregate")(
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) >= lit("1995-01-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- Skew-safe aggregation: two-phase salted groupBy for a
+    // low-cardinality hot key (event_type). Phase 1 fans the hot key
+    // across 8 salt buckets (map-side + 8-way reduce), phase 2 re-merges
+    // exactly — integer sums, so the oracle is the plain GROUP BY.
+    "rel_skew_salted_agg" -> QueryDef.sql(
+      "two-phase salted aggregation over a skewed key")(
+      """SELECT event_type, count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("_salt", pmod(col("event_id"), lit(8)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(count(lit(1)).as("pn"), sum(cents(col("value"))).as("pc"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("pn")).as("n"), sum(col("pc")).as("value_cents"))
+        .orderBy("event_type")
+    },
+
     // ---- J1/A1: first-row-per-key, the deterministic form of petl
     // dictlookupone's first-match semantics (prepare_calls.py:148;
     // SURVEY §2.4 J1): row_number over an explicit order, not first().

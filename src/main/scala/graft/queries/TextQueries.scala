@@ -141,6 +141,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- TF-IDF-style top term per document: explode → tf groupBy →
+    // df groupBy → join → window rank. The one genuinely multi-shuffle
+    // text query; score is the rational tf/df (same ranking as tf·N/df,
+    // no cross-libm log).
+    "td_tfidf_top_term" -> QueryDef.sql(
+      "top tf/df-scored term per document (explode + two aggs + window)")(
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |s AS (SELECT doc_id, word, tf, df, CAST(tf AS DOUBLE) / df AS score
+        |      FROM tf JOIN df USING (word)),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk FROM s)
+        |SELECT doc_id, word AS top_term, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rnk = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val tf = w.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val df = w.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))
+      tf.join(df, "word")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rnk", row_number().over(win))
+        .filter(col("rnk") === 1)
+        .select(col("doc_id"), col("word").as("top_term"),
+          col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+          col("score"))
+        .orderBy("doc_id")
+    },
+
     // ---- Document fingerprinting: a 31-ary rolling hash over characters
     // (mod P, exact integer math) plus the cross-engine md5-prefix hash.
     "td_fingerprint" -> QueryDef.sql(
