@@ -68,11 +68,16 @@ object BeaconCli {
       opts("complex-needs-user").toLong,
       opts("simple-needs-user").toLong,
       opts("call-log-review-user").toLong)
-    val outputs = PrepareCalls(
-      PrepareCalls.fromCsv(spark, positional.head), users)
-    outputs.all.foreach { case (name, df) =>
-      CsvIO.writeCsv(df, s"${opts("output-dir")}/$name.csv")
-    }
+    run(spark, positional.head, opts("output-dir"), users)
     spark.stop()
+  }
+
+  /** The prepare-calls work, session-agnostic (reused by tests). */
+  def run(spark: SparkSession, callsPath: String, outputDir: String,
+      users: PrepareCalls.Users): Unit = {
+    val outputs = PrepareCalls(PrepareCalls.fromCsv(spark, callsPath), users)
+    outputs.all.foreach { case (name, df) =>
+      CsvIO.writeCsv(df, s"$outputDir/$name.csv")
+    }
   }
 }
