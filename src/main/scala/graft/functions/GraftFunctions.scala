@@ -43,7 +43,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => SimHash(es(0), intArg(es(1), "bits"))),
     (FunctionIdentifier("graft_shingle_hash"), info("graft_shingle_hash"),
       (es: Seq[Expression]) => ShingleHash60(es(0), intArg(es(1), "k"),
-        intArg(es(2), "modP") != 0))
+        intArg(es(2), "modP") != 0)),
+    (FunctionIdentifier("graft_minhash_union"), info("graft_minhash_union"),
+      (es: Seq[Expression]) => MinHashUnionAgg(es(0), intArg(es(1), "k"))),
+    (FunctionIdentifier("graft_bitmap_distinct"), info("graft_bitmap_distinct"),
+      (es: Seq[Expression]) => BitmapDistinctAgg(es(0), intArg(es(1), "m")))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -69,6 +73,15 @@ object GraftFunctions {
     * [[graft.functions.ShingleHash60]]); k=1 → per-word hashes. */
   def shingleHash60(ws: Column, k: Int, modP: Boolean): Column =
     call_function("graft_shingle_hash", ws, lit(k), lit(if (modP) 1 else 0))
+
+  /** Mergeable group MinHash: element-wise min of per-row signatures
+    * (= the signature of the group's set union). */
+  def minhashUnion(sig: Column, k: Int): Column =
+    call_function("graft_minhash_union", sig, lit(k))
+
+  /** Bitmap distinct-bucket sketch count over a long hash column. */
+  def bitmapDistinct(hash: Column, m: Int): Column =
+    call_function("graft_bitmap_distinct", hash, lit(m))
 
   // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
 

@@ -202,6 +202,64 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- Mergeable group sketch: element-wise min of per-doc MinHash
+    // signatures (a custom TypedImperativeAggregate) = the signature of
+    // each language's unioned shingle set. Map-side partial merge like
+    // any sum — the sketch pattern that replaces exact distinct state at
+    // 100 TB. Oracle: per-index min over the same signatures.
+    "td_minhash_group_sketch" -> QueryDef.sql(
+      "per-language union-MinHash via custom mergeable aggregate")(
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |hs AS (SELECT doc_id, lang,
+        |         list_distinct(list_transform(range(len(ws)-2),
+        |           i -> CAST(('0x'||substr(md5(ws[i+1]||' '||ws[i+2]||' '||ws[i+3]),1,15))
+        |                  AS BIGINT) % 1000000007)) AS hs
+        |       FROM w WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id, lang, list_transform(range(8), k ->
+        |          list_min(list_transform(hs,
+        |            h -> ((2*k+3)*h + (5*k+7)) % 1000000007))) AS sig
+        |        FROM hs)
+        |SELECT lang, count(*) AS n_docs,
+        |  min(sig[1]) AS mh0, min(sig[2]) AS mh1, min(sig[3]) AS mh2,
+        |  min(sig[4]) AS mh3, min(sig[5]) AS mh4, min(sig[6]) AS mh5,
+        |  min(sig[7]) AS mh6, min(sig[8]) AS mh7
+        |FROM sig GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      val sig = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), ws.as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("lang"),
+          array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
+        .select(col("doc_id"), col("lang"),
+          minhashSig(col("hs"), 8).as("sig"))
+      sig.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          minhashUnion(col("sig"), 8).as("gsig"))
+        .select(Seq(col("lang"), col("n_docs")) ++
+          (0 until 8).map(i => element_at(col("gsig"), i + 1).as(s"mh$i")): _*)
+        .orderBy("lang")
+    },
+
+    // ---- Bitmap distinct sketch (linear-counting machinery with an
+    // exact oracle): occupied hash buckets per event_type, OR-mergeable
+    // state of m/8 bytes per group vs an exact-distinct hash set.
+    "td_distinct_sketch" -> QueryDef.sql(
+      "bitmap distinct-bucket sketch vs exact distinct count")(
+      """SELECT event_type,
+        |  count(DISTINCT (CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
+        |    AS BIGINT) % 1024 + 1024) % 1024) AS sketch_buckets,
+        |  count(DISTINCT user_id) AS exact_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          bitmapDistinct(hash60(col("user_id").cast("string")), 1024)
+            .cast("long").as("sketch_buckets"),
+          countDistinct(col("user_id")).as("exact_distinct"))
+        .orderBy("event_type")
+    },
+
     // ---- Embedding-cosine near-dup, IVF-style: candidates restricted to
     // the same coarse cell (here the label column stands in for a centroid
     // assignment), cosine via the codegen'd dot-product kernel.
