@@ -259,6 +259,39 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // ---- Exact percentiles (sort-based with linear interpolation —
+    // same definition as DuckDB quantile_cont).
+    "rel_percentile" -> QueryDef.sql(
+      "exact grouped percentiles (median + p90)")(
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med_price,
+        |       quantile_cont(l_extendedprice, 0.9) AS p90_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med_price"),
+          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Pivot (wide aggregation with explicit value list; the oracle
+    // is the equivalent sum(CASE ...) form).
+    "rel_pivot" -> QueryDef.sql(
+      "pivot on l_linestatus with explicit values")(
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("long")))
+        .select(col("l_returnflag"), col("F").as("qty_f"),
+          col("O").as("qty_o"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- Distinct (dedup of a projection).
     "rel_distinct" -> QueryDef.sql(
       "distinct over a joined projection")(
