@@ -259,6 +259,34 @@ object RelationalQueries {
         .limit(100)
     },
 
+    // ---- As-of (point-in-time) join: latest order at-or-before each
+    // event, per key — graft.operators.AsOfJoin (union + window
+    // carry-forward, one shuffle, no range explosion). Oracle: DuckDB's
+    // native ASOF JOIN.
+    "rel_asof_join" -> QueryDef.sql(
+      "as-of join: latest order at-or-before each event per key")(
+      """WITH od AS (
+        |  SELECT o_custkey AS key, epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS t,
+        |         max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (SELECT event_id, user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events)
+        |SELECT e.event_id, e.user_id, o.asof_orderkey
+        |FROM e ASOF LEFT JOIN od o ON e.user_id = o.key AND e.t >= o.t
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val od = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("key"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+        .agg(max(col("o_orderkey")).as("asof_orderkey"))
+      val e = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asofJoin(
+        e, col("user_id"), unix_micros(col("ts")),
+        od, col("key"), col("t"), Seq("asof_orderkey"))
+        .select(col("event_id"), col("user_id"), col("asof_orderkey"))
+        .orderBy("event_id")
+    },
+
     // ---- Exact percentiles (sort-based with linear interpolation —
     // same definition as DuckDB quantile_cont).
     "rel_percentile" -> QueryDef.sql(

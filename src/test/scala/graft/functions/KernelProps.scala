@@ -1,0 +1,107 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks of the custom expression kernels against naive
+  * reference implementations (SURVEY.md §5: property layer). These run
+  * the expressions' eval paths directly — no SparkSession — so hundreds
+  * of cases are cheap.
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  private def strArr(xs: Seq[String]): ArrayData =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+
+  private val dummy = Literal.create(null, StringType)
+
+  /** Reference 60-bit md5-prefix hash (the first 15 hex digits). */
+  private def hash60Ref(s: String): Long = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private val word: Gen[String] = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaLowerChar),
+    Gen.stringOfN(1, Gen.alphaLowerChar),
+    Gen.const(""), Gen.const("café"),
+    Gen.stringOfN(8, Gen.alphaNumChar))
+  private val wordList: Gen[List[String]] = Gen.listOfN(12, word)
+
+  property("ShingleHash60 matches shingle-join + md5-prefix reference") =
+    forAll(wordList, Gen.choose(1, 4)) { (ws, k) =>
+      val got = ShingleHash60(dummy, k, modP = false)
+        .nullSafeEval(strArr(ws)).asInstanceOf[ArrayData].toLongArray().toSeq
+      val want =
+        if (ws.length < k) Seq.empty
+        else ws.sliding(k).map(sh => hash60Ref(sh.mkString(" "))).toSeq
+      Prop(got == want) :| s"got=$got want=$want"
+    }
+
+  property("ShingleHash60 modP reduces every hash into [0, P)") =
+    forAll(wordList) { ws =>
+      val got = ShingleHash60(dummy, 2, modP = true)
+        .nullSafeEval(strArr(ws)).asInstanceOf[ArrayData].toLongArray()
+      Prop(got.forall(h => h >= 0 && h < Sketches.P))
+    }
+
+  property("MinHashSignature = per-permutation min over hashes") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0L, Sketches.P - 1))) { hs =>
+      val sig = MinHashSignature(dummy, 8)
+        .nullSafeEval(new GenericArrayData(hs.toArray))
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      val want = (0 until 8).map { j =>
+        hs.map(h => ((2L * j + 3) * h + (5L * j + 7)) % Sketches.P).min
+      }
+      Prop(sig == want)
+    }
+
+  property("SimHash bit j is sign of the ±1 vote sum") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(Long.MinValue, Long.MaxValue))) { hs =>
+      val sim = SimHash(dummy, 16)
+        .nullSafeEval(new GenericArrayData(hs.toArray)).asInstanceOf[Long]
+      val want = (0 until 16).map { j =>
+        val votes = hs.map(h => ((h >> j) & 1L) * 2 - 1).sum
+        if (votes > 0) 1L << j else 0L
+      }.sum
+      Prop(sim == want)
+    }
+
+  property("DotProduct equals the ascending left fold") =
+    forAll(Gen.listOfN(16, Gen.choose(-10.0, 10.0)),
+      Gen.listOfN(16, Gen.choose(-10.0, 10.0))) { (a, b) =>
+      val got = DotProduct(dummy, dummy)
+        .nullSafeEval(new GenericArrayData(a.toArray),
+          new GenericArrayData(b.toArray)).asInstanceOf[Double]
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      Prop(got == want) // bit-exact, same operation order
+    }
+
+  property("MinHashUnionAgg merge = element-wise min (mergeable sketch)") =
+    forAll(Gen.listOfN(8, Gen.choose(0L, Long.MaxValue - 1)),
+      Gen.listOfN(8, Gen.choose(0L, Long.MaxValue - 1))) { (a, b) =>
+      val agg = MinHashUnionAgg(dummy, 8)
+      val merged = agg.merge(a.toArray, b.toArray).toSeq
+      Prop(merged == a.zip(b).map { case (x, y) => math.min(x, y) })
+    }
+
+  property("BitmapDistinctAgg eval counts distinct buckets exactly") =
+    forAll(Gen.listOf(Gen.choose(Long.MinValue + 1, Long.MaxValue))) { hs =>
+      val m = 1024
+      val agg = BitmapDistinctAgg(dummy, m)
+      val buf = hs.foldLeft(agg.createAggregationBuffer()) { (b, h) =>
+        val bucket = ((h % m + m) % m).toInt
+        b(bucket >> 6) |= 1L << (bucket & 63)
+        b
+      }
+      Prop(agg.eval(buf) == hs.map(h => ((h % m + m) % m)).distinct.size)
+    }
+}
