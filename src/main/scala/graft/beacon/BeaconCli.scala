@@ -72,12 +72,20 @@ object BeaconCli {
     spark.stop()
   }
 
-  /** The prepare-calls work, session-agnostic (reused by tests). */
+  /** The prepare-calls work, session-agnostic (reused by tests). The
+    * seven sinks run as concurrent Spark jobs — they share the cached
+    * base scan, and each single-file CSV write is itself one task, so
+    * concurrency is what keeps the cluster busy. */
   def run(spark: SparkSession, callsPath: String, outputDir: String,
       users: PrepareCalls.Users): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val outputs = PrepareCalls(PrepareCalls.fromCsv(spark, callsPath), users)
-    outputs.all.foreach { case (name, df) =>
-      CsvIO.writeCsv(df, s"$outputDir/$name.csv")
+    outputs.base.count() // materialize the shared cache once, up front
+    val writes = outputs.all.map { case (name, df) =>
+      Future(CsvIO.writeCsv(df, s"$outputDir/$name.csv"))
     }
+    Await.result(Future.sequence(writes), Duration.Inf)
   }
 }
