@@ -50,6 +50,9 @@ object Tables {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-" +
+          ProcessHandle.current().pid())
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -287,6 +287,37 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ---- Range (interval) join: purchases within 24h after each signup,
+    // per user — graft.operators.RangeJoin (bucket-blocked equi-join +
+    // exact refine; never a per-key cross join). Oracle: plain range
+    // predicate join.
+    "rel_range_join" -> QueryDef.sql(
+      "interval join: purchases within 24h after each signup per user")(
+      """WITH s AS (SELECT event_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |           FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT event_id, user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT s.event_id AS signup_id, count(*) AS n_purchases
+        |FROM s JOIN p ON p.user_id = s.user_id
+        |  AND p.t >= s.t AND p.t < s.t + 86400000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          unix_micros(col("ts")).as("t0"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), unix_micros(col("ts")).as("pt"))
+      graft.operators.RangeJoin.intervalJoin(
+          signups, col("user_id"), col("t0"), col("t0") + 86400000000L,
+          purchases, col("p_user"), col("pt"), bucketWidth = 86400000000L)
+        .groupBy(col("signup_id"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("signup_id")
+    },
+
     // ---- Exact percentiles (sort-based with linear interpolation —
     // same definition as DuckDB quantile_cont).
     "rel_percentile" -> QueryDef.sql(

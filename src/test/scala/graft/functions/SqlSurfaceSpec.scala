@@ -1,0 +1,37 @@
+package graft.functions
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL front door: every custom expression/aggregate is a registered
+  * function, so plain `spark.sql` (and thus JDBC/thrift clients) can use
+  * the engine without touching the Scala API.
+  */
+class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
+
+  test("custom kernels and sketches are callable from SQL") {
+    val row = spark.sql(
+      """SELECT
+        |  graft_dot(array(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE)),
+        |            array(CAST(3 AS DOUBLE), CAST(4 AS DOUBLE))) AS dot,
+        |  graft_shingle_hash(array('a', 'b', 'c'), 2, 0) AS sh,
+        |  graft_simhash(array(CAST(5 AS BIGINT), CAST(7 AS BIGINT)), 8) AS sim,
+        |  graft_minhash(array(CAST(11 AS BIGINT), CAST(3 AS BIGINT)), 4) AS sig
+        |""".stripMargin).collect().head
+    assert(row.getDouble(0) == 11.0)
+    assert(row.getSeq[Long](1).length == 2) // shingles "a b", "b c"
+    assert(row.getSeq[Long](3).length == 4)
+  }
+
+  test("custom aggregates work in SQL GROUP BY with partial aggregation") {
+    spark.range(0, 1000)
+      .selectExpr("id % 3 AS g", "id % 17 AS v")
+      .createOrReplaceTempView("t")
+    val rows = spark.sql(
+      """SELECT g, graft_bitmap_distinct(v, 64) AS buckets
+        |FROM t GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows.length == 3)
+    // ids 0..999 mod 17 hit all 17 buckets in every group of ~333 ids
+    assert(rows.forall(_.getInt(1) == 17))
+  }
+}

@@ -44,6 +44,44 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
       ("2024-01-01 01:00:00.0", "view", 1L, 50L)))
   }
 
+  test("windowedCounts over a parquet file stream (Trigger.AvailableNow)") {
+    // file streams need a directory — stage the parquet into one
+    val srcDir = java.nio.file.Files.createTempDirectory("stream-src-")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      srcDir.resolve("events.parquet"))
+    val src = srcDir.toString
+    val batchDf = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("ts", "event_type", "value")
+    // the file stores TIMESTAMP(NANOS); stream it the same way Tables.load
+    // reads it — as raw nanos, converted to µs timestamps
+    import org.apache.spark.sql.types._
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(src)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .select("ts", "event_type", "value")
+    val q = EventStreams.windowedCounts(stream, "1 day", "1 day")
+      .writeStream.format("memory").queryName("wc_file")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val streamed = spark.table("wc_file").orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val batch = EventStreams.windowedCounts(batchDf, "1 day", "1 day")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("sessionize emits gap-separated sessions as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
