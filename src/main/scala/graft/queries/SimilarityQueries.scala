@@ -71,6 +71,57 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     },
 
+    // ---- IVF-style ANN: a 16-centroid coarse quantizer (seeded from the
+    // first 16 vectors), cells assigned by max cosine, search restricted
+    // to the query's cell. Centroids broadcast; assignment is a narrow
+    // map; candidate generation an equi-join on cell id.
+    "td_ann_ivf" -> QueryDef.sql(
+      "IVF coarse quantizer (16 seed centroids) + in-cell cosine top-3")(
+      s"""$NormCte,
+        |c AS (SELECT vec_id AS cid, an AS ca FROM n WHERE vec_id < 16),
+        |asg AS (SELECT vec_id, an, cell FROM (
+        |  SELECT n.vec_id, n.an, c.cid AS cell, row_number() OVER (
+        |      PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_transform(range(len(n.an)),
+        |        i -> n.an[i+1]*c.ca[i+1]), (a,b) -> a+b) DESC, c.cid) AS rn
+        |  FROM n, c) WHERE rn = 1),
+        |p AS (SELECT q.vec_id AS q_id, x.vec_id AS n_id, q.cell AS cell,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*x.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM asg q JOIN asg x
+        |        ON q.cell = x.cell AND x.vec_id <> q.vec_id
+        |      WHERE q.vec_id % 50 = 0),
+        |r AS (SELECT q_id, n_id, cell, cosine, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM p)
+        |SELECT q_id, rnk, n_id, cell, cosine FROM r WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      val n = DedupQueries.normalizedEmbeddings(s, dir)
+      val cents = n.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("an").as("ca"))
+      val aw = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cdot").desc, col("cid"))
+      val assigned = n.join(broadcast(cents))
+        .withColumn("cdot", dot(col("an"), col("ca")))
+        .withColumn("rn", row_number().over(aw))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("an"), col("cid").as("cell"))
+      val q = assigned.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("an").as("qa"), col("cell"))
+      val cands = assigned.select(col("vec_id").as("n_id"),
+        col("an").as("ca2"), col("cell").as("cell_c"))
+      val rw = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      cands.join(broadcast(q),
+          col("cell") === col("cell_c") && col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"), col("cell"),
+          dot(col("qa"), col("ca2")).as("cosine"))
+        .withColumn("rnk", row_number().over(rw))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("cell"),
+          col("cosine"))
+        .orderBy("q_id", "rnk")
+    },
+
     // ---- LSH-bucketed ANN: 4 random hyperplanes → 16 buckets; search
     // only the query's bucket. The scale path: bucket assignment is a
     // narrow map, candidate generation an equi-join on bucket.
