@@ -20,6 +20,9 @@ object Tables {
     */
   def pinDialect(spark: SparkSession): SparkSession = {
     graft.functions.GraftFunctions.register(spark)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // the reference's calls CSV is windows-1252 (prepare_calls.py:32-34);

@@ -247,6 +247,32 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ---- Per-key top-k via the custom whole-operator extension
+    // (graft.plans.TopKPerKey: LogicalPlan + SparkStrategy + exec with
+    // bounded per-key heaps — O(n log k) and O(keys·k) state instead of
+    // the window form's full partition sort). Total order via the
+    // (orderkey, linenumber) tie-break ⇒ exact row-set parity with the
+    // declarative oracle.
+    "rel_topk_per_key" -> QueryDef.sql(
+      "top-3 highest-price lineitems per (returnflag, linestatus)")(
+      """SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber,
+        |       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY l_returnflag, l_linestatus
+        |        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_returnflag, l_linestatus, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      graft.plans.TopK.topKPerKey(
+          t(s, dir, "lineitem"),
+          keys = Seq(col("l_returnflag"), col("l_linestatus")),
+          order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+          k = 3)
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_orderkey"),
+          col("l_linenumber"), cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
+    },
+
     // ---- Sort / limit: global top-k. Spark plans TakeOrderedAndProject
     // (per-partition top-k + merge) — no full sort at scale.
     "rel_sort_limit" -> QueryDef.sql(

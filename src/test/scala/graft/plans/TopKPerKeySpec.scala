@@ -1,0 +1,47 @@
+package graft.plans
+
+import graft.{SparkTestSession, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def viaOperator(k: Int) =
+    TopK.topKPerKey(Tables.load(spark, sfDir, "lineitem"),
+      keys = Seq(col("l_returnflag"), col("l_linestatus")),
+      order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc),
+      k = k)
+
+  test("operator result equals the declarative window form row-for-row") {
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val declarative = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+    val cols = declarative.columns.map(col).toSeq
+    val a = viaOperator(5).select(cols: _*)
+      .orderBy(cols: _*).collect().toSeq
+    val b = declarative.select(cols: _*).orderBy(cols: _*).collect().toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("physical plan uses TopKPerKeyExec with a hash exchange, no Sort/Window") {
+    val plan = viaOperator(3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort "), s"no partition-wide sort expected:\n$plan")
+  }
+
+  test("k=1 degenerates to first-per-key") {
+    val got = viaOperator(1)
+      .groupBy("l_returnflag", "l_linestatus").count().collect()
+    assert(got.forall(_.getLong(2) == 1L))
+  }
+}
