@@ -23,6 +23,11 @@ object Tables {
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RewriteRankingFilterToTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RewriteRankingFilterToTopK
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // the reference's calls CSV is windows-1252 (prepare_calls.py:32-34);

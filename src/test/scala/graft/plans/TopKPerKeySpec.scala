@@ -44,4 +44,33 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
       .groupBy("l_returnflag", "l_linestatus").count().collect()
     assert(got.forall(_.getLong(2) == 1L))
   }
+
+  test("optimizer rule rewrites declarative rn<=k window filters to TopKPerKey") {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val declarative = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select("l_returnflag", "l_orderkey", "l_linenumber")
+    val plan = declarative.queryExecution.executedPlan.toString
+    // partial (map-side) + final TopKPerKey, Spark's sort-based
+    // WindowGroupLimit replaced, no Window exec left
+    assert(plan.linesIterator.count(_.contains("TopKPerKey")) == 2, plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    assert(!plan.contains("Window ["), plan)
+    // and the rewrite preserves results (vs. the rule disabled via a
+    // projection that keeps the rank column, which must NOT rewrite)
+    val withRank = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "rn")
+    val keptPlan = withRank.queryExecution.executedPlan.toString
+    assert(keptPlan.contains("Window"), keptPlan)
+    val a = declarative.orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+      .collect().toSeq
+    val b = withRank.drop("rn")
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
