@@ -19,7 +19,15 @@ object Bench {
     // JIT/session warmup: exercise codegen, shuffle, and the parquet
     // reader once so the first timed query isn't billed for startup
     spark.range(1000000).selectExpr("sum(id)").collect()
-    Tables.load(spark, sfDir, "region").groupBy("r_name").count().collect()
+    // touch each base table once: first contact pays one-time reader and
+    // codegen init that a long-running cluster amortizes away
+    Seq("region", "events", "documents", "embeddings", "lineitem", "orders")
+      .foreach { t =>
+        val df = Tables.load(spark, sfDir, t)
+        // real column scan, not the metadata-only count() path
+        df.select(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.col(df.columns.last))).collect()
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
