@@ -58,6 +58,49 @@ object DedupQueries {
       |n AS (SELECT vec_id, label,
       |        list_transform(vd, x -> x / nrm) AS an FROM nr)""".stripMargin
 
+  /** MinHash-LSH candidates verified at Jaccard >= 0.5 — the shared edge
+    * set for the pair query and the cluster query. */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(s, dir)
+    val sig = sh.select(col("doc_id"), minhashSig(col("hs"), 8).as("sig"))
+    val bandArr = transform(sequence(lit(0), lit(3)), b =>
+      concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
+        element_at(col("sig"), b * 2 + 2)))
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("bkey"))
+    val cand = bands.select(col("doc_id").as("a_id"), col("bkey"))
+      .join(bands.select(col("doc_id").as("b_id"), col("bkey").as("bkey_y")),
+        col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_hs"), col("b_hs")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
+  /** The oracle CTE chain mirroring [[minhashVerifiedPairs]]. */
+  private val VerifiedPairsCte =
+    s"""$ShingleCte,
+      |sig AS (SELECT doc_id, list_transform(range(8), k ->
+      |          list_min(list_transform(hs,
+      |            h -> ((2*k+3)*h + (5*k+7)) % 1000000007))) AS sig
+      |        FROM hs),
+      |bands AS (SELECT doc_id,
+      |            b::VARCHAR || '_' || sig[2*b+1]::VARCHAR || '_' ||
+      |            sig[2*b+2]::VARCHAR AS bkey
+      |          FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+      |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+      |         FROM bands x JOIN bands y
+      |           ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |verified AS (SELECT a_id, b_id, jaccard FROM (
+      |  SELECT a_id, b_id,
+      |         len(list_intersect(a.hs, b.hs)) /
+      |           len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
+      |  FROM cand JOIN hs a ON cand.a_id = a.doc_id
+      |            JOIN hs b ON cand.b_id = b.doc_id)
+      |  WHERE jaccard >= 0.5)""".stripMargin
+
   /** vec_id, label, an (unit-normalized array<double>). */
   private[queries] def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -117,42 +160,60 @@ object DedupQueries {
     // permutations ((2j+3)h + 5j+7 mod P) in SQL.
     "td_dedup_minhash_lsh" -> QueryDef.sql(
       "MinHash(8) banded LSH candidates, verified at Jaccard >= 0.5")(
-      s"""$ShingleCte,
-        |sig AS (SELECT doc_id, list_transform(range(8), k ->
-        |          list_min(list_transform(hs,
-        |            h -> ((2*k+3)*h + (5*k+7)) % 1000000007))) AS sig
-        |        FROM hs),
-        |bands AS (SELECT doc_id,
-        |            b::VARCHAR || '_' || sig[2*b+1]::VARCHAR || '_' ||
-        |            sig[2*b+2]::VARCHAR AS bkey
-        |          FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
-        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-        |         FROM bands x JOIN bands y
-        |           ON x.bkey = y.bkey AND x.doc_id < y.doc_id)
-        |SELECT a_id, b_id, jaccard FROM (
-        |  SELECT a_id, b_id,
-        |         len(list_intersect(a.hs, b.hs)) /
-        |           len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard
-        |  FROM cand JOIN hs a ON cand.a_id = a.doc_id
-        |            JOIN hs b ON cand.b_id = b.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val sh = shingleHashes(s, dir)
-      val sig = sh.select(col("doc_id"), minhashSig(col("hs"), 8).as("sig"))
-      val bandArr = transform(sequence(lit(0), lit(3)), b =>
-        concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
-          element_at(col("sig"), b * 2 + 2)))
-      val bands = sig.select(col("doc_id"), explode(bandArr).as("bkey"))
-      val cand = bands.select(col("doc_id").as("a_id"), col("bkey"))
-        .join(bands.select(col("doc_id").as("b_id"), col("bkey").as("bkey_y")),
-          col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
-      cand
-        .join(sh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          jaccard(col("a_hs"), col("b_hs")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("a_id", "b_id")
+      s"""$VerifiedPairsCte
+        |SELECT a_id, b_id, jaccard FROM verified
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      minhashVerifiedPairs(s, dir).orderBy("a_id", "b_id")
+    },
+
+    // ---- Duplicate-cluster resolution: connected components over the
+    // verified near-dup pairs (keep one representative per cluster — the
+    // final step of a production dedup pipeline). Deterministic min-label
+    // propagation to fixpoint: labels only decrease, so the total-sum
+    // convergence test is exact. Iterations = graph diameter (dup
+    // clusters are tiny); the 100 TB path swaps the loop body for
+    // large-star/small-star, same fixpoint. Oracle: recursive-CTE
+    // transitive closure with min-reachable component ids.
+    "td_dedup_clusters" -> QueryDef.sql(
+      "connected components over near-dup pairs (cluster representative)")(
+      s"""${VerifiedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |bi AS (SELECT a_id AS s, b_id AS t FROM verified
+        |       UNION ALL SELECT b_id, a_id FROM verified),
+        |reach(s, t) AS (
+        |  SELECT DISTINCT s, s FROM bi
+        |  UNION
+        |  SELECT r.s, b.t FROM reach r JOIN bi b ON r.t = b.s)
+        |SELECT doc_id, component_id, count(*) OVER (PARTITION BY component_id)
+        |         AS cluster_size
+        |FROM (SELECT s AS doc_id, min(t) AS component_id
+        |      FROM reach GROUP BY s)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val edges = minhashVerifiedPairs(s, dir)
+        .select(col("a_id"), col("b_id")).cache()
+      val bi = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .cache()
+      var labels = bi.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")).cache()
+      var converged = false
+      while (!converged) {
+        val msgs = bi.join(labels, col("src") === col("id"))
+          .select(col("dst").as("id"), col("label"))
+        val next = labels.unionByName(msgs)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .cache()
+        val before = labels.agg(sum(col("label"))).head.getLong(0)
+        val after = next.agg(sum(col("label"))).head.getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = before == after
+      }
+      val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      labels
+        .join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("component_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
     },
 
     // ---- SimHash near-dup: 32-bit frequency-weighted simhash, candidates
