@@ -433,6 +433,43 @@ object RelationalQueries {
       semi.unionByName(anti).orderBy("custkey")
     },
 
+    // ---- Set operators: INTERSECT / EXCEPT (distinct semantics).
+    "rel_set_ops" -> QueryDef.sql(
+      "INTERSECT and EXCEPT over key projections")(
+      """SELECT custkey, 'both' AS src FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT custkey, 'customer_only' AS src FROM (
+        |  SELECT c_custkey AS custkey FROM customer
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY custkey, src""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      c.intersect(o).withColumn("src", lit("both"))
+        .unionByName(c.except(o).withColumn("src", lit("customer_only")))
+        .orderBy("custkey", "src")
+    },
+
+    // ---- Schema-on-read JSON: from_json with an explicit schema, then
+    // typed field access (the structured counterpart of the
+    // get_json_object path in rel_json_extract).
+    "rel_from_json" -> QueryDef.sql(
+      "from_json schema-on-read + typed field aggregation")(
+      """SELECT event_type,
+        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val parsed = t(s, dir, "events")
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+      parsed.groupBy(col("event_type"))
+        .agg(sum(col("p.k")).as("sum_k"), count(col("p.k")).as("n_k"))
+        .orderBy("event_type")
+    },
+
     // ---- Rollup (grouping sets family).
     "rel_rollup" -> QueryDef.sql(
       "rollup aggregation with subtotal rows")(
