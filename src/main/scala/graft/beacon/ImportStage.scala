@@ -34,6 +34,11 @@ object ImportStage {
     *
     * @param nextNeedId first id to assign (e.g. 1 + max(needs.id))
     * @return (insertedNeeds with id+contact_id, insertedNotes with need_id)
+    *
+    * Scale note: the id-assigning window is global (one task) — correct
+    * for the import stage's spreadsheet-scale staging data. A 100 TB id
+    * backfill would use zipWithIndex-style per-partition offsets or
+    * allocate ranges from the target sequence (SURVEY.md §7.3.6).
     */
   def importOriginalTriageNeedsAndNotes(
       contacts: DataFrame,

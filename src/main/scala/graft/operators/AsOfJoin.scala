@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   * (right.time == left.time matches).
   *
   * `right` must be unique per (key, time) — pre-aggregate if not, or the
-  * carried payload is ambiguous.
+  * carried payload is ambiguous. Times must be non-null on both sides:
+  * nulls sort first under the window order and would be carried as
+  * "before everything" rows — filter them out upstream.
   */
 object AsOfJoin {
 

@@ -461,10 +461,8 @@ object RelationalQueries {
         |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val parsed = t(s, dir, "events")
-        .withColumn("p", from_json(col("props"),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k",
-              org.apache.spark.sql.types.LongType)))))
+        .withColumn("p",
+          from_json(col("props"), "k BIGINT", Map.empty[String, String]))
       parsed.groupBy(col("event_type"))
         .agg(sum(col("p.k")).as("sum_k"), count(col("p.k")).as("n_k"))
         .orderBy("event_type")
