@@ -82,6 +82,46 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming exact dedup: watermarked dropDuplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "ts")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Event(1L, ts("2024-01-01 00:00:00"), "click", 1.0), // dup in batch
+        Event(2L, ts("2024-01-01 00:05:00"), "view", 2.0))
+      q.processAllAvailable()
+      // duplicate arriving in a later batch, inside the watermark
+      input.addData(Event(1L, ts("2024-01-01 00:00:00"), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dedup_stream").count() == 2)
+  }
+
+  test("stream-static join enriches events against a static dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val joined = input.toDF().join(dim, Seq("user_id"), "left")
+    val q = joined.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Event(3L, ts("2024-01-01 00:01:00"), "view", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(rows(1L).contains("gold"))
+    assert(rows(3L).isEmpty) // unmatched user → null tier
+  }
+
   test("sessionize emits gap-separated sessions as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
