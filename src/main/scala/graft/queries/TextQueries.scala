@@ -17,34 +17,42 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Marker-word profiles for the language-ID heuristic. Tiny stand-in
-    * profiles (real ones would be char-trigram frequency tables); the
-    * operator shape — per-language score, deterministic argmax — is what
-    * matters for the engine. */
+  /** Character-bigram profiles for the language-ID heuristic (tiny
+    * stand-ins for full trigram frequency tables; the operator shape —
+    * overlapping n-gram extraction, per-language profile score,
+    * deterministic argmax — is the engine deliverable). */
   private val Profiles: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "and"),
-    "de" -> Seq("der", "die", "das"),
-    "es" -> Seq("el", "los", "y"),
-    "fr" -> Seq("le", "les", "et"),
-    "zh" -> Seq("de", "shi", "bu"))
+    "en" -> Seq("th", "he", "an"),
+    "de" -> Seq("ch", "ei", "en"),
+    "es" -> Seq("ll", "os", "de"),
+    "fr" -> Seq("ou", "le", "es"),
+    "zh" -> Seq("zh", "ng", "sh"))
 
-  private def occurrences(ws: Column, word: String): Column =
-    size(filter(ws, x => x === word))
+  /** Overlapping character bigrams of a text column. */
+  private def charBigrams(text: Column): Column =
+    transform(sequence(lit(0), length(text) - 2),
+      i => text.substr(i + 1, lit(2)))
+
+  /** Count of bigrams that appear in the given profile. */
+  private def profileScore(bigrams: Column, profile: Seq[String]): Column =
+    size(filter(bigrams, b => b.isin(profile: _*)))
 
   val defs: Map[String, QueryDef] = Map(
 
-    // ---- Language ID: per-language marker-word counts, argmax with a
-    // fixed priority order for ties.
+    // ---- Language ID: overlapping char-bigram extraction scored against
+    // per-language n-gram profiles, argmax with a fixed priority order
+    // for ties.
     "td_lang_id" -> QueryDef.sql(
-      "marker-word language-ID heuristic with deterministic argmax")(
-      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      "char-bigram language-ID heuristic with deterministic argmax")(
+      """WITH w AS (SELECT doc_id, lang,
+        |  list_transform(range(length(text)-1), i -> substr(text, CAST(i+1 AS INTEGER), 2)) AS bg
         |           FROM documents),
         |sc AS (SELECT doc_id, lang,
-        |  len(list_filter(ws, x -> x = 'the')) + len(list_filter(ws, x -> x = 'a')) + len(list_filter(ws, x -> x = 'and')) AS s_en,
-        |  len(list_filter(ws, x -> x = 'der')) + len(list_filter(ws, x -> x = 'die')) + len(list_filter(ws, x -> x = 'das')) AS s_de,
-        |  len(list_filter(ws, x -> x = 'el')) + len(list_filter(ws, x -> x = 'los')) + len(list_filter(ws, x -> x = 'y')) AS s_es,
-        |  len(list_filter(ws, x -> x = 'le')) + len(list_filter(ws, x -> x = 'les')) + len(list_filter(ws, x -> x = 'et')) AS s_fr,
-        |  len(list_filter(ws, x -> x = 'de')) + len(list_filter(ws, x -> x = 'shi')) + len(list_filter(ws, x -> x = 'bu')) AS s_zh
+        |  len(list_filter(bg, x -> x IN ('th','he','an'))) AS s_en,
+        |  len(list_filter(bg, x -> x IN ('ch','ei','en'))) AS s_de,
+        |  len(list_filter(bg, x -> x IN ('ll','os','de'))) AS s_es,
+        |  len(list_filter(bg, x -> x IN ('ou','le','es'))) AS s_fr,
+        |  len(list_filter(bg, x -> x IN ('zh','ng','sh'))) AS s_zh
         |  FROM w)
         |SELECT doc_id,
         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
@@ -57,12 +65,11 @@ object TextQueries {
         |  CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
         |  CAST(s_zh AS BIGINT) AS s_zh
         |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val ws = words(col("text"))
       val base = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), ws.as("ws"))
+        .select(col("doc_id"), col("lang"), charBigrams(col("text")).as("bg"))
       val scored = base.select((Seq(col("doc_id"), col("lang")) ++
-        Profiles.map { case (l, ms) =>
-          ms.map(m => occurrences(col("ws"), m)).reduce(_ + _).as(s"s_$l")
+        Profiles.map { case (l, profile) =>
+          profileScore(col("bg"), profile).as(s"s_$l")
         }): _*)
       val Seq(en, de, es, fr, zh) =
         Seq("en", "de", "es", "fr", "zh").map(l => col(s"s_$l"))
