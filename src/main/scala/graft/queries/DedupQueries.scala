@@ -195,6 +195,9 @@ object DedupQueries {
         .cache()
       var labels = bi.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")).cache()
+      // min-labels decrease monotonically, so the label-sum is a strictly
+      // decreasing exact fixpoint witness — one action per iteration
+      var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
       var converged = false
       while (!converged) {
         val msgs = bi.join(labels, col("src") === col("id"))
@@ -202,11 +205,11 @@ object DedupQueries {
         val next = labels.unionByName(msgs)
           .groupBy(col("id")).agg(min(col("label")).as("label"))
           .cache()
-        val before = labels.agg(sum(col("label"))).head.getLong(0)
         val after = next.agg(sum(col("label"))).head.getLong(0)
         labels.unpersist()
         labels = next
-        converged = before == after
+        converged = after == prevSum
+        prevSum = after
       }
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       labels

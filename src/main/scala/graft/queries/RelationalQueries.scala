@@ -487,6 +487,50 @@ object RelationalQueries {
         .orderBy("region", "nation")
     },
 
+    // ---- Cube (full grouping-sets lattice over two dims).
+    "rel_cube" -> QueryDef.sql(
+      "cube aggregation over (returnflag, linestatus)")(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n,
+        |       sum(CAST(l_quantity AS BIGINT)) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // ---- Range-frame window (value-based frame, not row-based): per
+    // user, events in the trailing 24h window by event time.
+    "rel_window_range_frame" -> QueryDef.sql(
+      "RANGE BETWEEN trailing-24h window aggregate per user")(
+      """SELECT event_id, user_id,
+        |       count(*) OVER (PARTITION BY user_id
+        |         ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |         AS n_24h,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+        |         PARTITION BY user_id
+        |         ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cents_24h
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-86400000000L, Window.currentRow)
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_24h"),
+        sum(cents(col("value"))).over(w).as("cents_24h"))
+        .orderBy("event_id")
+    },
+
     // ---- C23-shape: JSON field extraction then aggregate (the QA
     // queries re-parse serialized JSON, prepare_calls.py:360-374).
     "rel_json_extract" -> QueryDef.sql(
