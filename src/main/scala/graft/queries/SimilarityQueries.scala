@@ -122,6 +122,42 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     },
 
+    // ---- Scalar int8 quantization: the storage-reduction step of a
+    // 100 TB embedding store (4× smaller than float32). Per-vector
+    // max-abs scale, symmetric round-to-int8 codes, exact integer code
+    // checksum + deterministic reconstruction MSE.
+    "td_embed_quantize" -> QueryDef.sql(
+      "per-vector int8 scalar quantization with reconstruction error")(
+      """WITH vd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |            FROM embeddings),
+        |sc AS (SELECT vec_id, vd,
+        |         list_max(list_transform(vd, x -> abs(x))) / 127 AS scale
+        |       FROM vd),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(vd, x -> CAST(round(x / scale) AS BIGINT))
+        |          AS codes, vd FROM sc)
+        |SELECT vec_id, scale,
+        |  CAST(list_reduce(codes, (a,b) -> a + b) AS BIGINT) AS code_sum,
+        |  list_reduce(list_transform(range(len(vd)),
+        |    i -> (vd[i+1] - codes[i+1]*scale) * (vd[i+1] - codes[i+1]*scale)),
+        |    (a,b) -> a+b) AS sq_err
+        |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val vd = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+      val sc = vd.withColumn("scale",
+        array_max(transform(col("vd"), x => abs(x))) / 127)
+      val q = sc.withColumn("codes",
+        transform(col("vd"), x => round(x / col("scale")).cast("long")))
+      q.select(
+        col("vec_id"), col("scale"),
+        aggregate(col("codes"), lit(0L), (a, b) => a + b).as("code_sum"),
+        aggregate(
+          zip_with(col("vd"), col("codes"),
+            (x, c) => (x - c * col("scale")) * (x - c * col("scale"))),
+          lit(0.0), (a, b) => a + b).as("sq_err"))
+        .orderBy("vec_id")
+    },
+
     // ---- LSH-bucketed ANN: 4 random hyperplanes → 16 buckets; search
     // only the query's bucket. The scale path: bucket assignment is a
     // narrow map, candidate generation an equi-join on bucket.

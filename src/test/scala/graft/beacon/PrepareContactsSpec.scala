@@ -39,6 +39,17 @@ class PrepareContactsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.forall(_.getString(10) == "2026-08-12T00:00:00"))
   }
 
+  test("stdout sink streams the ordered CSV (S3)") {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      CsvIO.writeStdout(contacts)
+    }
+    val lines = out.toString("UTF-8").linesIterator.toSeq
+    assert(lines.head.startsWith("nhs_number,first_name,"))
+    assert(lines(1).startsWith("111,Joan,M,Smith,"))
+    assert(lines.length == 1 + 3)
+  }
+
   test("gds_import_data serializes the original row keyed by source header (C1)") {
     val r0 = contacts.orderBy("_ord").collect()(0)
     val json = r0.getString(11)
