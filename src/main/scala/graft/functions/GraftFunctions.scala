@@ -23,8 +23,8 @@ object GraftFunctions {
   /** Large prime modulus shared with the DuckDB oracles. */
   val P: Long = Sketches.P
 
-  private def info(name: String): ExpressionInfo =
-    new ExpressionInfo(classOf[DotProduct].getName, name)
+  private def info(name: String, cls: Class[_]): ExpressionInfo =
+    new ExpressionInfo(cls.getName, name)
 
   private def intArg(e: Expression, what: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -35,18 +35,23 @@ object GraftFunctions {
   /** All (name, builder) pairs — one place so both runtime registration and
     * the SparkSessionExtensions path stay in sync. */
   val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
-    (FunctionIdentifier("graft_dot"), info("graft_dot"),
+    (FunctionIdentifier("graft_dot"), info("graft_dot", classOf[DotProduct]),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
-    (FunctionIdentifier("graft_minhash"), info("graft_minhash"),
+    (FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", classOf[MinHashSignature]),
       (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "k"))),
-    (FunctionIdentifier("graft_simhash"), info("graft_simhash"),
+    (FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", classOf[SimHash]),
       (es: Seq[Expression]) => SimHash(es(0), intArg(es(1), "bits"))),
-    (FunctionIdentifier("graft_shingle_hash"), info("graft_shingle_hash"),
+    (FunctionIdentifier("graft_shingle_hash"),
+      info("graft_shingle_hash", classOf[ShingleHash60]),
       (es: Seq[Expression]) => ShingleHash60(es(0), intArg(es(1), "k"),
         intArg(es(2), "modP") != 0)),
-    (FunctionIdentifier("graft_minhash_union"), info("graft_minhash_union"),
+    (FunctionIdentifier("graft_minhash_union"),
+      info("graft_minhash_union", classOf[MinHashUnionAgg]),
       (es: Seq[Expression]) => MinHashUnionAgg(es(0), intArg(es(1), "k"))),
-    (FunctionIdentifier("graft_bitmap_distinct"), info("graft_bitmap_distinct"),
+    (FunctionIdentifier("graft_bitmap_distinct"),
+      info("graft_bitmap_distinct", classOf[BitmapDistinctAgg]),
       (es: Seq[Expression]) => BitmapDistinctAgg(es(0), intArg(es(1), "m")))
   )
 
@@ -99,13 +104,16 @@ object GraftFunctions {
   /** Word tokens (single-space tokenizer, mirrors DuckDB string_split). */
   def words(text: Column): Column = split(text, " ")
 
-  /** Word k-shingles joined with single spaces; empty array when there are
-    * fewer than k words (DuckDB `range(n-k+1)` yields [] the same way).
+  /** Word k-shingles joined with single spaces; empty array when there
+    * are fewer than k words (DuckDB `range(n-k+1)` yields [] the same
+    * way), null for null input — matching the fused
+    * [[graft.functions.ShingleHash60]] kernel's null-intolerance.
     */
   def shingles(ws: Column, k: Int): Column =
-    when(size(ws) >= k,
-      transform(sequence(lit(0), size(ws) - k),
-        i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o + 1)): _*)))
+    when(ws.isNull, lit(null).cast("array<string>"))
+      .when(size(ws) >= k,
+        transform(sequence(lit(0), size(ws) - k),
+          i => concat_ws(" ", (0 until k).map(o => element_at(ws, i + o + 1)): _*)))
       .otherwise(array().cast("array<string>"))
 
   /** Jaccard similarity of two pre-distinct string arrays, as the single

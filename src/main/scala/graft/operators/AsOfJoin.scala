@@ -42,26 +42,39 @@ object AsOfJoin {
       rightTime: Column,
       payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "payload columns required")
+    val reserved = Seq("_k", "_t", "_side", "_payload")
     require(payload.intersect(left.columns.toSeq).isEmpty,
       s"payload names collide with left columns: " +
         payload.intersect(left.columns.toSeq).mkString(", "))
+    require(reserved.intersect(left.columns.toSeq).isEmpty,
+      s"left columns collide with internal names: " +
+        reserved.intersect(left.columns.toSeq).mkString(", "))
 
     val taggedLeft = left
       .withColumn("_k", leftKey)
       .withColumn("_t", leftTime)
       .withColumn("_side", lit(1))
-    val taggedRight = right.select(
-      rightKey.as("_k") +: rightTime.as("_t") +: lit(0).as("_side") +:
-        payload.map(col): _*)
+    // SQL equality semantics: a null right key matches nothing — drop it.
+    // (Null-keyed left rows then share a partition containing no right
+    // rows and correctly get a null payload.)
+    // The payload travels as ONE struct so the carried values always
+    // come from a single right row, even when individual payload fields
+    // are null (a per-column last(ignoreNulls) would stitch a chimera
+    // from different rows).
+    val taggedRight = right
+      .where(rightKey.isNotNull)
+      .select(rightKey.as("_k"), rightTime.as("_t"), lit(0).as("_side"),
+        struct(payload.map(col): _*).as("_payload"))
 
     val unioned = taggedLeft.unionByName(taggedRight,
       allowMissingColumns = true)
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).drop("_k", "_t", "_side")
+    unioned
+      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.map(col).toSeq ++
+        payload.map(c => col(s"_payload.$c").as(c)): _*)
   }
 }

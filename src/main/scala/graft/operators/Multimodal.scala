@@ -68,6 +68,9 @@ object MultimodalPipeline {
   def toBlobs(documents: DataFrame): Dataset[MediaBlob] = {
     import documents.sparkSession.implicits._
     documents
+      // null payloads carry nothing to decode — skip them here rather
+      // than NPE inside the per-partition decode loop
+      .where(col("text").isNotNull)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
       .as[MediaBlob]
   }

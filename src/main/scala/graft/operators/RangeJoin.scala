@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Exact for the full long range: `t - pmod(t, w)` floors to a
+    * multiple of w in integer math, and SQL `div` of an exact multiple
+    * is exact — no double division anywhere (doubles lose integer
+    * precision past 2^53, which nanosecond timestamps exceed). */
   private def bucketOf(t: Column, w: Long): Column =
-    ((t - pmod(t, lit(w))) / lit(w)).cast("long")
+    call_function("div", t - pmod(t, lit(w)), lit(w))
 
   /** @param left         probe side carrying the window
     * @param leftKey      join key on the left
@@ -43,6 +47,9 @@ object RangeJoin {
       .withColumn("_lk", leftKey)
       .withColumn("_start", start)
       .withColumn("_end", end)
+      // degenerate windows (end <= start) can match nothing but would
+      // make sequence() count DOWNWARD and explode a huge bucket list
+      .filter(col("_end") > col("_start"))
       .withColumn("_b", explode(sequence(
         bucketOf(col("_start"), bucketWidth),
         bucketOf(col("_end") - 1, bucketWidth))))

@@ -20,8 +20,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `rn < k` / `rn = 1` predicate, and an outer Project that does not
   * reference the rank attribute (so dropping it is observationally
   * equivalent).
+  *
+  * Memory trade-off (see [[TopKPerKeyExec]]): the heap state is
+  * O(distinct keys × k) per task versus the window form's spillable
+  * sort. For extreme key cardinalities set
+  * `spark.graft.topk.rewrite=false` to keep the sort-based plan.
   */
 object RewriteRankingFilterToTopK extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.topk.rewrite"
 
   /** Extract k from the supported predicate shapes over `rn`. */
   private def limitFromCond(cond: Expression, rn: Attribute): Option[Int] =
@@ -37,7 +44,9 @@ object RewriteRankingFilterToTopK extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "true").toBoolean) return plan
+    plan.transformUp {
     case p @ Project(projectList,
         Filter(cond, w @ Window(Seq(alias @ Alias(
           WindowExpression(RowNumber(), WindowSpecDefinition(ps, os, _)),
@@ -55,5 +64,6 @@ object RewriteRankingFilterToTopK extends Rule[LogicalPlan] {
       Project(projectList,
         TopKPerKey(ps, os, k,
           TopKPerKey(ps, os, k, input, partial = true)))
+    }
   }
 }

@@ -16,9 +16,11 @@ import org.apache.spark.sql.graft.PlanShim
   * Spark's declarative form — `row_number() OVER (PARTITION BY k ORDER
   * BY o) <= k` — must SORT every partition's full data before ranking:
   * O(n log n) time and O(n) sort buffer (spill) per partition. This
-  * operator keeps a bounded k-row heap per key instead: O(n log k) time,
-  * O(keys·k) state, nothing spills. At 100 TB with small k that is the
-  * difference between a heap lookup and a terabyte-scale sort.
+  * operator keeps a bounded k-row heap per key instead: O(n log k) time
+  * and O(distinct keys in the task × k) heap state. That state does not
+  * spill — the right trade when keys·k rows fit an executor (the common
+  * top-k shape); for extreme key cardinality keep the spillable window
+  * plan (the rewrite rule honors `spark.graft.topk.rewrite=false`).
   *
   * The planner contract does the heavy lifting: `requiredChildDistribution
   * = ClusteredDistribution(keys)` makes Catalyst insert (or reuse) the
