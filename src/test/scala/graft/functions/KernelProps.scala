@@ -104,4 +104,11 @@ object KernelProps extends Properties("graft.kernels") {
       }
       Prop(agg.eval(buf) == hs.map(h => ((h % m + m) % m)).distinct.size)
     }
+
+  property("DotProduct yields null on mismatched array lengths") =
+    forAll(Gen.choose(1, 10), Gen.choose(11, 20)) { (n, m) =>
+      val a = new GenericArrayData(Array.fill(n)(1.0))
+      val b = new GenericArrayData(Array.fill(m)(1.0))
+      Prop(DotProduct(dummy, dummy).nullSafeEval(a, b) == null)
+    }
 }
