@@ -600,6 +600,37 @@ object RelationalQueries {
         .orderBy("custkey")
     },
 
+    // ---- Scalar-function parity sweep: string + math built-ins whose
+    // cross-engine behavior the beacon layer leans on.
+    "rel_scalar_funcs" -> QueryDef.sql(
+      "string/math scalar built-in parity sweep")(
+      """SELECT c_custkey AS custkey,
+        |  upper(c_name) AS u, lower(c_mktsegment) AS l,
+        |  trim(c_name) AS t, substr(c_name, 1, 8) AS sub,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  replace(c_name, '#', '-') AS repl,
+        |  length(c_name) AS len,
+        |  abs(c_acctbal) AS ab, floor(c_acctbal) AS fl,
+        |  ceil(c_acctbal) AS ce, sign(c_acctbal) AS sg,
+        |  CAST(c_custkey % 7 AS BIGINT) AS md,
+        |  greatest(c_acctbal, CAST(0 AS DOUBLE)) AS gr,
+        |  concat(c_mktsegment, '|', c_name) AS cc
+        |FROM customer ORDER BY custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey").as("custkey"),
+        upper(col("c_name")).as("u"), lower(col("c_mktsegment")).as("l"),
+        trim(col("c_name")).as("t"), substring(col("c_name"), 1, 8).as("sub"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        regexp_replace(col("c_name"), "#", "-").as("repl"),
+        length(col("c_name")).as("len"),
+        abs(col("c_acctbal")).as("ab"), floor(col("c_acctbal")).as("fl"),
+        ceil(col("c_acctbal")).as("ce"), signum(col("c_acctbal")).as("sg"),
+        (col("c_custkey") % 7).cast("long").as("md"),
+        greatest(col("c_acctbal"), lit(0.0)).as("gr"),
+        concat(col("c_mktsegment"), lit("|"), col("c_name")).as("cc"))
+        .orderBy("custkey")
+    },
+
     // ---- C3-shape: concat_ws over non-empty parts only (concat_address,
     // prepare_contacts.py:47-52 — empty strings must be skipped, which
     // plain concat_ws does not do; hence the higher-order filter).

@@ -73,4 +73,20 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
       .orderBy("l_returnflag", "l_orderkey", "l_linenumber").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("spark.graft.topk.rewrite=false keeps the sort-based window plan") {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc)
+    def build() = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select("l_returnflag", "l_orderkey")
+    spark.conf.set("spark.graft.topk.rewrite", "false")
+    try {
+      val off = build().queryExecution.executedPlan.toString
+      assert(!off.contains("TopKPerKey"), off)
+    } finally spark.conf.unset("spark.graft.topk.rewrite")
+    val on = build().queryExecution.executedPlan.toString
+    assert(on.contains("TopKPerKey"), on)
+  }
 }
