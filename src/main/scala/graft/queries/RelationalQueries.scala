@@ -273,6 +273,47 @@ object RelationalQueries {
         .orderBy("l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber")
     },
 
+    // ---- Batch tumbling-window aggregation (same logical shape the
+    // streaming layer runs with a watermark; window('1 day') start ≡
+    // UTC date_trunc).
+    "rel_time_window_agg" -> QueryDef.sql(
+      "tumbling 1-day event-time window aggregate")(
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |         AS day, event_type, count(*) AS n,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(col("window.start").as("day"), col("event_type"), col("n"),
+          col("value_cents"))
+        .orderBy("day", "event_type")
+    },
+
+    // ---- Window-function family: lag/lead/rank/dense_rank/ntile over
+    // one partitioned total order.
+    "rel_window_funcs" -> QueryDef.sql(
+      "lag/lead/rank/dense_rank/ntile over a total per-user order")(
+      """SELECT event_id, user_id,
+        |  lag(event_id) OVER w AS prev_event,
+        |  lead(event_id) OVER w AS next_event,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        lag(col("event_id"), 1).over(w).as("prev_event"),
+        lead(col("event_id"), 1).over(w).as("next_event"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"))
+        .orderBy("event_id")
+    },
+
     // ---- Sort / limit: global top-k. Spark plans TakeOrderedAndProject
     // (per-partition top-k + merge) — no full sort at scale.
     "rel_sort_limit" -> QueryDef.sql(
