@@ -101,6 +101,37 @@ object DedupQueries {
       |            JOIN hs b ON cand.b_id = b.doc_id)
       |  WHERE jaccard >= 0.5)""".stripMargin
 
+  /** Connected-component labels (id, label = component min doc_id) over
+    * the verified near-dup edge set, via deterministic min-label
+    * propagation to fixpoint (shared by the cluster and corpus queries).
+    */
+  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val edges = minhashVerifiedPairs(s, dir)
+      .select(col("a_id"), col("b_id")).cache()
+    val bi = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = bi.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).cache()
+    // min-labels decrease monotonically, so the label-sum is a strictly
+    // decreasing exact fixpoint witness — one action per iteration
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val msgs = bi.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .cache()
+      val after = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = after == prevSum
+      prevSum = after
+    }
+    labels
+  }
+
   /** vec_id, label, an (unit-normalized array<double>). */
   private[queries] def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -188,29 +219,7 @@ object DedupQueries {
         |FROM (SELECT s AS doc_id, min(t) AS component_id
         |      FROM reach GROUP BY s)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val edges = minhashVerifiedPairs(s, dir)
-        .select(col("a_id"), col("b_id")).cache()
-      val bi = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-        .cache()
-      var labels = bi.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")).cache()
-      // min-labels decrease monotonically, so the label-sum is a strictly
-      // decreasing exact fixpoint witness — one action per iteration
-      var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
-      var converged = false
-      while (!converged) {
-        val msgs = bi.join(labels, col("src") === col("id"))
-          .select(col("dst").as("id"), col("label"))
-        val next = labels.unionByName(msgs)
-          .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .cache()
-        val after = next.agg(sum(col("label"))).head.getLong(0)
-        labels.unpersist()
-        labels = next
-        converged = after == prevSum
-        prevSum = after
-      }
+      val labels = dupClusterLabels(s, dir)
       val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
       labels
         .join(sizes, "label")
@@ -264,6 +273,36 @@ object DedupQueries {
           bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy("a_id", "b_id")
+    },
+
+    // ---- The end product of the dedup pipeline: the cleaned corpus —
+    // every document except non-representative members of near-dup
+    // clusters (cluster representative = min doc_id). This is the query
+    // a training-data user actually runs; everything above is its
+    // machinery.
+    "td_dedup_corpus" -> QueryDef.sql(
+      "deduplicated corpus: drop non-representative near-dup docs")(
+      s"""${VerifiedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |bi AS (SELECT a_id AS s, b_id AS t FROM verified
+        |       UNION ALL SELECT b_id, a_id FROM verified),
+        |reach(s, t) AS (
+        |  SELECT DISTINCT s, s FROM bi
+        |  UNION
+        |  SELECT r.s, b.t FROM reach r JOIN bi b ON r.t = b.s),
+        |comp AS (SELECT s AS doc_id, min(t) AS component_id
+        |         FROM reach GROUP BY s),
+        |drop_ids AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val dropIds = dupClusterLabels(s, dir)
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      t(s, dir, "documents")
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     },
 
     // ---- Mergeable group sketch: element-wise min of per-doc MinHash
