@@ -509,6 +509,25 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    // ---- Scalar subquery (uncorrelated) through the SQL front door:
+    // the registry query itself runs as spark.sql over temp views,
+    // deviation-from-global-mean in exact integer cents.
+    "rel_scalar_subquery" -> QueryDef.sql(
+      "deviation from global mean via scalar subquery (SQL front door)")(
+      """SELECT o_orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) -
+        |         (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |            // count(*) FROM orders) AS diff_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o_orderkey,
+          |       CAST(round(o_totalprice * 100) AS BIGINT) -
+          |         (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |            div count(*) FROM orders_v) AS diff_cents
+          |FROM orders_v ORDER BY o_orderkey""".stripMargin)
+    },
+
     // ---- Rollup (grouping sets family).
     "rel_rollup" -> QueryDef.sql(
       "rollup aggregation with subtotal rows")(

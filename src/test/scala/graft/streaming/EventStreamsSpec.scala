@@ -122,6 +122,34 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(rows(3L).isEmpty) // unmatched user → null tier
   }
 
+  test("stream-stream interval join: purchases within 30min of a click") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val c = clicks.toDF().selectExpr("user_id AS c_user", "ts AS c_ts")
+      .withWatermark("c_ts", "1 hour")
+    val b = buys.toDF().selectExpr("user_id AS b_user", "ts AS b_ts",
+        "value AS amount")
+      .withWatermark("b_ts", "1 hour")
+    val joined = c.join(b,
+      org.apache.spark.sql.functions.expr(
+        """c_user = b_user AND
+           b_ts >= c_ts AND b_ts <= c_ts + INTERVAL 30 MINUTES"""))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Event(1L, ts("2024-01-01 10:00:00"), "click", 0.0))
+      buys.addData(
+        Event(1L, ts("2024-01-01 10:10:00"), "purchase", 9.5), // in window
+        Event(1L, ts("2024-01-01 11:30:00"), "purchase", 3.0), // too late
+        Event(2L, ts("2024-01-01 10:05:00"), "purchase", 1.0)) // other user
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ss_join").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("amount") == 9.5)
+  }
+
   test("sessionize emits gap-separated sessions as the watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
