@@ -34,4 +34,20 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
     // ids 0..999 mod 17 hit all 17 buckets in every group of ~333 ids
     assert(rows.forall(_.getInt(1) == 17))
   }
+
+  test("fused ShingleHash60 kernel == composable Column formulation on real data") {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+    val both = docs.select(
+      col("doc_id"),
+      array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("fused"),
+      array_distinct(transform(shingles(col("ws"), 3),
+        x => hash60modP(x))).as("composed"))
+    val mismatches = both
+      .filter(not(col("fused") === col("composed"))).count()
+    assert(mismatches == 0)
+    assert(both.count() > 0)
+  }
 }
