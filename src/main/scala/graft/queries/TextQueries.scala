@@ -184,6 +184,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Corpus statistics report: per (source, lang) aggregate of the
+    // per-document token metrics. All ratios are computed AFTER exact
+    // integer sums (a direct avg() over doubles would depend on
+    // accumulation order and break cross-engine parity).
+    "td_corpus_stats" -> QueryDef.sql(
+      "per-source/lang corpus report from exact integer sums")(
+      """WITH m AS (SELECT source, lang,
+        |             len(string_split(text, ' ')) AS n_tok,
+        |             len(list_distinct(string_split(text, ' '))) AS n_dis,
+        |             length(text) AS n_chr
+        |           FROM documents)
+        |SELECT source, lang, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |       CAST(sum(n_chr) AS BIGINT) AS total_chars,
+        |       CAST(sum(n_tok) AS DOUBLE) / count(*) AS avg_tokens,
+        |       CAST(sum(n_dis) AS DOUBLE) / sum(n_tok) AS distinct_ratio
+        |FROM m GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), size(ws).as("n_tok"),
+          size(array_distinct(ws)).as("n_dis"),
+          length(col("text")).as("n_chr"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chr")).as("total_chars"),
+          sum(col("n_tok")).cast("double").as("sum_tok_d"),
+          sum(col("n_dis")).cast("double").as("sum_dis_d"))
+        .select(col("source"), col("lang"), col("n_docs"),
+          col("total_tokens"), col("total_chars"),
+          (col("sum_tok_d") / col("n_docs")).as("avg_tokens"),
+          (col("sum_dis_d") / col("total_tokens")).as("distinct_ratio"))
+        .orderBy("source", "lang")
+    },
+
     // ---- Document fingerprinting: a 31-ary rolling hash over characters
     // (mod P, exact integer math) plus the cross-engine md5-prefix hash.
     "td_fingerprint" -> QueryDef.sql(

@@ -173,4 +173,29 @@ class PrepareCallsSpec extends AnyFunSuite with SparkTestSession {
     // so just anchor the first data row's key columns
     assert(lines.get(1).startsWith("111,2020-04-06,Completed,"))
   }
+
+  test("ragged CSV rows: missing trailing fields read as nulls (PERMISSIVE)") {
+    val dir = Files.createTempDirectory("ragged-")
+    // header + one complete row + one row with only the first 5 fields
+    val header = CallsFixture.toCsv(Seq(CallsHeaderMap.fields.map(_.original)))
+    val full = CallsFixture.toCsv(Seq(
+      CallsHeaderMap.canonicalOrder.map(c =>
+        Map("nhs_number" -> "1", "latest_attempt_date" -> "01/04/2020",
+          "was_contact_made" -> "Yes").getOrElse(c, ""))))
+    val ragged = "2,x,02/04/2020,09:00,Yes\n"
+    val p = dir.resolve("calls.csv")
+    java.nio.file.Files.write(p, (header + full + ragged)
+      .getBytes(java.nio.charset.Charset.forName("windows-1252")))
+    val out = PrepareCalls(PrepareCalls.fromCsv(spark, p.toString),
+      PrepareCalls.Users(1L, 2L, 3L, 4L))
+    val base = out.base.orderBy("_idx").collect()
+    assert(base.length == 2) // both rows have attempt dates → both kept
+    // the ragged row's absent columns are null → falsy to every predicate
+    assert(sortedRows(out.remainingNeeds).isEmpty)
+    val triage = sortedRows(out.originalTriageNeeds)
+    assert(triage.map(_.getString(0)) == Seq("1", "2"))
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+    df.orderBy("_ord").drop("_ord").collect().toSeq
 }
