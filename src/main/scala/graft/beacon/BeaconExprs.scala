@@ -47,6 +47,36 @@ object BeaconExprs {
   def serializeRow(keys: Seq[String]): Column =
     to_json(struct(keys.map(k => coalesce(col(k), lit("")).as(k)): _*))
 
+  /** C1 byte-fidelity variant: serialize exactly like Python's
+    * json.dumps — `", "` / `": "` separators, non-ASCII escaped as
+    * \\uXXXX — for byte-identical goldens against petl output
+    * (SURVEY.md §7.3.3). Opt-in; the pipelines default to the
+    * Catalyst-native [[serializeRow]] (compact separators, same parsed
+    * value). Implemented as a tiny UDF because separator control is not
+    * expressible with to_json.
+    */
+  def serializeRowPetlStyle(keys: Seq[String]): Column = {
+    val serialize = udf { values: Seq[String] =>
+      def esc(s: String): String = {
+        val b = new StringBuilder
+        s.foreach {
+          case '"' => b.append("\\\"")
+          case '\\' => b.append("\\\\")
+          case '\n' => b.append("\\n")
+          case '\r' => b.append("\\r")
+          case '\t' => b.append("\\t")
+          case c if c < ' ' || c > '~' => b.append(f"\\u${c.toInt}%04x")
+          case c => b.append(c)
+        }
+        b.toString
+      }
+      keys.zip(values).map { case (k, v) =>
+        "\"" + esc(k) + "\": \"" + esc(Option(v).getOrElse("")) + "\""
+      }.mkString("{", ", ", "}")
+    }
+    serialize(array(keys.map(k => coalesce(col(k), lit(""))): _*))
+  }
+
   /** C4 compose_body (prepare_calls.py:193-201): one "label: value" line
     * per labeled field with a non-blank value, in header-map order,
     * joined with \n after the prefix lines. `prefixes` entries may be

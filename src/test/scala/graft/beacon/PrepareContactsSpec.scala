@@ -57,4 +57,15 @@ class PrepareContactsSpec extends AnyFunSuite with SparkTestSession {
     assert(json.contains("\"DOB\":\"31/01/1980\"")) // raw, pre-parse value
     assert(json.contains("\"Address3\":\"\"")) // empty cells kept as ""
   }
+
+  test("petl-style JSON serializer is byte-identical to Python json.dumps") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("111", "caf\u00e9", "a\"b")).toDF("NHSNumber", "Name", "Note")
+    val got = df.select(graft.beacon.BeaconExprs
+        .serializeRowPetlStyle(Seq("NHSNumber", "Name", "Note")).as("j"))
+      .collect().head.getString(0)
+    // reference output from python3 json.dumps over the same dict
+    assert(got == "{\"NHSNumber\": \"111\", \"Name\": \"caf\\u00e9\", \"Note\": \"a\\\"b\"}")
+  }
 }
