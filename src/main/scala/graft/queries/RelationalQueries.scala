@@ -66,7 +66,8 @@ object RelationalQueries {
     "rel_agg_group" -> QueryDef.sql(
       "groupBy aggregate: sum/count with map-side partial aggregation")(
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_price_cents,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
@@ -84,7 +85,8 @@ object RelationalQueries {
       "orders⋈customer⋈nation⋈region with broadcast dims, then aggregate")(
       """SELECT r_name AS region, n_name AS nation,
         |       count(*) AS n_orders,
-        |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -110,7 +112,8 @@ object RelationalQueries {
     "rel_join_big" -> QueryDef.sql(
       "lineitem ⋈ orders fact-fact equi-join + aggregate")(
       """SELECT o_orderpriority, count(*) AS n_lines,
-        |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
@@ -131,7 +134,8 @@ object RelationalQueries {
     "rel_skew_salted_agg" -> QueryDef.sql(
       "two-phase salted aggregation over a skewed key")(
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .withColumn("_salt", pmod(col("event_id"), lit(8)))
@@ -233,9 +237,10 @@ object RelationalQueries {
       "row_number + running sum over a partitioned ordered window")(
       """SELECT event_id, user_id,
         |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-        |       sum(CAST(round(value * 100) AS BIGINT)) OVER
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
         |         (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS run_cents
         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events").select(
@@ -280,7 +285,8 @@ object RelationalQueries {
       "tumbling 1-day event-time window aggregate")(
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
         |         AS day, event_type, count(*) AS n,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, dir) =>
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
@@ -406,8 +412,10 @@ object RelationalQueries {
     "rel_pivot" -> QueryDef.sql(
       "pivot on l_linestatus with explicit values")(
       """SELECT l_returnflag,
-        |  sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END) AS qty_f,
-        |  sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END) AS qty_o
+        |  CAST(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_f,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -441,7 +449,8 @@ object RelationalQueries {
         |       coalesce(bal_cents, 0) AS bal_cents
         |FROM nation LEFT JOIN (
         |  SELECT c_nationkey, count(*) AS cnt,
-        |         sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents
+        |         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |           AS bal_cents
         |  FROM customer GROUP BY c_nationkey
         |) ON n_nationkey = c_nationkey ORDER BY nationkey""".stripMargin) { (s, dir) =>
       val cnts = t(s, dir, "customer").groupBy(col("c_nationkey"))
@@ -498,7 +507,8 @@ object RelationalQueries {
     "rel_from_json" -> QueryDef.sql(
       "from_json schema-on-read + typed field aggregation")(
       """SELECT event_type,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS sum_k,
         |       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       val parsed = t(s, dir, "events")
@@ -514,16 +524,21 @@ object RelationalQueries {
     // deviation-from-global-mean in exact integer cents.
     "rel_scalar_subquery" -> QueryDef.sql(
       "deviation from global mean via scalar subquery (SQL front door)")(
+      // Oracle `//` is DuckDB's integer division; Spark spells the same
+      // operator `div` (below). The two texts differ ONLY in that token —
+      // both are exact BIGINT floor division on non-negative operands.
       """SELECT o_orderkey,
         |       CAST(round(o_totalprice * 100) AS BIGINT) -
-        |         (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |         (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |                   AS BIGINT)
         |            // count(*) FROM orders) AS diff_cents
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       Tables.load(s, dir, "orders").createOrReplaceTempView("orders_v")
       s.sql(
         """SELECT o_orderkey,
           |       CAST(round(o_totalprice * 100) AS BIGINT) -
-          |         (SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |         (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          |                   AS BIGINT)
           |            div count(*) FROM orders_v) AS diff_cents
           |FROM orders_v ORDER BY o_orderkey""".stripMargin)
     },
@@ -553,7 +568,7 @@ object RelationalQueries {
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
         |       count(*) AS n,
-        |       sum(CAST(l_quantity AS BIGINT)) AS qty
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem")
@@ -596,7 +611,8 @@ object RelationalQueries {
     "rel_json_extract" -> QueryDef.sql(
       "get_json_object extraction + aggregate")(
       """SELECT event_type, count(*) AS n,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |         AS BIGINT) AS sum_k,
         |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
@@ -670,8 +686,9 @@ object RelationalQueries {
         |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
         |  replace(c_name, '#', '-') AS repl,
         |  length(c_name) AS len,
-        |  abs(c_acctbal) AS ab, floor(c_acctbal) AS fl,
-        |  ceil(c_acctbal) AS ce, sign(c_acctbal) AS sg,
+        |  abs(c_acctbal) AS ab, CAST(floor(c_acctbal) AS BIGINT) AS fl,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS ce,
+        |  CAST(sign(c_acctbal) AS DOUBLE) AS sg,
         |  CAST(c_custkey % 7 AS BIGINT) AS md,
         |  greatest(c_acctbal, CAST(0 AS DOUBLE)) AS gr,
         |  concat(c_mktsegment, '|', c_name) AS cc

@@ -9,14 +9,75 @@ tables, and compares: column names (sorted), row counts, and values after
 sorting rows. Exit code 1 if any query mismatches.
 """
 import json
+import re
 import sys
 from pathlib import Path
 
 import duckdb
 import pandas as pd
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# --- TYPE-STRICT gate (round-1 lesson: the driver hashes TYPED output).
+# DuckDB widens sum(BIGINT)->HUGEINT, floor/ceil(DOUBLE)->DOUBLE-but-
+# decimal-for-literals, sign->TINYINT; with check_dtype=False those
+# sailed through locally while the driver failed them. Map both engines'
+# types to one canonical vocabulary and require exact equality; anything
+# unmapped (HUGEINT, DECIMAL, ...) keeps its own name and thus never
+# equals a Spark type.
+
+# Integer WIDTHS are equivalent (the driver hashes values, so int32
+# rank == BIGINT rank — r1 evidence: rel_window_funcs passed with int32
+# vs BIGINT) — but int-vs-float/decimal/hugeint is a hash difference.
+_DUCK_CANON = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+    "BIGINT": "int", "UTINYINT": "int", "USMALLINT": "int",
+    "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float32", "DOUBLE": "float64",
+    "VARCHAR": "string", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "timestamp", "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "TIMESTAMP_NS": "timestamp", "BLOB": "binary",
+}
+
+
+def duck_canon(t: str) -> str:
+    t = str(t).strip()
+    m = re.fullmatch(r"(.+)\[\]", t)
+    if m:
+        return f"list<{duck_canon(m.group(1))}>"
+    return _DUCK_CANON.get(t.upper(), t.upper())
+
+
+def arrow_canon(t) -> str:
+    import pyarrow as pa
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_canon(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    # pyarrow spells float32/float64 as "float"/"double"
+    return {"float": "float32", "double": "float64"}.get(str(t), str(t))
+
+
+def spark_types(parquet_dir: Path) -> dict:
+    schema = pq.read_schema(next(parquet_dir.glob("*.parquet")))
+    return {f.name: arrow_canon(f.type) for f in schema}
+
+
+def oracle_types(con, sql: str) -> dict:
+    rel = con.sql(sql)
+    return dict(zip(rel.columns, (duck_canon(t) for t in rel.types)))
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -71,12 +132,21 @@ def main():
             results[name] = f"ORACLE-FAIL {str(e)[:200]}"
             continue
         a, b = normalize(spark_df), normalize(duck_df)
+        st, ot = spark_types(d), oracle_types(con, oracles[name])
+        type_diffs = {c: (st.get(c), ot.get(c))
+                      for c in sorted(set(st) | set(ot))
+                      if st.get(c) != ot.get(c)}
         if list(a.columns) != list(b.columns):
             results[name] = f"SCHEMA-MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
+        elif type_diffs:
+            results[name] = f"TYPE-MISMATCH {type_diffs}"
         elif len(a) != len(b):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(a)} duck={len(b)}"
         else:
             try:
+                # dtype equality is enforced above on the engine-level
+                # types; the pandas frames legitimately differ (DuckDB
+                # HUGEINT->float64 etc. never reaches here).
                 pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                               check_exact=True)
                 results[name] = f"OK rows={len(a)}"
