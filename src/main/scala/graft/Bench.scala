@@ -28,15 +28,39 @@ object Bench {
         df.select(org.apache.spark.sql.functions.max(
           org.apache.spark.sql.functions.col(df.columns.last))).collect()
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // cold = first run (plan + codegen + execute, what a one-shot job
+    // pays); warm = immediate second run (steady-state, what a resident
+    // cluster pays — where round-over-round regressions actually show,
+    // instead of being buried in compile noise). A throwing query
+    // reports time -1 and its error, never a fake elapsed time.
+    def timed(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = timed(fn)
+      val warm = if (cold.isRight) timed(fn) else cold
+      (name, cold, warm)
+    }
+    def jStr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    def secs(sel: ((String, Either[String, Double], Either[String, Double])) =>
+        Either[String, Double]) =
+      results.map(r => jStr(r._1) + ":" + sel(r).fold(_ => "-1", _.toString))
+        .mkString("{", ",", "}")
+    val qs = secs(_._2)
+    val warmQs = secs(_._3)
+    val errs = results.collect { case (n, Left(e), _) => jStr(n) + ":" + jStr(e) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2.getOrElse(0.0)).sum
+    val warmTotal = results.map(_._3.getOrElse(0.0)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_total":$warmTotal,"warm":$warmQs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

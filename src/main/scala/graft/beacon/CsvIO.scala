@@ -21,23 +21,35 @@ import scala.jdk.CollectionConverters._
 object CsvIO {
 
   def writeCsv(df: DataFrame, outPath: String): Unit = {
-    val tmpDir = Files.createTempDirectory("graft-csv-").toString + "/out"
-    val engineCols = df.columns.filter(_.startsWith("_"))
-    df.coalesce(1)
-      .sortWithinPartitions(col("_ord"))
-      .drop(engineCols: _*)
-      .write
-      .option("header", true)
-      .option("emptyValue", "")
-      .option("nullValue", "")
-      .mode("overwrite")
-      .csv(tmpDir)
-    val part = Files.list(Paths.get(tmpDir)).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
-    val target = Paths.get(outPath)
-    if (target.getParent != null) Files.createDirectories(target.getParent)
-    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    val tmpRoot = Files.createTempDirectory("graft-csv-")
+    try {
+      val tmpDir = tmpRoot.toString + "/out"
+      val engineCols = df.columns.filter(_.startsWith("_"))
+      df.coalesce(1)
+        .sortWithinPartitions(col("_ord"))
+        .drop(engineCols: _*)
+        .write
+        .option("header", true)
+        .option("emptyValue", "")
+        .option("nullValue", "")
+        .mode("overwrite")
+        .csv(tmpDir)
+      val listing = Files.list(Paths.get(tmpDir))
+      val part =
+        try listing.iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+        finally listing.close()
+      val target = Paths.get(outPath)
+      if (target.getParent != null) Files.createDirectories(target.getParent)
+      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      // drop the _SUCCESS/.crc droppings along with the temp root
+      val walk = Files.walk(tmpRoot)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   /** Write to stdout (the prepare-contacts sink, prepare_contacts.py:44). */

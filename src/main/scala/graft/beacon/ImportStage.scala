@@ -28,17 +28,15 @@ object ImportStage {
 
   /** J4 (sql/import_original_triage_needs_and_notes.sql): insert triage
     * needs with generated surrogate ids, then back-fill notes through the
-    * fresh need ids — the Postgres `RETURNING` dance replaced by a
-    * deterministic row_number over the staging order + offset
+    * fresh need ids — the Postgres `RETURNING` dance replaced by
+    * deterministic sequential ids in staging (`_ord`) order
     * (SURVEY.md §7.3.6).
     *
     * @param nextNeedId first id to assign (e.g. 1 + max(needs.id))
     * @return (insertedNeeds with id+contact_id, insertedNotes with need_id)
     *
-    * Scale note: the id-assigning window is global (one task) — correct
-    * for the import stage's spreadsheet-scale staging data. A 100 TB id
-    * backfill would use zipWithIndex-style per-partition offsets or
-    * allocate ranges from the target sequence (SURVEY.md §7.3.6).
+    * Id assignment is [[graft.operators.SequentialIds]] — per-partition
+    * offsets over a range exchange, never a single-task global window.
     */
   def importOriginalTriageNeedsAndNotes(
       contacts: DataFrame,
@@ -48,10 +46,9 @@ object ImportStage {
     val contactsMap = contacts
       .select(col("id").as("contact_id"), col("nhs_number"))
 
-    val w = Window.orderBy(col("_ord"))
-    val insertedNeeds = tmpNeeds
-      .join(broadcast(contactsMap), Seq("nhs_number"), "inner")
-      .withColumn("id", row_number().over(w) + lit(nextNeedId - 1))
+    val insertedNeeds = graft.operators.SequentialIds.assign(
+        tmpNeeds.join(broadcast(contactsMap), Seq("nhs_number"), "inner"),
+        orderCol = "_ord", idCol = "id", first = nextNeedId)
       .select(col("id"), col("contact_id"), col("category"), col("name"),
         col("created_at"), col("updated_at"), col("completed_on"),
         col("_ord"))

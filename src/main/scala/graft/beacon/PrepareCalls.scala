@@ -259,12 +259,16 @@ object PrepareCalls {
         x => concat(initcap(x.getField("category")), lit(" (Assigned to "),
           x.getField("user_id"), lit(")"))), "\n").as("remaining_needs"))
 
+    // No broadcast() hints: the five build sides are per-nhs_number
+    // rollups of the SAME input table — O(n), not dimension tables. A
+    // forced broadcast would OOM at scale; AQE broadcasts them anyway
+    // while they are actually small (pinned by PrepareCallsSpec).
     sp.withColumn("call_log", composeBody(Nil))
-      .join(broadcast(triageStatus), Seq("nhs_number"), "left")
-      .join(broadcast(noteCats), Seq("nhs_number"), "left")
-      .join(broadcast(foodNeed), Seq("nhs_number"), "left")
-      .join(broadcast(callbackNeed), Seq("nhs_number"), "left")
-      .join(broadcast(remaining), Seq("nhs_number"), "left")
+      .join(triageStatus, Seq("nhs_number"), "left")
+      .join(noteCats, Seq("nhs_number"), "left")
+      .join(foodNeed, Seq("nhs_number"), "left")
+      .join(callbackNeed, Seq("nhs_number"), "left")
+      .join(remaining, Seq("nhs_number"), "left")
       .select(Seq("nhs_number", "latest_attempt_date",
         "original_triage_status", "original_triage_call_notes", "food_need",
         "callback_need", "remaining_needs", "call_log").map(col) :+

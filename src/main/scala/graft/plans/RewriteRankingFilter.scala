@@ -51,7 +51,10 @@ object RewriteRankingFilterToTopK extends Rule[LogicalPlan] {
         Filter(cond, w @ Window(Seq(alias @ Alias(
           WindowExpression(RowNumber(), WindowSpecDefinition(ps, os, _)),
           _)), _, _, child, _)))
-      if os.nonEmpty &&
+      // ps.nonEmpty: an empty PARTITION BY (global top-k) must keep
+      // Spark's window/WindowGroupLimit plan — ClusteredDistribution
+      // over zero clustering expressions is invalid.
+      if ps.nonEmpty && os.nonEmpty &&
         limitFromCond(cond, alias.toAttribute).isDefined &&
         !projectList.exists(_.references.contains(alias.toAttribute)) =>
       val k = limitFromCond(cond, alias.toAttribute).get

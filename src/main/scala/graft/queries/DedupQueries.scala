@@ -102,35 +102,14 @@ object DedupQueries {
       |  WHERE jaccard >= 0.5)""".stripMargin
 
   /** Connected-component labels (id, label = component min doc_id) over
-    * the verified near-dup edge set, via deterministic min-label
-    * propagation to fixpoint (shared by the cluster and corpus queries).
+    * the verified near-dup edge set (shared by the cluster and corpus
+    * queries) — large-star/small-star contraction
+    * ([[graft.operators.ConnectedComponents]]): O(log diameter) rounds,
+    * flat lineage via per-round localCheckpoint, one action per round.
     */
-  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val edges = minhashVerifiedPairs(s, dir)
-      .select(col("a_id"), col("b_id")).cache()
-    val bi = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
-    var labels = bi.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).cache()
-    // min-labels decrease monotonically, so the label-sum is a strictly
-    // decreasing exact fixpoint witness — one action per iteration
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
-    var converged = false
-    while (!converged) {
-      val msgs = bi.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .cache()
-      val after = next.agg(sum(col("label"))).head.getLong(0)
-      labels.unpersist()
-      labels = next
-      converged = after == prevSum
-      prevSum = after
-    }
-    labels
-  }
+  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ConnectedComponents.labels(
+      minhashVerifiedPairs(s, dir), srcCol = "a_id", dstCol = "b_id")
 
   /** vec_id, label, an (unit-normalized array<double>). */
   private[queries] def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame =
@@ -199,12 +178,11 @@ object DedupQueries {
 
     // ---- Duplicate-cluster resolution: connected components over the
     // verified near-dup pairs (keep one representative per cluster — the
-    // final step of a production dedup pipeline). Deterministic min-label
-    // propagation to fixpoint: labels only decrease, so the total-sum
-    // convergence test is exact. Iterations = graph diameter (dup
-    // clusters are tiny); the 100 TB path swaps the loop body for
-    // large-star/small-star, same fixpoint. Oracle: recursive-CTE
-    // transitive closure with min-reachable component ids.
+    // final step of a production dedup pipeline). Alternating
+    // large-star/small-star contraction (O(log diameter) rounds,
+    // checkpointed lineage — see graft.operators.ConnectedComponents);
+    // min-label propagation kept as the in-repo cross-check. Oracle:
+    // recursive-CTE transitive closure with min-reachable component ids.
     "td_dedup_clusters" -> QueryDef.sql(
       "connected components over near-dup pairs (cluster representative)")(
       s"""${VerifiedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},

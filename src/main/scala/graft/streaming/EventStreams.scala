@@ -81,8 +81,14 @@ object EventStreams {
               val cents = math.round(e.value * 100)
               current match {
                 case Some(s) if t - s.lastUs <= gapUs =>
-                  current = Some(SessionState(s.startUs, math.max(s.lastUs, t),
-                    s.n + 1, s.cents + cents))
+                  // min() on start: a late-but-within-watermark event from
+                  // an earlier micro-batch must extend the session backwards
+                  // too, or streaming output diverges from batch
+                  // sessionization (rel_sessionize). Gap checks ACROSS
+                  // batches remain approximate for out-of-order arrivals:
+                  // the events of an already-started state are not re-split.
+                  current = Some(SessionState(math.min(s.startUs, t),
+                    math.max(s.lastUs, t), s.n + 1, s.cents + cents))
                 case Some(s) =>
                   closed += emit(s)
                   current = Some(SessionState(t, t, 1, cents))

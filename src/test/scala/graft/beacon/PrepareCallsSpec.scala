@@ -164,6 +164,18 @@ class PrepareCallsSpec extends AnyFunSuite with SparkTestSession {
       "Contact successful: Yes\nOutcome: Food referral\n"))
   }
 
+  test("qa joins are broadcast at fixture scale without forced hints (AQE)") {
+    // The five qa build sides are O(n) rollups of the input table, so the
+    // code no longer pins broadcast(); this asserts the perf property —
+    // AQE still picks broadcast while the sides are actually small —
+    // without hard-coding the strategy for scales where it would be wrong.
+    val df = outputs.qualityAssurance
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("CSV sink writes ordered single file with empty cells for null (S4)") {
     val dir = Files.createTempDirectory("beacon-out-")
     CsvIO.writeCsv(outputs.qualityAssurance, s"$dir/quality_assurance.csv")

@@ -35,6 +35,19 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.forall(_.getInt(1) == 17))
   }
 
+  test("wrong-typed sketch-aggregate inputs fail at analysis, not runtime") {
+    spark.range(0, 10).selectExpr("CAST(id AS INT) AS iv",
+      "array(CAST(id AS INT)) AS av").createOrReplaceTempView("typed_t")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_bitmap_distinct(iv, 64) FROM typed_t")
+    }
+    assert(e1.getMessage.contains("bigint"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_union(av, 4) FROM typed_t")
+    }
+    assert(e2.getMessage.contains("array<bigint>"), e2.getMessage)
+  }
+
   test("fused ShingleHash60 kernel == composable Column formulation on real data") {
     import graft.functions.GraftFunctions._
     import org.apache.spark.sql.functions._

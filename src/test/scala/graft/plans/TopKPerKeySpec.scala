@@ -74,6 +74,19 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
     assert(a == b && a.nonEmpty)
   }
 
+  test("empty PARTITION BY (global top-k) does not rewrite and still runs") {
+    val w = Window.orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    val global = Tables.load(spark, sfDir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select("l_returnflag", "l_orderkey", "l_linenumber")
+    val plan = global.queryExecution.executedPlan.toString
+    assert(!plan.contains("TopKPerKey"), plan)
+    // must plan and execute (round-1 regression: ClusteredDistribution(Nil))
+    assert(global.collect().length == 10)
+  }
+
   test("spark.graft.topk.rewrite=false keeps the sort-based window plan") {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc)
