@@ -363,6 +363,44 @@ object DedupQueries {
           dot(col("a_an"), col("b_an")).as("cosine"))
         .filter(col("cosine") >= 0.4)
         .orderBy("a_id", "b_id")
+    },
+
+    // ---- Benchmark-contamination check: flag corpus documents sharing
+    // any word 8-gram with a held-out "benchmark" set (here: source
+    // src0). The scan is an equi-join on the 60-bit shingle hash — the
+    // benchmark's distinct-hash side is small relative to the corpus, so
+    // AQE broadcasts it; never an n×m text comparison. This is the
+    // decontamination primitive (8-gram overlap à la GPT-3/PaLM data
+    // cards) every training pipeline runs before eval.
+    "td_contamination" -> QueryDef.sql(
+      "docs sharing >=1 word-8-gram with the benchmark source (src0)")(
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |hs AS (SELECT doc_id, source,
+        |         list_distinct(list_transform(range(len(ws)-7),
+        |           i -> CAST(('0x'||substr(md5(ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||
+        |                  ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7]||' '||ws[i+8]),1,15))
+        |                  AS BIGINT))) AS hs
+        |       FROM w WHERE len(ws) >= 8),
+        |b AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE source = 'src0'),
+        |c AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE source <> 'src0')
+        |SELECT c.doc_id, count(*) AS n_shared_ngrams
+        |FROM c JOIN b USING (h)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), ws.as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), col("source"),
+          array_distinct(shingleHash60(col("ws"), 8, modP = false)).as("hs"))
+      val bench = sh.filter(col("source") === "src0")
+        .select(explode(col("hs")).as("h")).distinct()
+      val corpus = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(col("hs")).as("h"))
+      corpus.join(bench, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_ngrams"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -219,6 +219,64 @@ object TextQueries {
         .orderBy("source", "lang")
     },
 
+    // ---- Repetition detection (the Gopher-style repeated-n-gram
+    // filter): fraction of a document's word 3-grams that are repeats.
+    // Narrow per-row map over the same shingle hashes the dedup layer
+    // uses; the ratio is IEEE-exact cross-engine (same BIGINT counts,
+    // same double division).
+    "td_repetition" -> QueryDef.sql(
+      "repeated word-3-gram ratio per document (repetition filter)")(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |hs AS (SELECT doc_id, list_transform(range(len(ws)-2),
+        |         i -> CAST(('0x'||substr(md5(ws[i+1]||' '||ws[i+2]||' '||ws[i+3]),1,15))
+        |                AS BIGINT) % 1000000007) AS hs
+        |       FROM w WHERE len(ws) >= 3),
+        |c AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_ngrams,
+        |        CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct FROM hs)
+        |SELECT doc_id, n_ngrams, n_distinct,
+        |       1.0 - n_distinct / n_ngrams AS rep_ratio,
+        |       (1.0 - n_distinct / n_ngrams) > 0.5 AS is_repetitive
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          shingleHash60(col("ws"), 3, modP = true).as("hs"))
+        .select(col("doc_id"),
+          size(col("hs")).cast("long").as("n_ngrams"),
+          size(array_distinct(col("hs"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - col("n_distinct").cast("double") /
+            col("n_ngrams").cast("double"))
+        .withColumn("is_repetitive", col("rep_ratio") > 0.5)
+        .orderBy("doc_id")
+    },
+
+    // ---- Deterministic dataset split: hash-bucket every document into
+    // train/val/test (90/5/5) on the cross-engine md5-prefix of its id.
+    // Content- and order-independent, so the split is stable under
+    // re-partitioning, re-ingestion, and incremental appends — the
+    // property a training pipeline needs from a split. Pure narrow map.
+    "td_split_assign" -> QueryDef.sql(
+      "stable hash-based train/val/test split (90/5/5)")(
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |          % 100 AS bucket
+        |      FROM documents) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (hash60(col("doc_id").cast("string")) % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    },
+
     // ---- Document fingerprinting: a 31-ary rolling hash over characters
     // (mod P, exact integer math) plus the cross-engine md5-prefix hash.
     "td_fingerprint" -> QueryDef.sql(
