@@ -77,4 +77,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     val p = plan("td_embed_neardup")
     assert(p.contains("graft_dot"), p)
   }
+
+  test("td_contamination is a hash equi-join on the shingle hash") {
+    val p = plan("td_contamination")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // benchmark side broadcasts
+  }
+
+  test("narrow curation maps add no extra shuffles") {
+    for (name <- Seq("td_repetition", "td_split_assign")) {
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2, s"$name has $exchanges exchanges:\n$p")
+    }
+  }
 }

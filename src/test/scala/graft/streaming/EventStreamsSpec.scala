@@ -185,4 +185,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     val u8 = sessions.filter(_.user_id == 8L)
     assert(u8.length == 1 && u8(0).value_cents == 25L)
   }
+
+  test("late-but-within-watermark event extends the session start backwards") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,
+        watermark = "2 hours")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(11L, ts("2024-01-01 01:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // arrives a micro-batch later with an EARLIER timestamp (within
+      // the 2h watermark): must merge AND lower the session start —
+      // parity with batch sessionization (rel_sessionize)
+      input.addData(Event(11L, ts("2024-01-01 00:50:00"), "view", 2.0))
+      q.processAllAvailable()
+      // advance the watermark past the session timeout, then trip it
+      input.addData(Event(12L, ts("2024-01-02 00:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(13L, ts("2024-01-03 00:00:00"), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u11 = spark.table("late_sessions").as[Session]
+      .collect().filter(_.user_id == 11L)
+    assert(u11.length == 1)
+    assert(u11(0).n_events == 2 && u11(0).value_cents == 300L)
+    assert(u11(0).session_start == ts("2024-01-01 00:50:00"))
+    assert(u11(0).session_end == ts("2024-01-01 01:00:00"))
+  }
 }
