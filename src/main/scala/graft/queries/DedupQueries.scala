@@ -401,6 +401,69 @@ object DedupQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_ngrams"))
         .orderBy("doc_id")
+    },
+
+    // ---- The curation capstone: the corpus a training run actually
+    // reads. Composes the layer end-to-end — drop docs that are too
+    // short (<3 words) or repetitive (repeated-3-gram ratio > 0.5),
+    // drop non-representative members of near-dup clusters, then stamp
+    // the stable hash split. Each stage is a semi/anti equi-join against
+    // a filter relation, so the composition is exactly as scalable as
+    // its parts (no new join shapes, no new shuffles beyond them).
+    "td_curated_corpus" -> QueryDef.sql(
+      "end-to-end curated corpus: quality + repetition + dedup + split")(
+      s"""${VerifiedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |bi AS (SELECT a_id AS s, b_id AS t FROM verified
+        |       UNION ALL SELECT b_id, a_id FROM verified),
+        |reach(s, t) AS (
+        |  SELECT DISTINCT s, s FROM bi
+        |  UNION
+        |  SELECT r.s, b.t FROM reach r JOIN bi b ON r.t = b.s),
+        |comp AS (SELECT s AS doc_id, min(t) AS component_id
+        |         FROM reach GROUP BY s),
+        |drop_ids AS (SELECT doc_id FROM comp WHERE doc_id <> component_id),
+        |rawr AS (SELECT doc_id, list_transform(range(len(ws)-2),
+        |           i -> CAST(('0x'||substr(md5(ws[i+1]||' '||ws[i+2]||' '||ws[i+3]),1,15))
+        |                  AS BIGINT) % 1000000007) AS rhs
+        |         FROM w WHERE len(ws) >= 3),
+        |rep AS (SELECT doc_id,
+        |          1.0 - len(list_distinct(rhs)) / len(rhs) AS rep_ratio
+        |        FROM rawr),
+        |keep AS (SELECT doc_id FROM rep WHERE rep_ratio <= 0.5)
+        |SELECT d.doc_id, d.lang, d.source,
+        |       CASE WHEN bucket < 90 THEN 'train'
+        |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT *,
+        |        CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |          % 100 AS bucket
+        |      FROM documents) d
+        |WHERE d.doc_id IN (SELECT doc_id FROM keep)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val dropIds = dupClusterLabels(s, dir)
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      // raw (non-distinct) shingles: the ratio needs repeat counts; the
+      // >=3-word filter doubles as the min-length gate
+      val keep = t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          shingleHash60(col("ws"), 3, modP = true).as("rhs"))
+        .select(col("doc_id"),
+          (lit(1.0) - size(array_distinct(col("rhs"))).cast("double") /
+            size(col("rhs")).cast("double")).as("rep_ratio"))
+        .filter(col("rep_ratio") <= 0.5)
+        .select(col("doc_id"))
+      t(s, dir, "documents")
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .withColumn("bucket", hash60(col("doc_id").cast("string")) % 100)
+        .select(col("doc_id"), col("lang"), col("source"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
     }
   )
 }
