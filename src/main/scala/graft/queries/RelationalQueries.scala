@@ -27,6 +27,35 @@ object RelationalQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ---- S1-S4 made driver-checkable: the CSV sink + scan round trip.
+    // The driver tables are parquet, so the CSV layer was previously
+    // test-only; this pushes `customer` through the engine's CSV sink
+    // (header, windows-1252, whitespace preserved, partitioned — no
+    // coalesce(1): that is a CLI-parity concession, not the engine path)
+    // and scans it back through the legacy-charset multiLine reader
+    // (PrepareCalls.scala:62-69 options), proving value fidelity against
+    // the parquet oracle. Doubles survive exactly: Java emits the
+    // shortest digit string that round-trips (Double.toString contract).
+    "rel_csv_roundtrip" -> QueryDef.sql(
+      "CSV sink + windows-1252 multiLine scan round trip vs parquet")(
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "customer")
+      val tmp = System.getProperty("java.io.tmpdir") + "/graft_csv_roundtrip"
+      src.write.mode("overwrite")
+        .option("header", true)
+        .option("encoding", "windows-1252")
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
+        .csv(tmp)
+      s.read.schema(src.schema)
+        .option("header", true)
+        .option("encoding", "windows-1252")
+        .option("multiLine", true)
+        .csv(tmp)
+        .orderBy("c_custkey")
+    },
+
     // ---- P1/P2/P3/P4: rename, project-with-reorder, constant + computed
     // columns (ref: petl rename/cut/addfield, prepare_calls.py:35,51;
     // SURVEY §2.2). Narrow ops only: no shuffle, whole-stage codegen,
