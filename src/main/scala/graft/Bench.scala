@@ -49,7 +49,7 @@ object Bench {
       val warm = if (cold.isRight) timed(fn) else cold
       (name, cold, warm)
     }
-    def jStr(s: String) = "\"" + s.replaceAll("[\"\\\\\n\r\t]", " ") + "\""
+    def jStr(s: String) = Json.str(s)
     def secs(sel: ((String, Either[String, Double], Either[String, Double])) =>
         Either[String, Double]) =
       results.map(r => jStr(r._1) + ":" + sel(r).fold(_ => "-1", _.toString))

@@ -36,6 +36,13 @@ object JdbcStaging {
 
   def write(df: DataFrame, url: String, table: String,
       options: Map[String, String] = Map.empty): Unit = {
+    // "__" is the struct-flattening separator — a top-level column using
+    // it would be silently mis-nested on read; fail fast instead (struct
+    // FIELD names may contain it: re-nesting splits on the first "__")
+    val clash = df.schema.fields.filter(_.name.contains(Sep))
+    require(clash.isEmpty,
+      s"top-level column names may not contain '$Sep' (reserved for " +
+        s"struct flattening): ${clash.map(_.name).mkString(", ")}")
     val flat = df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
         case st: StructType =>

@@ -51,7 +51,11 @@ object ConnectedComponents {
     var converged = false
     while (!converged && iter < maxIterations) {
       // lazy checkpoint: the checksum action below materializes it, so
-      // each round is ONE job and next round starts from stored blocks
+      // each round is ONE job and next round starts from stored blocks.
+      // Superseded rounds' blocks are freed by the ContextCleaner once
+      // unreferenced (localCheckpoint has no deterministic unpersist);
+      // acceptable because rounds are O(log diameter) — bounded by
+      // maxIterations — and the edge set shrinks as stars collapse.
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val row = next.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()

@@ -41,7 +41,11 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
       val src = t(s, dir, "customer")
-      val tmp = System.getProperty("java.io.tmpdir") + "/graft_csv_roundtrip"
+      // per-process path (applicationId): concurrent graft processes on
+      // one host must not overwrite each other's files mid-scan; within
+      // a process the cold+warm bench runs safely reuse it sequentially
+      val tmp = System.getProperty("java.io.tmpdir") +
+        s"/graft_csv_roundtrip_${s.sparkContext.applicationId}"
       src.write.mode("overwrite")
         .option("header", true)
         .option("encoding", "windows-1252")

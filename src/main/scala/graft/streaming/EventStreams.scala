@@ -80,7 +80,7 @@ object EventStreams {
               val t = us(e.ts)
               val cents = math.round(e.value * 100)
               current match {
-                case Some(s) if t - s.lastUs <= gapUs =>
+                case Some(s) if t >= s.startUs - gapUs && t - s.lastUs <= gapUs =>
                   // min() on start: a late-but-within-watermark event from
                   // an earlier micro-batch must extend the session backwards
                   // too, or streaming output diverges from batch
@@ -89,6 +89,13 @@ object EventStreams {
                   // the events of an already-started state are not re-split.
                   current = Some(SessionState(math.min(s.startUs, t),
                     math.max(s.lastUs, t), s.n + 1, s.cents + cents))
+                case Some(s) if t < s.startUs - gapUs =>
+                  // too old to bridge to the open session (batch would put
+                  // it in an earlier, gap-separated session): emit it as
+                  // its own closed singleton, keep the open session as-is.
+                  // Approximate: a yet-later arrival that would have
+                  // bridged or extended it cannot reopen it.
+                  closed += emit(SessionState(t, t, 1, cents))
                 case Some(s) =>
                   closed += emit(s)
                   current = Some(SessionState(t, t, 1, cents))

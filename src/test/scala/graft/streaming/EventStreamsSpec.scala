@@ -214,4 +214,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(u11(0).session_start == ts("2024-01-01 00:50:00"))
     assert(u11(0).session_end == ts("2024-01-01 01:00:00"))
   }
+
+  test("late event older than start-gap becomes its own session, not a merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,
+        watermark = "4 hours")
+      .writeStream.format("memory").queryName("too_old_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(21L, ts("2024-01-01 02:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // 2h older than the open session's start: batch sessionization
+      // would gap-split these; the stream must NOT merge them
+      input.addData(Event(21L, ts("2024-01-01 00:00:00"), "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(22L, ts("2024-01-02 00:00:00"), "click", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(23L, ts("2024-01-03 00:00:00"), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u21 = spark.table("too_old_sessions").as[Session]
+      .collect().filter(_.user_id == 21L)
+      .sortBy(_.session_start.getTime)
+    assert(u21.length == 2, u21.toSeq)
+    assert(u21(0).n_events == 1 && u21(0).value_cents == 200L)
+    assert(u21(0).session_start == ts("2024-01-01 00:00:00"))
+    assert(u21(1).n_events == 1 && u21(1).value_cents == 100L)
+    assert(u21(1).session_start == ts("2024-01-01 02:00:00"))
+  }
 }
