@@ -219,6 +219,54 @@ object TextQueries {
         .orderBy("source", "lang")
     },
 
+    // ---- Character-bigram LM surprisal scoring — the two-stage
+    // train/apply shape of a KenLM-style quality filter: stage 1 trains
+    // the model ON the corpus (bigram + context counts, two groupBys),
+    // stage 2 broadcasts it as a one-row map and scores every document
+    // with a per-row fold. Surprisal is the mean INVERSE conditional
+    // frequency count(c1·)/count(c1c2) — deliberately log-free: +, /
+    // on exactly-represented integers are correctly-rounded IEEE ops in
+    // both engines, whereas ln() is libm-dependent and would break the
+    // hash gate. Higher = more unusual character sequences.
+    "td_lm_surprisal" -> QueryDef.sql(
+      "corpus-trained char-bigram LM surprisal per document")(
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 2),
+        |bg AS (SELECT doc_id, list_transform(range(length(text)-1),
+        |         i -> substr(text, CAST(i+1 AS INTEGER), 2)) AS bgs FROM d),
+        |bgc AS (SELECT b, count(*) AS cnt
+        |        FROM (SELECT unnest(bgs) AS b FROM bg) GROUP BY b),
+        |ctx AS (SELECT substr(b, 1, 1) AS c, CAST(sum(cnt) AS BIGINT) AS total
+        |        FROM bgc GROUP BY 1),
+        |mb AS (SELECT map(list(b), list(cnt)) AS mb FROM bgc),
+        |mc AS (SELECT map(list(c), list(total)) AS mc FROM ctx)
+        |SELECT doc_id, len(bgs) AS n_bigrams,
+        |       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |         list_transform(bgs, x ->
+        |           CAST(mc[substr(x, 1, 1)][1] AS DOUBLE) /
+        |           CAST(mb[x][1] AS DOUBLE))),
+        |         (a, b) -> a + b) / len(bgs) AS surprisal
+        |FROM bg, mb, mc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(length(col("text")) >= 2)
+      val bg = docs.select(col("doc_id"), charBigrams(col("text")).as("bgs"))
+      val counts = bg.select(explode(col("bgs")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+      val bgMap = counts
+        .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
+          .as("mb"))
+      val ctxMap = counts
+        .groupBy(substring(col("b"), 1, 1).as("c"))
+        .agg(sum(col("cnt")).cast("long").as("total"))
+        .agg(map_from_entries(collect_list(struct(col("c"), col("total"))))
+          .as("mc"))
+      bg.crossJoin(broadcast(bgMap)).crossJoin(broadcast(ctxMap))
+        .select(col("doc_id"), size(col("bgs")).as("n_bigrams"),
+          (aggregate(col("bgs"), lit(0.0), (acc, x) =>
+            acc + element_at(col("mc"), substring(x, 1, 1)).cast("double") /
+              element_at(col("mb"), x).cast("double")) /
+            size(col("bgs"))).as("surprisal"))
+        .orderBy("doc_id")
+    },
+
     // ---- Repetition detection (the Gopher-style repeated-n-gram
     // filter): fraction of a document's word 3-grams that are repeats.
     // Narrow per-row map over the same shingle hashes the dedup layer
