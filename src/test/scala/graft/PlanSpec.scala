@@ -85,6 +85,15 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("SortMergeJoin"), p) // benchmark side broadcasts
   }
 
+  test("td_lm_surprisal broadcasts the trained model, never shuffles docs") {
+    val p = plan("td_lm_surprisal")
+    // two one-row model maps arrive by broadcast; the document side joins
+    // them with a free 1-row BNLJ and shuffles only for the final sort
+    assert(p.linesIterator.count(_.contains("IdentityBroadcastMode")) == 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) == 1, p)
+  }
+
   test("narrow curation maps add no extra shuffles") {
     for (name <- Seq("td_repetition", "td_split_assign")) {
       val p = plan(name)
