@@ -301,6 +301,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Weighted mixture sampling — the data-mixing primitive (keep
+    // e.g. 100% of curated sources, a fraction of crawl): per-source
+    // keep-rate applied by deterministic hash threshold, so the sample
+    // is stable, exactly reproducible, and composable with the split.
+    // Pure narrow map; the rate table is a compile-time spec here and a
+    // broadcast dim in a deployment.
+    "td_sample_mixture" -> QueryDef.sql(
+      "per-source weighted mixture sample via hash threshold")(
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |      % 1000 AS h,
+        |    CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000
+        |         WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+        |         ELSE 250 END AS keep_millis
+        |  FROM documents)
+        |WHERE h < keep_millis ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val keepMillis = when(
+          col("source").isin("src0", "src1", "src2", "src3", "src4"), 1000)
+        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 500)
+        .otherwise(250)
+      t(s, dir, "documents")
+        .withColumn("h", hash60(col("doc_id").cast("string")) % 1000)
+        .filter(col("h") < keepMillis)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // ---- Deterministic dataset split: hash-bucket every document into
     // train/val/test (90/5/5) on the cross-engine md5-prefix of its id.
     // Content- and order-independent, so the split is stable under
