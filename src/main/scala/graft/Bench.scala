@@ -1,4 +1,7 @@
 package graft
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every registry query at the given SF and
@@ -16,6 +19,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.pinDialect(spark)
+    // cumulative shuffle write bytes across all tasks — per-query deltas
+    // quantify the shuffle story (the number that grows 1000× at 100 TB)
+    // instead of guessing it from plans
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    // listener events are async: wait until the counter is quiescent
+    def settledShuffleBytes(): Long = {
+      var prev = -1L
+      var cur = shuffleBytes.get()
+      var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
+      }
+      cur
+    }
     // JIT/session warmup: exercise codegen, shuffle, and the parquet
     // reader once so the first timed query isn't billed for startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -46,21 +69,25 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val cold = timed(fn)
+      val before = settledShuffleBytes()
       val warm = if (cold.isRight) timed(fn) else cold
-      (name, cold, warm)
+      val warmShuffleMb = (settledShuffleBytes() - before) / 1e6
+      (name, cold, warm, warmShuffleMb)
     }
     def jStr(s: String) = Json.str(s)
-    def secs(sel: ((String, Either[String, Double], Either[String, Double])) =>
-        Either[String, Double]) =
+    type Res = (String, Either[String, Double], Either[String, Double], Double)
+    def secs(sel: Res => Either[String, Double]) =
       results.map(r => jStr(r._1) + ":" + sel(r).fold(_ => "-1", _.toString))
         .mkString("{", ",", "}")
     val qs = secs(_._2)
     val warmQs = secs(_._3)
-    val errs = results.collect { case (n, Left(e), _) => jStr(n) + ":" + jStr(e) }
+    val shuffleQs = results
+      .map(r => jStr(r._1) + ":" + f"${r._4}%.2f").mkString("{", ",", "}")
+    val errs = results.collect { case (n, Left(e), _, _) => jStr(n) + ":" + jStr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2.getOrElse(0.0)).sum
     val warmTotal = results.map(_._3.getOrElse(0.0)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_total":$warmTotal,"warm":$warmQs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_total":$warmTotal,"warm":$warmQs,"warm_shuffle_mb":$shuffleQs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

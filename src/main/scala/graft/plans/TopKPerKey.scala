@@ -112,7 +112,11 @@ case class TopKPerKeyExec(
 object TopK {
 
   /** The first k rows of each key group under `order` (give a total
-    * order — include a unique tie-break — for deterministic results). */
+    * order — include a unique tie-break — for deterministic results).
+    * Plans the partial (map-side) + final pair, so the exchange between
+    * them moves only k rows per key per map partition — same shape the
+    * optimizer rewrite produces (caught by bench shuffle telemetry:
+    * the final-only form shuffled the entire input). */
   def topKPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column],
       k: Int): DataFrame = {
     val keyExprs = keys.map(PlanShim.expression)
@@ -121,6 +125,8 @@ object TopK {
       case e => SortOrder(e, Ascending)
     })
     PlanShim.ofRows(df.sparkSession,
-      TopKPerKey(keyExprs, sortOrder, k, df.queryExecution.analyzed))
+      TopKPerKey(keyExprs, sortOrder, k,
+        TopKPerKey(keyExprs, sortOrder, k, df.queryExecution.analyzed,
+          partial = true)))
   }
 }

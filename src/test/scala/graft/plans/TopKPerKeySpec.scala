@@ -33,7 +33,10 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
 
   test("physical plan uses TopKPerKeyExec with a hash exchange, no Sort/Window") {
     val plan = viaOperator(3).queryExecution.executedPlan.toString
-    assert(plan.contains("TopKPerKey"), plan)
+    // partial (map-side) + final — the exchange between them moves only
+    // k rows per key per map partition, never the input (regression:
+    // the direct API once planned final-only and shuffled everything)
+    assert(plan.linesIterator.count(_.contains("TopKPerKey")) == 2, plan)
     assert(plan.contains("Exchange hashpartitioning"), plan)
     assert(!plan.contains("Window"), plan)
     assert(!plan.contains("Sort "), s"no partition-wide sort expected:\n$plan")
