@@ -45,6 +45,11 @@ object PerfSmoke {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
+    // "csv" (default) = reference-parity single-file ordered sinks
+    // (coalesce(1) — the documented spreadsheet-scale concession);
+    // "parquet" = the engine path: partitioned parquet, no single-task
+    // funnel, which is what a 100 TB deployment writes
+    val sink = if (args.length > 1) args(1) else "csv"
     val dir = Files.createTempDirectory("graft-perf-")
     val csv = dir.resolve("calls.csv")
     val w = new BufferedWriter(new OutputStreamWriter(
@@ -70,9 +75,21 @@ object PerfSmoke {
     val users = PrepareCalls.Users(101L, 102L, 103L, 104L)
     val out = dir.resolve("out").toString
     val t0 = System.nanoTime()
-    BeaconCli.run(spark, csv.toString, out, users)
+    if (sink == "parquet") {
+      val outputs = PrepareCalls(PrepareCalls.fromCsv(spark, csv.toString), users)
+      outputs.base.count() // materialize the shared cache once, up front
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val writes = outputs.all.map { case (name, df) =>
+        Future(df.drop("_ord").write.mode("overwrite").parquet(s"$out/$name"))
+      }
+      Await.result(Future.sequence(writes.toSeq), Duration.Inf)
+    } else {
+      BeaconCli.run(spark, csv.toString, out, users)
+    }
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"prepare_calls_e2e","rows":$n,"value":$secs%.1f,"unit":"sec","rows_per_sec":${(n / secs).toInt}}""")
+    println(f"""{"metric":"prepare_calls_e2e","rows":$n,"sink":"$sink","value":$secs%.1f,"unit":"sec","rows_per_sec":${(n / secs).toInt}}""")
     spark.stop()
   }
 }

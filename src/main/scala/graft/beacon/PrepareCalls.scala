@@ -81,10 +81,18 @@ object PrepareCalls {
 
   /** The shared base table (prepare_calls.py:33-41): filter on a truthy
     * attempt date, serialize the original row as import_data, parse the
-    * date, and derive created/updated_at. Cached — nine pipelines read it. */
+    * date, and derive created/updated_at. Cached — nine pipelines read it.
+    *
+    * The multiLine windows-1252 scan is pinned to ONE partition (format
+    * requirement, SURVEY.md §7.3.8) — but file order is already captured
+    * in `_idx` by then, so the base fans out to the cluster's parallelism
+    * here. Without this, every downstream job inherits the single
+    * partition and the whole pipeline runs one task (found at the
+    * 5M-row PerfSmoke scale: single-task sorts/windows OOM'd). */
   def base(canonical: DataFrame): DataFrame =
     canonical
       .filter(truthy(col("latest_attempt_date")))
+      .repartition(canonical.sparkSession.sparkContext.defaultParallelism)
       .withColumn("import_data", serializeRow(canonicalOrder))
       .withColumn("latest_attempt_date", parseDate(col("latest_attempt_date")))
       .withColumn("created_at", col("latest_attempt_date"))
