@@ -1,6 +1,7 @@
 package graft.beacon
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.io.FileOutputStream
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
@@ -13,10 +14,13 @@ import scala.jdk.CollectionConverters._
   *
   * Order preservation is the deliberate engine decision petl gets for
   * free (SURVEY.md §7.3.1): every pipeline output carries an `_ord`
-  * struct; the sink sorts on it, drops engine columns, and writes a
-  * single part file that is renamed into place. `coalesce(1)` is a CLI
-  * parity concession — the 100 TB path writes partitioned parquet and
-  * never funnels through one task.
+  * struct and the sink produces the file in that global order. The sort
+  * is DISTRIBUTED — `orderBy(_ord)` range-partitions and each task
+  * external-sorts its range with spilling — and the single named file
+  * is assembled by streaming the ordered part files together in part
+  * order (pure sequential I/O, constant memory). No single task ever
+  * holds the whole output, so the parity sink survives inputs that a
+  * `coalesce(1)` one-task sort could not.
   */
 object CsvIO {
 
@@ -25,24 +29,30 @@ object CsvIO {
     try {
       val tmpDir = tmpRoot.toString + "/out"
       val engineCols = df.columns.filter(_.startsWith("_"))
-      df.coalesce(1)
-        .sortWithinPartitions(col("_ord"))
-        .drop(engineCols: _*)
-        .write
-        .option("header", true)
+      val out = df.orderBy(col("_ord")).drop(engineCols: _*)
+      out.write
+        .option("header", false)
         .option("emptyValue", "")
         .option("nullValue", "")
         .mode("overwrite")
         .csv(tmpDir)
+      // part files are emitted in global order: part-00000 < part-00001…
       val listing = Files.list(Paths.get(tmpDir))
-      val part =
-        try listing.iterator().asScala
-          .find(_.getFileName.toString.startsWith("part-"))
-          .getOrElse(throw new IllegalStateException(s"no part file in $tmpDir"))
+      val parts =
+        try listing.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .sortBy(_.getFileName.toString)
         finally listing.close()
       val target = Paths.get(outPath)
       if (target.getParent != null) Files.createDirectories(target.getParent)
-      Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+      val os = new FileOutputStream(target.toFile)
+      try {
+        // header row with the standard csv-dialect quoting (these column
+        // names are snake_case, but stay correct for any name)
+        os.write((out.columns.map(quoteCell).mkString(",") + "\n")
+          .getBytes("UTF-8"))
+        parts.foreach(p => Files.copy(p, os))
+      } finally os.close()
     } finally {
       // drop the _SUCCESS/.crc droppings along with the temp root
       val walk = Files.walk(tmpRoot)
@@ -51,6 +61,11 @@ object CsvIO {
       finally walk.close()
     }
   }
+
+  private def quoteCell(cell: String): String =
+    if (cell.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + cell.replace("\"", "\"\"") + "\""
+    else cell
 
   /** Write to stdout (the prepare-contacts sink, prepare_contacts.py:44). */
   def writeStdout(df: DataFrame): Unit = {
