@@ -46,9 +46,9 @@ object PerfSmoke {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(200000)
     // "csv" (default) = reference-parity single-file ordered sinks
-    // (coalesce(1) — the documented spreadsheet-scale concession);
-    // "parquet" = the engine path: partitioned parquet, no single-task
-    // funnel, which is what a 100 TB deployment writes
+    // (distributed sort + ordered part concat; single FILE, not a
+    // single task); "parquet" = the engine path: partitioned parquet,
+    // which is what a 100 TB deployment writes
     val sink = if (args.length > 1) args(1) else "csv"
     val dir = Files.createTempDirectory("graft-perf-")
     val csv = dir.resolve("calls.csv")
