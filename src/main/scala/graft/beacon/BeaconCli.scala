@@ -78,14 +78,25 @@ object BeaconCli {
     * concurrency is what keeps the cluster busy. */
   def run(spark: SparkSession, callsPath: String, outputDir: String,
       users: PrepareCalls.Users): Unit = {
+    import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val outputs = PrepareCalls(PrepareCalls.fromCsv(spark, callsPath), users)
     outputs.base.count() // materialize the shared cache once, up front
-    val writes = outputs.all.map { case (name, df) =>
-      Future(CsvIO.writeCsv(df, s"$outputDir/$name.csv"))
-    }
-    Await.result(Future.sequence(writes), Duration.Inf)
+    // each sink is a distributed sort+write job; every concurrent job
+    // multiplies peak execution memory (sort buffers across all its
+    // tasks). Measured: 3-at-a-time completes 5M rows on the default
+    // heap where 7-at-a-time OOMs — and is no slower at any size (the
+    // jobs pipeline through the pool). Override via conf if needed.
+    val concurrency = spark.conf
+      .getOption("spark.graft.sink.concurrency").map(_.toInt).getOrElse(3)
+    val pool = Executors.newFixedThreadPool(concurrency)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val writes = outputs.all.map { case (name, df) =>
+        Future(CsvIO.writeCsv(df, s"$outputDir/$name.csv"))
+      }
+      Await.result(Future.sequence(writes), Duration.Inf)
+    } finally pool.shutdown()
   }
 }
