@@ -87,7 +87,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2.getOrElse(0.0)).sum
     val warmTotal = results.map(_._3.getOrElse(0.0)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm_total":$warmTotal,"warm":$warmQs,"warm_shuffle_mb":$shuffleQs,"errors":$errs,"sf":"$sfDir"}""")
+    // totals lead the line so a truncated tail capture still contains them
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"sf":"$sfDir","queries":$qs,"warm":$warmQs,"warm_shuffle_mb":$shuffleQs,"errors":$errs}""")
     spark.stop()
   }
 }

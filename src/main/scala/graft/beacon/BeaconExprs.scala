@@ -158,12 +158,17 @@ object BeaconExprs {
         lit("Grocery delivery").as("food_service_type"))))
 
   /** C18 parse_callback_date: extract the first date-like token, then try
-    * dd/MM/yyyy and dd.MM.yy (prepare_calls.py:292-306). Divergence: for
-    * 2-digit years Python %y maps 69-99→19xx while Spark's yy maps to
-    * 20xx — irrelevant for this data's 2020-era dates. */
+    * dd/MM/yyyy and dd.MM.yy (prepare_calls.py:292-306). Python %y maps
+    * 69-99→19xx while Spark's yy maps everything to 20xx, so two-digit
+    * years ≥ 2069 are shifted back a century to match strptime exactly
+    * (leap-year parity holds for 1969-1999 vs 2069-2099, so the -1200
+    * month shift never clamps a day). */
   def parseCallbackDate(c: Column): Column = {
     val ex = regexp_extract(c, "(\\d+[/\\.]\\d+[/\\.]\\d+)", 1)
-    coalesce(to_date(ex, "dd/MM/yyyy"), to_date(ex, "dd.MM.yy"))
+    val dotted = to_date(ex, "dd.MM.yy")
+    val pyY = when(year(dotted) >= 2069, add_months(dotted, -1200))
+      .otherwise(dotted)
+    coalesce(to_date(ex, "dd/MM/yyyy"), pyY)
   }
 
   /** F3 needs_food: outcome match (trailing spaces are source-data

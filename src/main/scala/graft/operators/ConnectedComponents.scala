@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components over an undirected edge list —
   * the cluster-resolution step of the dedup pipeline
@@ -22,8 +23,32 @@ import org.apache.spark.sql.functions._
   * component's minimum id — the same labeling min-label propagation
   * produces (pinned by ConnectedComponentsSpec against
   * [[labelPropagation]] and by the driver's recursive-CTE DuckDB oracle).
+  *
+  * Skew: star contraction creates hub nodes BY DESIGN (every component
+  * collapses toward its minimum id), so both per-node mins run as an
+  * explicit salted two-phase aggregate — partial min over (node, salt)
+  * then final min over node — which bounds any reducer's fan-in at
+  * `saltBuckets` rows per node even if hash partial-aggregation falls
+  * back to sort-based under key-cardinality pressure. The neighbor⋈min
+  * join inherits hub skew too; it stays a plain equi-join so AQE's skew
+  * split (`spark.sql.adaptive.skewJoin.enabled`, on by default) can
+  * divide a hub's probe partition at runtime — pinned by
+  * ConnectedComponentsSpec's hub-node listener test.
+  *
+  * Fault tolerance: by default each round `localCheckpoint`s (fast,
+  * executor-local — an executor loss fails the job). For long jobs set
+  * `spark.graft.cc.checkpointDir`: every
+  * `spark.graft.cc.checkpointInterval` rounds (default 5) the edge set is
+  * reliably `checkpoint()`ed to that directory and intermediate rounds
+  * keep recomputable lineage rooted at the last reliable checkpoint, so
+  * executor loss costs at most `interval` rounds of recompute instead of
+  * the whole job.
   */
 object ConnectedComponents {
+
+  /** Salt-bucket count for the two-phase per-node min (0 disables the
+    * salted first phase). Overridable via `spark.graft.cc.saltBuckets`. */
+  val DefaultSaltBuckets = 8
 
   /** (id, label = component-minimum id) for every node incident to an
     * edge. Input edges are undirected; self-loops and duplicates are
@@ -31,14 +56,32 @@ object ConnectedComponents {
     */
   def labels(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxIterations: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val salt = spark.conf
+      .get("spark.graft.cc.saltBuckets", DefaultSaltBuckets.toString).toInt
+    val ckDir = spark.conf.getOption("spark.graft.cc.checkpointDir")
+    val ckInterval = math.max(1,
+      spark.conf.get("spark.graft.cc.checkpointInterval", "5").toInt)
+    ckDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    // Lineage-flattening strategy per round. localCheckpoint (default) is
+    // executor-local: fast, but executor loss fails the job. Reliable mode
+    // checkpoints to ckDir every ckInterval rounds; rounds in between keep
+    // recomputable lineage (persisted so they aren't recomputed in the
+    // healthy path), rooted at the last reliable checkpoint.
+    def flatten(df: DataFrame, round: Int): DataFrame = ckDir match {
+      case Some(_) if round % ckInterval == 0 => df.checkpoint(eager = false)
+      case Some(_) => df.persist(StorageLevel.MEMORY_AND_DISK)
+      case None => df.localCheckpoint(false)
+    }
+
     // canonical directed form: u -> v with u > v; checkpointed so the
     // (possibly expensive) edge-producing pipeline runs exactly once
-    var e = edges
+    var e = flatten(edges
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(false)
+      .distinct(), 0)
 
     // nodes incident to a real (non-self-loop) edge, from the
     // checkpointed set — never recomputes the input pipeline
@@ -47,21 +90,28 @@ object ConnectedComponents {
       .distinct()
 
     var prev: Option[(Long, Long)] = None
+    var prevPersisted: Option[DataFrame] = None
     var iter = 0
     var converged = false
     while (!converged && iter < maxIterations) {
       // lazy checkpoint: the checksum action below materializes it, so
       // each round is ONE job and next round starts from stored blocks.
-      // Superseded rounds' blocks are freed by the ContextCleaner once
-      // unreferenced (localCheckpoint has no deterministic unpersist);
+      // Superseded localCheckpoint rounds' blocks are freed by the
+      // ContextCleaner once unreferenced (no deterministic unpersist);
       // acceptable because rounds are O(log diameter) — bounded by
       // maxIterations — and the edge set shrinks as stars collapse.
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      // Reliable-mode persists are unpersisted explicitly below.
+      val next = flatten(smallStar(largeStar(e, salt), salt), iter + 1)
       val row = next.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
       val sig = (row.getLong(0), row.getLong(1))
       converged = prev.contains(sig)
       prev = Some(sig)
+      // next is materialized; a superseded persist can go (losing it only
+      // costs recompute from the last reliable checkpoint)
+      prevPersisted.foreach(_.unpersist(blocking = false))
+      prevPersisted = if (ckDir.isDefined && (iter + 1) % ckInterval != 0)
+        Some(next) else None
       e = next
       iter += 1
     }
@@ -77,15 +127,33 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
+  /** Per-node min(v) as a salted two-phase aggregate: partial min over
+    * (u, salt-of-v) then final min over u. Hash partial-aggregation
+    * already gives min a map-side combine, but under key-cardinality
+    * pressure HashAggregate falls back to sort-based spill; the explicit
+    * salt phase caps any final reducer's fan-in at `salt` rows per node
+    * regardless, which is what keeps a 10⁶-degree hub (a giant near-dup
+    * cluster mid-contraction) off a single reducer. salt <= 1 degrades to
+    * the direct single-phase form.
+    */
+  private[graft] def perNodeMin(nbrs: DataFrame, salt: Int): DataFrame =
+    if (salt > 1) {
+      nbrs.groupBy(col("u"), pmod(xxhash64(col("v")), lit(salt)).as("_s"))
+        .agg(min(col("v")).as("_pm"))
+        .groupBy(col("u")).agg(min(col("_pm")).as("m"))
+    } else nbrs.groupBy(col("u")).agg(min(col("v")).as("m"))
+
   /** Large-star: for every node u, connect each strictly-larger neighbor
     * to min(Γ(u) ∪ {u}). Output edges stay canonical (left > right)
-    * because the emitted target is a minimum.
+    * because the emitted target is a minimum. The nbrs⋈mins equi-join is
+    * the remaining hub hotspot; AQE's skew-join split handles it at
+    * runtime (see the object Scaladoc).
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private def largeStar(e: DataFrame, salt: Int): DataFrame = {
     val nbrs = e.select(col("u"), col("v"))
       .unionByName(e.select(col("v").as("u"), col("u").as("v")))
-    val mins = nbrs.groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("m"))
+    val mins = perNodeMin(nbrs, salt)
+      .select(col("u"), least(col("m"), col("u")).as("m"))
     nbrs.join(mins, "u")
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
@@ -97,8 +165,8 @@ object ConnectedComponents {
     * canonical out-neighborhood), connect S ∪ {u} minus the minimum m
     * to m.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+  private def smallStar(e: DataFrame, salt: Int): DataFrame = {
+    val mins = perNodeMin(e, salt)
     val reattached = e.join(mins, "u")
       .filter(col("v") =!= col("m"))
       .select(col("v").as("u"), col("m").as("v")) // v > m: m is S's min

@@ -46,6 +46,20 @@ class ErrorAsNullFuzzSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("parseCallbackDate maps two-digit years like Python %y (69-99 → 19xx)") {
+    val inputs = Seq("01.01.70", "31.12.99", "05.06.69", "01.01.68",
+      "15.03.20", "25/12/2020")
+    val got = inputs.toDF("v")
+      .select(col("v"), parseCallbackDate(col("v")).cast("string").as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("01.01.70") == "1970-01-01")
+    assert(got("31.12.99") == "1999-12-31")
+    assert(got("05.06.69") == "1969-06-05")
+    assert(got("01.01.68") == "2068-01-01")
+    assert(got("15.03.20") == "2020-03-15")
+    assert(got("25/12/2020") == "2020-12-25")
+  }
+
   test("explode-count function never yields negative or >3 counts") {
     val df = garbage.toDF("v")
       .select(callNoteCount(col("v")).as("n"))

@@ -58,4 +58,97 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestSession {
   test("empty edge set yields empty labels") {
     assert(run(Nil).isEmpty)
   }
+
+  /** Set runtime confs for the duration of `body`, restoring previous
+    * values (or unsetting) afterwards — the shared session outlives each
+    * test. */
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val saved = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("per-node min plans as a salted two-phase aggregate") {
+    val nbrs = Seq((1L, 2L), (1L, 3L), (4L, 2L)).toDF("u", "v")
+    def hashAggs(salt: Int): Int =
+      "HashAggregate".r
+        .findAllIn(ConnectedComponents.perNodeMin(nbrs, salt)
+          .queryExecution.executedPlan.toString)
+        .length
+    // salted: partial+final over (u, salt), then partial+final over u
+    assert(hashAggs(8) == 4)
+    // degraded single-phase form: one partial+final pair
+    assert(hashAggs(0) == 2)
+  }
+
+  test("salt disabled (saltBuckets=0) still labels correctly") {
+    withConf("spark.graft.cc.saltBuckets" -> "0") {
+      val edges = (1L until 30L).map(i => (i, i + 1)) ++ Seq((50L, 51L))
+      assert(run(edges) == brute(edges))
+    }
+  }
+
+  test("hub node (degree 1e5) completes without a single-task straggler") {
+    val hubDegree = 100000
+    // one giant star at node 0 plus a chain so >1 round is needed
+    val edges = (1 to hubDegree).map(i => (0L, i.toLong)) ++
+      (200000L until 200010L).map(i => (i, i + 1))
+    // record per-task shuffle-read rows; with the salted two-phase min,
+    // AQE-broadcastable mins, and partial aggregation, no task should
+    // ever pull the hub's whole neighborhood across the wire
+    val maxTaskRecords = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          maxTaskRecords.getAndAccumulate(
+            m.shuffleReadMetrics.recordsRead, math.max)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try withConf(
+      // pin real distribution at fixture scale: no tiny-exchange coalescing
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "8") {
+      val got = run(edges)
+      assert(got == brute(edges))
+      // listener events are async — wait until the max is quiescent
+      var prev = -1L
+      var spins = 0
+      while (maxTaskRecords.get() != prev && spins < 80) {
+        prev = maxTaskRecords.get(); Thread.sleep(25); spins += 1
+      }
+      assert(maxTaskRecords.get() < hubDegree / 2,
+        s"a task shuffle-read ${maxTaskRecords.get()} rows — hub landed on one reducer")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("reliable checkpoint mode matches default mode and writes files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck")
+    try {
+      val edges = (1L until 40L).map(i => (i, i + 1)) // diameter 39, >1 round
+      val expected = brute(edges)
+      val got = withConf(
+        "spark.graft.cc.checkpointDir" -> dir.toString,
+        "spark.graft.cc.checkpointInterval" -> "2") {
+        run(edges)
+      }
+      assert(got == expected)
+      // reliable checkpoints actually landed on disk
+      val files = java.nio.file.Files.walk(dir).iterator()
+      var found = false
+      while (files.hasNext && !found)
+        found = files.next().getFileName.toString.startsWith("rdd-")
+      assert(found, "no reliable checkpoint directories written")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
