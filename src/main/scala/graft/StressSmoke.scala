@@ -1,0 +1,111 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff probe for the training-data layer: blows the synthetic
+  * `documents`/`embeddings` tables up by an integer factor (distributed
+  * generation — a crossJoin with a broadcast replica index, never a
+  * driver loop) and runs every `td_*` registry query against the scaled
+  * copy on the default heap, reporting cold/warm seconds and shuffle
+  * volume per query.
+  *
+  * Replica semantics are chosen to stress the hard paths, not dodge
+  * them: even replicas are EXACT text duplicates (exact-dedup groups of
+  * scale/2; connected components gets clusters that many× bigger) and
+  * odd replicas append a per-replica suffix (near-dup under shingle /
+  * minhash / simhash metrics, so LSH bucket sizes and verify-join
+  * fan-out grow quadratically with scale). Embedding replicas get a
+  * deterministic per-replica perturbation, keeping ANN top-k
+  * non-degenerate.
+  *
+  * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.StressSmoke 50" }}}
+  */
+object StressSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(50)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2)
+      else s"${System.getProperty("java.io.tmpdir")}/graft-stress-x$scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.pinDialect(Tables.localSession("graft-stress", cpus))
+    import spark.implicits._
+
+    val docs = Tables.load(spark, src, "documents")
+    val nDocs = docs.count()
+    val reps = spark.range(scale).toDF("rep")
+    docs.crossJoin(broadcast(reps))
+      .select(
+        (col("doc_id") + col("rep") * lit(nDocs)).as("doc_id"),
+        when(col("rep") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.load(spark, src, "embeddings")
+    val nVecs = emb.count()
+    emb.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("rep") * lit(nVecs)).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (col("rep") % 7).cast("float") * lit(0.001f))
+          .as("embedding"),
+        col("label"))
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def settled(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
+      }
+      cur
+    }
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, out).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable => Left(s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").take(160))
+      }
+    }
+
+    val targets = SparkEntry.queries.filter(_._1.startsWith("td_"))
+      .toSeq.sortBy(_._1)
+    val results = targets.map { case (name, fn) =>
+      val cold = timed(fn)
+      val before = settled()
+      val warm = if (cold.isRight) timed(fn) else cold
+      val mb = (settled() - before) / 1e6
+      println(f"[stress] $name cold=${cold.fold(_ => -1.0, identity)}%.1fs " +
+        f"warm=${warm.fold(_ => -1.0, identity)}%.1fs shuffle=$mb%.1fMB" +
+        cold.left.toOption.map(e => s" ERROR $e").getOrElse(""))
+      (name, cold, warm, mb)
+    }
+    def jm(sel: ((String, Either[String, Double], Either[String, Double],
+        Double)) => Either[String, Double]) =
+      results.map(r => Json.str(r._1) + ":" + sel(r).fold(_ => "-1", _.toString))
+        .mkString("{", ",", "}")
+    val errs = results.collect { case (n, Left(e), _, _) =>
+      Json.str(n) + ":" + Json.str(e) }.mkString("{", ",", "}")
+    val shuffles = results.map(r => Json.str(r._1) + ":" + f"${r._4}%.2f")
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.getOrElse(0.0)).sum
+    val warmTotal = results.map(_._3.getOrElse(0.0)).sum
+    println(s"""{"metric":"stress_total","value":$total,"unit":"sec","warm_total":$warmTotal,"scale":$scale,"docs":${nDocs * scale},"vecs":${nVecs * scale},"queries":${jm(_._2)},"warm":${jm(_._3)},"warm_shuffle_mb":$shuffles,"errors":$errs}""")
+    spark.stop()
+  }
+}

@@ -51,7 +51,7 @@ object StagingSchemas {
     "tmp_contact_profile_updates" -> tmpContactProfileUpdates)
 
   /** Columns whose database type is jsonb (StringType in-engine). */
-  private val jsonbColumns = Set("import_data", "supplemental_data")
+  private[beacon] val jsonbColumns = Set("import_data", "supplemental_data")
 
   private def pgType(name: String, dt: DataType): String = dt match {
     case _ if jsonbColumns(name) => "jsonb"

@@ -1,6 +1,10 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.security.MessageDigest
+
+import javax.imageio.ImageIO
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -11,11 +15,14 @@ import org.apache.spark.sql.functions._
   * Scala analogue of a vectorized (Pandas-style) decode UDF: one decoder
   * instance per partition, items processed in fixed-size batches.
   *
-  * The actual media decode is STUBBED ([[MultimodalPipeline.decodeStub]]):
-  * no image/audio codecs ship in this environment, so the stub derives
-  * deterministic pseudo-features from the raw bytes. The Spark-side
-  * plumbing — binary schema, per-partition batching, feature schema — is
-  * real and oracle-checked.
+  * Image decode is REAL: [[MultimodalPipeline.decodeImage]] runs the
+  * JDK's `javax.imageio` codecs (PNG/BMP/GIF/JPEG ship with the JRE) and
+  * extracts actual pixel dimensions plus a mean-luminance feature. For
+  * payloads no installed codec recognises (and for the audio/video
+  * modalities, whose codecs don't ship in the JDK),
+  * [[MultimodalPipeline.decodeStub]] remains the documented fallback:
+  * deterministic pseudo-features from the raw bytes, keeping the
+  * pipeline total over arbitrary payloads.
   */
 object MultimodalPipeline {
 
@@ -34,10 +41,11 @@ object MultimodalPipeline {
     * vectorized decode UDF would see). */
   val DecodeBatchSize = 64
 
-  /** STUB for the real media decode. A production build would replace
-    * this body with an actual codec call (e.g. JPEG decode → (w, h) +
-    * features); here it derives deterministic fake dimensions from the
-    * payload length so the pipeline stays testable end-to-end.
+  /** Byte-level fallback decode for payloads no installed codec handles
+    * (e.g. audio/video in a JDK-only environment): deterministic
+    * pseudo-features from the payload length, keeping the pipeline total
+    * and testable end-to-end. Image payloads take the real
+    * [[decodeImage]] path instead.
     */
   def decodeStub(md: MessageDigest, item: MediaBlob): MediaMeta = {
     md.reset()
@@ -60,6 +68,86 @@ object MultimodalPipeline {
       it.grouped(DecodeBatchSize).flatMap { batch =>
         batch.map(decodeStub(md, _))
       }
+    }
+  }
+
+  /** Decoded image features: real pixel dimensions + mean luminance when
+    * a JDK codec recognised the payload; length-derived fallback features
+    * (and `real_decode = false`) otherwise. */
+  final case class ImageMeta(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      mean_gray: Int,
+      real_decode: Boolean)
+
+  /** Deterministic tiny PNG for a doc id: solid gray `id % 256`, width
+    * `1 + id % 31`, height `1 + id % 17`. PNG is lossless, so a real
+    * decode must recover exactly these — which is what lets the DuckDB
+    * oracle recompute the decoded features arithmetically from doc_id.
+    */
+  def pngPayload(docId: Long): Array[Byte] = {
+    val w = 1 + (docId % 31).toInt
+    val h = 1 + (docId % 17).toInt
+    val g = (docId % 256).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → deterministic PNG payload blobs (the image-modality
+    * fixture path: real encoded bytes, decodable by any PNG codec). */
+  def toPngBlobs(documents: DataFrame): Dataset[MediaBlob] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false) // in-memory codec I/O, no temp files
+      it.map(id => MediaBlob(id, pngPayload(id)))
+    }
+  }
+
+  /** Real image decode via the JDK's ImageIO codecs; falls back to the
+    * byte-stub features (with `real_decode = false`) when no codec
+    * recognises the payload. */
+  def decodeImage(item: MediaBlob): ImageMeta = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(item.content))
+      catch { case _: Exception => null }
+    if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      ImageMeta(item.doc_id, w, h, (sum / (w.toLong * h)).toInt,
+        real_decode = true)
+    } else ImageMeta(
+      item.doc_id,
+      64 + (item.content.length % 192),
+      64 + (item.content.length % 128),
+      -1,
+      real_decode = false)
+  }
+
+  /** Batched per-partition image decode — same shape as
+    * [[extractFeatures]] but through the real codec path. Narrow (no
+    * shuffle); one in-memory codec session per partition. */
+  def decodeImages(blobs: Dataset[MediaBlob]): Dataset[ImageMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.grouped(DecodeBatchSize).flatMap(_.map(decodeImage))
     }
   }
 

@@ -31,6 +31,25 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // Real codec exercise: deterministic solid-gray PNGs (dims and gray
+    // level are functions of doc_id) are encoded then decoded through the
+    // JDK's ImageIO, so the oracle recomputes the decoded width/height/
+    // mean-luminance arithmetically — a wrong or skipped decode cannot
+    // hash-match.
+    "td_multimodal_decode" -> QueryDef.sql(
+      "real ImageIO decode of deterministic PNG payloads")(
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 31 AS INTEGER) AS width,
+        |  CAST(1 + doc_id % 17 AS INTEGER) AS height,
+        |  CAST(doc_id % 256 AS INTEGER) AS mean_gray,
+        |  true AS real_decode
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blobs = MultimodalPipeline.toPngBlobs(Tables.load(s, dir, "documents"))
+      MultimodalPipeline.decodeImages(blobs)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // Frame sampling: 32-byte frames, every 4th kept, digests of the
     // first and of the sampled concatenation. Payloads are ASCII, so the
     // oracle's char-based substr slicing equals the byte slicing.
