@@ -59,6 +59,17 @@ object StressSmoke {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // td_* queries that touch other tables (events for the distinct
+    // sketch) read them unscaled from the source dir
+    for (name <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events")) {
+      val from = java.nio.file.Paths.get(s"$src/$name.parquet")
+      if (java.nio.file.Files.exists(from))
+        java.nio.file.Files.copy(from,
+          java.nio.file.Paths.get(s"$out/$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
     val shuffleBytes = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {

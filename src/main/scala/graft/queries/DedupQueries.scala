@@ -26,26 +26,16 @@ object DedupQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** DuckDB CTE prefix: distinct 3-shingle hashes (mod P), mirroring
-    * [[shingleHashes]]. Dedup/Jaccard run over the *hashed* shingles
-    * (long arrays, primitive hash-set set-ops, small shuffle payload) —
-    * never over the raw shingle strings. */
+  /** DuckDB CTE prefix: distinct 3-shingle hashes (mod P), mirroring the
+    * per-doc leg of [[shingleGroups]]. Dedup/Jaccard run over the
+    * *hashed* shingles (long arrays, primitive hash-set set-ops, small
+    * shuffle payload) — never over the raw shingle strings. */
   private val ShingleCte =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |hs AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-2),
       |         i -> CAST(('0x'||substr(md5(ws[i+1]||' '||ws[i+2]||' '||ws[i+3]),1,15))
       |                AS BIGINT) % 1000000007)) AS hs
       |       FROM w WHERE len(ws) >= 3)""".stripMargin
-
-  /** doc_id, hs (distinct 3-shingle hashes mod P). */
-  private def shingleHashes(s: SparkSession, dir: String): DataFrame = {
-    val ws = words(col("text"))
-    t(s, dir, "documents")
-      .select(col("doc_id"), ws.as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"),
-        array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
-  }
 
   /** DuckDB CTE prefix: L2-normalized double embeddings, norm computed as
     * the same ascending fold the codegen'd dot product uses. */
@@ -58,10 +48,48 @@ object DedupQueries {
       |n AS (SELECT vec_id, label,
       |        list_transform(vd, x -> x / nrm) AS an FROM nr)""".stripMargin
 
-  /** MinHash-LSH candidates verified at Jaccard >= 0.5 — the shared edge
-    * set for the pair query and the cluster query. */
-  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleHashes(s, dir)
+  /** Exact-duplicate contraction for the shingle-based near-dup queries.
+    * Every similarity signal downstream (minhash signature, LSH band,
+    * blocking key, Jaccard) is a pure function of the text, so docs with
+    * identical text are fully interchangeable — the pair machinery runs
+    * once per DISTINCT text and expands, instead of going quadratic
+    * inside every duplicate group before verification (the dominant cost
+    * on real corpora, where boilerplate pages duplicate millions of
+    * times). Contraction is keyed on md5(text): the groupBy's map-side
+    * partial keeps ONE text per digest per task, so the heavy payload
+    * (text/shingles) shuffles once per distinct text while the
+    * membership map shuffles only (doc_id, digest) pairs. Two distinct
+    * texts with an identical shingle set stay separate reps and meet in
+    * the band join as an ordinary jaccard-1.0 pair, so the contraction
+    * is purely an optimization, never a semantic filter.
+    *
+    * Returns (repHs = (doc_id, hs) one row per distinct text that
+    * passes the >=3-word gate, members = (doc_id, rep) for every doc in
+    * such a group — exactly the docs the uncontracted machinery admits).
+    */
+  private def shingleGroups(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val keyed = t(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("_dig"),
+        col("text"))
+    val reps = keyed.groupBy(col("_dig"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+    val ws = words(col("text"))
+    val repHs = reps
+      .select(col("_dig"), col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("_dig"), col("doc_id"),
+        array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
+    val members = keyed.select(col("doc_id"), col("_dig"))
+      .join(repHs.select(col("_dig"), col("doc_id").as("rep")), "_dig")
+      .select(col("doc_id"), col("rep"))
+    (repHs.select(col("doc_id"), col("hs")), members)
+  }
+
+  /** MinHash-LSH candidates verified at Jaccard >= 0.5 BETWEEN distinct
+    * texts (rep level): band → bucket equi-join → exact verify.
+    * Identical-text (within-group) pairs are jaccard 1.0 by construction
+    * and handled at expansion time. */
+  private def minhashVerifiedRepPairs(sh: DataFrame): DataFrame = {
     val sig = sh.select(col("doc_id"), minhashSig(col("hs"), 8).as("sig"))
     val bandArr = transform(sequence(lit(0), lit(3)), b =>
       concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
@@ -77,6 +105,25 @@ object DedupQueries {
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_hs"), col("b_hs")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+  }
+
+  /** All verified near-dup DOC pairs: rep-level pairs expanded to member
+    * pairs across groups, plus the within-group pairs (identical sets,
+    * jaccard exactly 1.0 in both engines). Provably the same set the
+    * uncontracted machinery produces: band match and jaccard are
+    * functions of `hs` alone. */
+  private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val (repHs, m) = shingleGroups(s, dir)
+    val cross = minhashVerifiedRepPairs(repHs)
+      .join(m.select(col("rep").as("a_id"), col("doc_id").as("x")), "a_id")
+      .join(m.select(col("rep").as("b_id"), col("doc_id").as("y")), "b_id")
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+    val within = m.select(col("rep"), col("doc_id").as("a_id"))
+      .join(m.select(col("rep").as("rep_y"), col("doc_id").as("b_id")),
+        col("rep") === col("rep_y") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** The oracle CTE chain mirroring [[minhashVerifiedPairs]]. */
@@ -107,9 +154,24 @@ object DedupQueries {
     * ([[graft.operators.ConnectedComponents]]): O(log diameter) rounds,
     * flat lineage via per-round localCheckpoint, one action per round.
     */
-  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ConnectedComponents.labels(
-      minhashVerifiedPairs(s, dir), srcCol = "a_id", dstCol = "b_id")
+  private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val (repHs, m) = shingleGroups(s, dir)
+    // contraction keeps CC's input LINEAR in corpus size: within-group
+    // edges collapse to the group node, so components form over distinct
+    // texts; a group's rep id is its min doc_id, hence the
+    // component-min label at rep level IS the component-min doc id
+    val repLabels = graft.operators.ConnectedComponents.labels(
+      minhashVerifiedRepPairs(repHs), srcCol = "a_id", dstCol = "b_id")
+    val sizes = m.groupBy(col("rep")).agg(count(lit(1)).as("_n"))
+    // labeled nodes = docs incident to >=1 verified pair: members of a
+    // multi-doc group (within-group jaccard-1.0 edges) or of a group with
+    // a cross-group edge (rep appears in repLabels)
+    m.join(sizes, "rep")
+      .join(repLabels.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .filter(col("label").isNotNull || col("_n") >= 2)
+      .select(col("doc_id").as("id"),
+        coalesce(col("label"), col("rep")).as("label"))
+  }
 
   /** vec_id, label, an (unit-normalized array<double>). */
   private[queries] def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame =
@@ -150,17 +212,30 @@ object DedupQueries {
         |           len(list_distinct(list_concat(x.hs, y.hs))) AS jaccard
         |  FROM blk x JOIN blk y ON x.bkey = y.bkey AND x.doc_id < y.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val blk = shingleHashes(s, dir)
+      // blocking key and jaccard are functions of the text → contract
+      // identical texts, pair at rep level, expand (see shingleGroups)
+      val (repHs, m) = shingleGroups(s, dir)
+      val blk = repHs
         .select(col("doc_id"), col("hs"), array_min(col("hs")).as("bkey"))
-      val x = blk.select(col("doc_id").as("a_id"), col("hs").as("a_hs"),
+      val x = blk.select(col("doc_id").as("ra"), col("hs").as("a_hs"),
         col("bkey"))
-      val y = blk.select(col("doc_id").as("b_id"), col("hs").as("b_hs"),
+      val y = blk.select(col("doc_id").as("rb"), col("hs").as("b_hs"),
         col("bkey").as("bkey_y"))
-      x.join(y, col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          jaccard(col("a_hs"), col("b_hs")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("a_id", "b_id")
+      val repPairs =
+        x.join(y, col("bkey") === col("bkey_y") && col("ra") < col("rb"))
+          .select(col("ra"), col("rb"),
+            jaccard(col("a_hs"), col("b_hs")).as("jaccard"))
+          .filter(col("jaccard") >= 0.5)
+      val cross = repPairs
+        .join(m.select(col("rep").as("ra"), col("doc_id").as("x")), "ra")
+        .join(m.select(col("rep").as("rb"), col("doc_id").as("y")), "rb")
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+      val within = m.select(col("rep"), col("doc_id").as("a_id"))
+        .join(m.select(col("rep").as("rep_y"), col("doc_id").as("b_id")),
+          col("rep") === col("rep_y") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+      cross.unionByName(within).orderBy("a_id", "b_id")
     },
 
     // ---- MinHash + banded LSH (k=8 permutations, 4 bands × 2 rows):
@@ -232,24 +307,45 @@ object DedupQueries {
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), shingleHash60(col("ws"), 1, modP = false).as("wh"))
       val sims = wh.select(col("doc_id"), simhash(col("wh"), 32).as("sim"))
+      // hamming depends only on the fingerprint → contract identical
+      // fingerprints to a representative, band-join the DISTINCT
+      // fingerprints, and expand. Keeps the band join linear in distinct
+      // fingerprints instead of quadratic inside duplicate groups.
+      val reps = sims.groupBy(col("sim")).agg(min(col("doc_id")).as("rep"))
+      val m = sims.join(reps, "sim") // doc_id, sim, rep
+      val repSims = m.filter(col("doc_id") === col("rep"))
+        .select(col("rep"), col("sim"))
       val bandArr = array((0 until 4).map(b => struct(
         lit(b).as("bi"),
         shiftright(col("sim"), 8 * b).bitwiseAND(lit(255L)).as("bv"))): _*)
-      val bands = sims
-        .select(col("doc_id"), col("sim"), explode(bandArr).as("band"))
-        .select(col("doc_id"), col("sim"),
+      val bands = repSims
+        .select(col("rep"), col("sim"), explode(bandArr).as("band"))
+        .select(col("rep"), col("sim"),
           col("band.bi").as("bi"), col("band.bv").as("bv"))
-      val x = bands.select(col("doc_id").as("a_id"), col("sim").as("a_sim"),
+      val x = bands.select(col("rep").as("ra"), col("sim").as("a_sim"),
         col("bi"), col("bv"))
-      val y = bands.select(col("doc_id").as("b_id"), col("sim").as("b_sim"),
+      val y = bands.select(col("rep").as("rb"), col("sim").as("b_sim"),
         col("bi").as("bi_y"), col("bv").as("bv_y"))
-      x.join(y, col("bi") === col("bi_y") && col("bv") === col("bv_y") &&
-          col("a_id") < col("b_id"))
+      val repPairs =
+        x.join(y, col("bi") === col("bi_y") && col("bv") === col("bv_y") &&
+            col("ra") < col("rb"))
+          .select(col("ra"), col("rb"), col("a_sim"), col("b_sim"))
+          .distinct()
+          .filter(bit_count(col("a_sim").bitwiseXOR(col("b_sim"))) <= 3)
+      val cross = repPairs
+        .join(m.select(col("rep").as("ra"), col("doc_id").as("x")), "ra")
+        .join(m.select(col("rep").as("rb"), col("doc_id").as("y")), "rb")
+        .select(least(col("x"), col("y")).as("a_id"),
+          greatest(col("x"), col("y")).as("b_id"), col("a_sim"), col("b_sim"))
+      val within = m.select(col("rep"), col("sim").as("a_sim"),
+          col("doc_id").as("a_id"))
+        .join(m.select(col("rep").as("rep_y"), col("sim").as("b_sim"),
+          col("doc_id").as("b_id")),
+          col("rep") === col("rep_y") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), col("a_sim"), col("b_sim"))
-        .distinct()
+      cross.unionByName(within)
         .select(col("a_id"), col("b_id"),
           bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
-        .filter(col("hamming") <= 3)
         .orderBy("a_id", "b_id")
     },
 
