@@ -30,6 +30,13 @@ object Tables {
           graft.plans.RewriteRankingFilterToTopK
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Wide-string rows make the columnar cache's per-batch column
+    // builders the peak-memory driver: at the default 10000 rows/batch,
+    // a ~1.5 KB serialized-row column allocates 15 MB+ per builder with
+    // doubling growth, and every core builds concurrently — measured
+    // OOM on an 8 g heap caching a 20M-row beacon base. 1000-row
+    // batches bound builder memory ~10× for a marginal compression cost.
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "1000")
     // the reference's calls CSV is windows-1252 (prepare_calls.py:32-34);
     // Spark 4 gates non-builtin charsets behind this legacy flag
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")

@@ -74,22 +74,33 @@ object PerfSmoke {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
     val users = PrepareCalls.Users(101L, 102L, 103L, 104L)
     val out = dir.resolve("out").toString
-    val t0 = System.nanoTime()
-    if (sink == "parquet") {
-      val outputs = PrepareCalls(PrepareCalls.fromCsv(spark, csv.toString), users)
-      outputs.base.count() // materialize the shared cache once, up front
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val writes = outputs.all.map { case (name, df) =>
-        Future(df.drop("_ord").write.mode("overwrite").parquet(s"$out/$name"))
+    try {
+      val t0 = System.nanoTime()
+      if (sink == "parquet") {
+        val outputs = PrepareCalls(PrepareCalls.fromCsv(spark, csv.toString), users)
+        outputs.base.count() // materialize the shared cache once, up front
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec: ExecutionContext = ExecutionContext.global
+        val writes = outputs.all.map { case (name, df) =>
+          Future(df.drop("_ord").write.mode("overwrite").parquet(s"$out/$name"))
+        }
+        Await.result(Future.sequence(writes.toSeq), Duration.Inf)
+      } else {
+        BeaconCli.run(spark, csv.toString, out, users)
       }
-      Await.result(Future.sequence(writes.toSeq), Duration.Inf)
-    } else {
-      BeaconCli.run(spark, csv.toString, out, users)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"prepare_calls_e2e","rows":$n,"sink":"$sink","value":$secs%.1f,"unit":"sec","rows_per_sec":${(n / secs).toInt}}""")
+    } finally {
+      spark.stop()
+      // a 20M-row probe leaves ~15 GB of csv+outputs per run — FAILED
+      // runs piling up exhausted the disk before the engine ever could,
+      // so cleanup must run on every exit path
+      import scala.jdk.CollectionConverters._
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally walk.close()
     }
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"prepare_calls_e2e","rows":$n,"sink":"$sink","value":$secs%.1f,"unit":"sec","rows_per_sec":${(n / secs).toInt}}""")
-    spark.stop()
   }
 }

@@ -85,19 +85,37 @@ object PrepareCalls {
     *
     * The multiLine windows-1252 scan is pinned to ONE partition (format
     * requirement, SURVEY.md §7.3.8) — but file order is already captured
-    * in `_idx` by then, so the base fans out to the cluster's parallelism
-    * here. Without this, every downstream job inherits the single
-    * partition and the whole pipeline runs one task (found at the
-    * 5M-row PerfSmoke scale: single-task sorts/windows OOM'd). */
-  def base(canonical: DataFrame): DataFrame =
+    * in `_idx` by then, so the base fans out to 4× the cluster's
+    * parallelism here. Without this, every downstream job inherits the
+    * single partition and the whole pipeline runs one task (found at the
+    * 5M-row PerfSmoke scale: single-task sorts/windows OOM'd). The
+    * base is a one-shot staging materialization read nine times, not an
+    * analytics working set, so it persists DISK_ONLY by default: memory
+    * caching a multi-GB wide-string base fills the storage pool while
+    * every core still holds the columnar cache's transient batch
+    * builders, and that unaccounted-for concurrency gap OOM'd an 8 g
+    * heap at the 20M-row scale — DISK_ONLY streams compressed batches
+    * straight to local disk (page-cache-fast on re-read) with bounded
+    * heap regardless of input size. Override with
+    * `spark.graft.base.storage` (any `StorageLevel.fromString` name) and
+    * `spark.graft.base.partitions` when the deployment's memory profile
+    * allows a hotter cache. */
+  def base(canonical: DataFrame): DataFrame = {
+    val spark = canonical.sparkSession
+    val parts = spark.conf.getOption("spark.graft.base.partitions")
+      .map(_.toInt)
+      .getOrElse(4 * spark.sparkContext.defaultParallelism)
+    val storage = org.apache.spark.storage.StorageLevel.fromString(
+      spark.conf.getOption("spark.graft.base.storage").getOrElse("DISK_ONLY"))
     canonical
       .filter(truthy(col("latest_attempt_date")))
-      .repartition(canonical.sparkSession.sparkContext.defaultParallelism)
+      .repartition(parts)
       .withColumn("import_data", serializeRow(canonicalOrder))
       .withColumn("latest_attempt_date", parseDate(col("latest_attempt_date")))
       .withColumn("created_at", col("latest_attempt_date"))
       .withColumn("updated_at", col("latest_attempt_date"))
-      .cache()
+      .persist(storage)
+  }
 
   def apply(canonical: DataFrame, users: Users): Outputs = {
     val sp = base(canonical)

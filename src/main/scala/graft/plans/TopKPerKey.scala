@@ -15,16 +15,23 @@ import org.apache.spark.sql.graft.PlanShim
   *
   * Spark's declarative form — `row_number() OVER (PARTITION BY k ORDER
   * BY o) <= k` — must SORT every partition's full data before ranking:
-  * O(n log n) time and O(n) sort buffer (spill) per partition. This
-  * operator keeps a bounded k-row heap per key instead: O(n log k) time
-  * and O(distinct keys in the task × k) heap state. That state does not
-  * spill — the right trade when keys·k rows fit an executor (the common
-  * top-k shape); for extreme key cardinality keep the spillable window
-  * plan (the rewrite rule honors `spark.graft.topk.rewrite=false`).
+  * O(n log n) time and O(n) sort buffer (spill) per partition. Here the
+  * MAP side keeps a bounded k-row heap per key (O(n log k), no sort of
+  * the input), under a hard memory budget
+  * (`spark.graft.topk.partialBudgetBytes`, default 64 MB per task): once
+  * the budget is full, rows for untracked keys stream through unbuffered
+  * — a superset is always correct because the final pass re-filters, the
+  * exact analogue of partial hash aggregation's fallback mode (found at
+  * the 20M-row beacon scale, where unbounded per-key heaps of wide rows
+  * OOM'd an 8 g heap). The FINAL side is sort-based and streams: Catalyst
+  * inserts a spillable SortExec over the post-exchange (already pruned)
+  * data and the operator emits the first k rows per key group with O(1)
+  * state — no pinned per-key memory at any key cardinality.
   *
   * The planner contract does the heavy lifting: `requiredChildDistribution
-  * = ClusteredDistribution(keys)` makes Catalyst insert (or reuse) the
-  * hash exchange, so the operator composes with AQE like any built-in.
+  * = ClusteredDistribution(keys)` + `requiredChildOrdering` make Catalyst
+  * insert (or reuse) the hash exchange and the pruned sort, so the
+  * operator composes with AQE like any built-in.
   */
 case class TopKPerKey(
     keys: Seq[Expression],
@@ -66,13 +73,35 @@ case class TopKPerKeyExec(
     if (partial) super.requiredChildDistribution
     else ClusteredDistribution(keys) :: Nil
 
+  // final pass streams sorted key groups (the sort runs over data the
+  // partial pass already pruned to ~k rows per key per map partition)
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(keys.map(SortOrder(_, Ascending)) ++ order)
+
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override protected def doExecute(): RDD[InternalRow] =
+    if (partial) executePartial() else executeFinal()
+
+  /** Map-side prune: per-key bounded heaps under a byte budget; overflow
+    * rows stream through unbuffered (the final pass re-filters, so any
+    * superset is correct). */
+  private def executePartial(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val childOutput = child.output
     val limit = k
+    // default budget scales with heap-per-core so the aggregate across
+    // all concurrently-running tasks stays a bounded slice of the heap:
+    // heap/(cores*16), clamped to [8 MB, 64 MB] — 16 MB/task on an
+    // 8 g × 32-core local box (512 MB peak), 64 MB on a typical
+    // 4-core × 8 g executor
+    val defaultBudget = math.max(8L << 20, math.min(64L << 20,
+      Runtime.getRuntime.maxMemory /
+        (16L * math.max(1, sparkContext.defaultParallelism))))
+    val budget = conf.getConfString("spark.graft.topk.partialBudgetBytes",
+      defaultBudget.toString).toLong
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
@@ -80,26 +109,69 @@ case class TopKPerKeyExec(
       // eviction when a better row arrives
       val heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      var retained = 0L
+      def sizeOf(r: InternalRow): Long = r match {
+        case u: UnsafeRow => u.getSizeInBytes.toLong
+        case _ => 64L + 16L * childOutput.length // non-unsafe fallback
+      }
+      val passThrough = iter.flatMap { row =>
         val key = keyProj(row)
         var pq = heaps.get(key)
         if (pq == null) {
-          pq = new java.util.PriorityQueue[InternalRow](limit + 1,
-            ordering.reverse)
-          heaps.put(key.copy(), pq)
-        }
-        if (pq.size() < limit) pq.add(row.copy())
-        else if (ordering.compare(row, pq.peek()) < 0) {
-          pq.poll()
+          if (retained >= budget) Iterator.single(row) // budget full: stream
+          else {
+            pq = new java.util.PriorityQueue[InternalRow](limit + 1,
+              ordering.reverse)
+            val kc = key.copy()
+            heaps.put(kc, pq)
+            pq.add(row.copy())
+            retained += kc.getSizeInBytes + sizeOf(row)
+            Iterator.empty
+          }
+        } else if (pq.size() < limit) {
+          if (retained >= budget) Iterator.single(row)
+          else {
+            pq.add(row.copy())
+            retained += sizeOf(row)
+            Iterator.empty
+          }
+        } else if (ordering.compare(row, pq.peek()) < 0) {
+          val out = pq.poll()
           pq.add(row.copy())
-        }
+          retained += sizeOf(row) - sizeOf(out)
+          Iterator.empty
+        } else Iterator.empty
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { pq =>
+      // ++ is by-name: the drain sees the fully-populated heaps only
+      // after the input (and with it passThrough) is exhausted
+      passThrough ++ heaps.values().iterator().asScala.flatMap { pq =>
         val arr = pq.toArray(new Array[InternalRow](pq.size()))
         java.util.Arrays.sort(arr, ordering)
         arr.iterator
+      }
+    }
+  }
+
+  /** Reduce side: input arrives hash-clustered and sorted by (keys,
+    * order), so the first k rows of each key group ARE its top k —
+    * a single streaming pass with one retained key. */
+  private def executeFinal(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val childOutput = child.output
+    val limit = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      var currentKey: UnsafeRow = null
+      var count = 0
+      iter.filter { row =>
+        val key = keyProj(row)
+        if (currentKey == null || !key.equals(currentKey)) {
+          currentKey = key.copy()
+          count = 0
+        }
+        count += 1
+        count <= limit
       }
     }
   }

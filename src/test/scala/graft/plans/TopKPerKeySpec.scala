@@ -31,7 +31,7 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
     assert(a.nonEmpty)
   }
 
-  test("physical plan uses TopKPerKeyExec with a hash exchange, no Sort/Window") {
+  test("physical plan uses TopKPerKeyExec with a hash exchange, no input sort") {
     val plan = viaOperator(3).queryExecution.executedPlan.toString
     // partial (map-side) + final — the exchange between them moves only
     // k rows per key per map partition, never the input (regression:
@@ -39,7 +39,34 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
     assert(plan.linesIterator.count(_.contains("TopKPerKey")) == 2, plan)
     assert(plan.contains("Exchange hashpartitioning"), plan)
     assert(!plan.contains("Window"), plan)
-    assert(!plan.contains("Sort "), s"no partition-wide sort expected:\n$plan")
+    // the final pass streams a SORTED pruned exchange (O(1) state, spill
+    // via SortExec) — but the map side must stay sortless: no Sort may
+    // appear below the exchange, where the full input lives
+    val lines = plan.linesIterator.toSeq
+    val exchangeAt = lines.indexWhere(_.contains("Exchange hashpartitioning"))
+    assert(exchangeAt >= 0, plan)
+    assert(!lines.drop(exchangeAt + 1).exists(_.contains("Sort ")),
+      s"no sort of the full input expected below the exchange:\n$plan")
+  }
+
+  test("partial pass degrades to pass-through under a tiny memory budget") {
+    // with a 1 KB budget nearly every row streams through the map side
+    // unbuffered; the sorted final pass must still produce exactly the
+    // declarative window result
+    spark.conf.set("spark.graft.topk.partialBudgetBytes", "1024")
+    try {
+      val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val declarative = Tables.load(spark, sfDir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5).drop("rn")
+      val cols = declarative.columns.map(col).toSeq
+      val a = viaOperator(5).select(cols: _*)
+        .orderBy(cols: _*).collect().toSeq
+      val b = declarative.select(cols: _*).orderBy(cols: _*).collect().toSeq
+      assert(a == b && a.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.partialBudgetBytes")
   }
 
   test("k=1 degenerates to first-per-key") {
