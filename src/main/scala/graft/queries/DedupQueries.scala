@@ -440,6 +440,12 @@ object DedupQueries {
     // ---- Embedding-cosine near-dup, IVF-style: candidates restricted to
     // the same coarse cell (here the label column stands in for a centroid
     // assignment), cosine via the codegen'd dot-product kernel.
+    // Scale note: work is quadratic in CELL size BY DEFINITION (the query
+    // semantics are "all qualifying pairs within a cell", and perturbed
+    // vectors offer no exact-duplicate contraction) — at production scale
+    // the cell count grows with the corpus (real IVF centroids), and
+    // approximate retrieval uses td_ann_lsh / td_ann_ivf instead of
+    // exhaustive pair listing.
     "td_embed_neardup" -> QueryDef.sql(
       "cosine >= 0.4 near-dup pairs within label cell (IVF-style blocking)")(
       s"""$NormCte

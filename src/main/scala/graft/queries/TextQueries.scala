@@ -353,6 +353,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Sequence packing: the concatenate-and-chunk step between
+    // curation and training — docs in stable doc_id order concatenate
+    // into a token stream sliced into fixed 2048-token blocks; each doc
+    // gets the block it starts in, its offset there, and how many block
+    // boundaries it straddles. The running token total comes from the
+    // distributed PrefixSum operator (range exchange + per-partition
+    // offsets), NOT a global sum() OVER () window, which would funnel
+    // the corpus through one task. Oracle: DuckDB's single-node window
+    // replays the same cumulative sum.
+    "td_pack_sequences" -> QueryDef.sql(
+      "token-budget sequence packing over a distributed running total")(
+      """WITH tok AS (SELECT doc_id,
+        |               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |             FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM tok)
+        |SELECT doc_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset,
+        |  CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 AS BIGINT)
+        |    AS n_boundary_crossings
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        size(words(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.PrefixSum
+        .withRunningTotal(toks, "doc_id", "n_tokens", "cum")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(cum - n_tokens) div 2048").as("pack_id"),
+          ((col("cum") - col("n_tokens")) % 2048).as("pack_offset"),
+          expr("(cum - 1) div 2048 - (cum - n_tokens) div 2048")
+            .as("n_boundary_crossings"))
+        .orderBy("doc_id")
+    },
+
     // ---- Document fingerprinting: a 31-ary rolling hash over characters
     // (mod P, exact integer math) plus the cross-engine md5-prefix hash.
     "td_fingerprint" -> QueryDef.sql(
