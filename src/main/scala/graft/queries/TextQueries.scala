@@ -389,6 +389,53 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Normalization + PII redaction: the text-cleanup curation step
+    // (lowercase, whitespace collapse, email/phone → placeholder tokens).
+    // The fixture has no natural PII, so each doc gets a deterministic
+    // injected contact line first — the redactor then has exactly one
+    // email and one phone to find, plus whatever the raw text contains,
+    // and the md5 of the redacted result proves replacement semantics
+    // match across engines. Patterns avoid Java-vs-RE2 divergence:
+    // character classes + bounded quantifiers only, explicit whitespace
+    // class (RE2's \s lacks \x0B).
+    "td_normalize_redact" -> QueryDef.sql(
+      "lowercase/whitespace-normalize + email/phone redaction")(
+      """WITH inj AS (SELECT doc_id,
+        |    text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      AS t FROM documents),
+        |norm AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(t), '[ \t\n\r]+', ' ', 'g')) AS t
+        |  FROM inj)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+        |    AS n_phones,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS red_hash
+        |FROM norm ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "[0-9]{3}-[0-9]{4}"
+      val norm = t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("t")), "[ \t\n\r]+", " ")).as("t"))
+      norm.select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("t"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").cast("binary")).as("red_hash"))
+        .orderBy("doc_id")
+    },
+
     // ---- Document fingerprinting: a 31-ary rolling hash over characters
     // (mod P, exact integer math) plus the cross-engine md5-prefix hash.
     "td_fingerprint" -> QueryDef.sql(
