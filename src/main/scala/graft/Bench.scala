@@ -87,8 +87,24 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2.getOrElse(0.0)).sum
     val warmTotal = results.map(_._3.getOrElse(0.0)).sum
-    // totals lead the line so a truncated tail capture still contains them
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"sf":"$sfDir","queries":$qs,"warm":$warmQs,"warm_shuffle_mb":$shuffleQs,"errors":$errs}""")
+    // Full detail first (useful when reading the whole log, and persisted
+    // to a file), then a COMPACT line LAST: the harness captures only the
+    // final ~2000 chars of output, so the parseable line must be short
+    // enough to survive that window — the full per-query line never did.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"sf":"$sfDir","queries":$qs,"warm":$warmQs,"warm_shuffle_mb":$shuffleQs,"errors":$errs}"""
+    println(full)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // detail file is best-effort
+    val slowest = results.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(10)
+      .map(r => jStr(r._1) + ":" + f"${r._2.getOrElse(0.0)}%.3f").mkString("{", ",", "}")
+    val errCount = results.count(_._2.isLeft)
+    // bounded: ≤3 errors at ≤60 chars each, so the line stays under the window
+    val compactErrs = results.collect { case (n, Left(e), _, _) => jStr(n) + ":" + jStr(e.take(60)) }
+      .take(3).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"sf":"$sfDir","n_queries":${results.size},"n_errors":$errCount,"queries":$slowest,"queries_note":"10 slowest cold; full per-query detail in $outPath and the line above","errors":$compactErrs}""")
     spark.stop()
   }
 }

@@ -28,10 +28,14 @@ import org.apache.spark.sql.types.{BooleanType, DataType, DateType, LongType, St
   */
 object CopyStaging {
 
-  /** Literals Postgres' boolean input function accepts (case-insensitive;
-    * unique prefixes like "t"/"f" included as their canonical forms). */
-  private val pgBoolLiterals =
-    Set("t", "true", "f", "false", "y", "yes", "n", "no", "on", "off", "1", "0")
+  /** Literals Postgres' boolean input function accepts: every UNIQUE
+    * case-insensitive prefix of true/false/yes/no/on/off plus 1/0
+    * (bare "o" is ambiguous between on/off, so Postgres rejects it). */
+  private val pgBoolLiterals = {
+    val words = Seq("true", "false", "yes", "no", "on", "off")
+    val prefixes = words.flatMap(w => (1 to w.length).map(w.take))
+    prefixes.filter(p => words.count(_.startsWith(p)) == 1).toSet ++ Set("1", "0")
+  }
 
   private def isEmpty(c: org.apache.spark.sql.Column, dt: DataType) =
     if (dt == StringType) c.isNull || c === "" else c.isNull
@@ -72,7 +76,10 @@ object CopyStaging {
             case BooleanType => Seq(s"${f.name}: boolean" ->
               (!cell && !lower(trim(c)).isin(pgBoolLiterals.toSeq: _*)))
             case LongType => Seq(s"${f.name}: bigint" ->
-              (!cell && c.cast("long").isNull))
+              // strict integer syntax (Postgres rejects '3.7' where a
+              // non-ANSI cast would truncate it) + cast-null overflow check
+              (!cell && (!trim(c).rlike("^[+-]?[0-9]+$") ||
+                trim(c).cast("long").isNull)))
             case _ => Seq.empty // text target: any string loads
           }
         nn ++ typed

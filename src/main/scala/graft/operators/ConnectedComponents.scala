@@ -64,13 +64,55 @@ object ConnectedComponents {
       spark.conf.get("spark.graft.cc.checkpointInterval", "5").toInt)
     ckDir.foreach(spark.sparkContext.setCheckpointDir)
 
+    // Reliable-mode bookkeeping. A checkpoint-round frame is persisted
+    // first so the lazy checkpoint's file-writing pass (RDD.doCheckpoint
+    // at the end of the materializing job) re-reads cached blocks instead
+    // of recomputing the round's whole lineage a second time; the persist
+    // is released as soon as the files land. Superseded checkpoint dirs
+    // are deleted once a newer reliable checkpoint exists — except round
+    // 0's, which the final labeling's `nodes` side still reads.
+    var ckPendingUnpersist: List[DataFrame] = Nil
+    var ckSeen = Set.empty[String]
+    var ckProtected = Set.empty[String]
+    var ckCurrent = Set.empty[String]
+    def ckDirContents(): Set[String] =
+      spark.sparkContext.getCheckpointDir.toSet.flatMap { d: String =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString).toSet
+        else Set.empty[String]
+      }
+    // Call right after each round's action: every checkpoint requested so
+    // far has materialized within that action, so pending persists can go
+    // and any prior (non-round-0) checkpoint dir is now superseded.
+    def ckSweep(firstAction: Boolean): Unit = if (ckDir.isDefined) {
+      ckPendingUnpersist.foreach(_.unpersist(blocking = false))
+      ckPendingUnpersist = Nil
+      val now = ckDirContents()
+      val fresh = now -- ckSeen
+      ckSeen = now
+      if (fresh.nonEmpty) {
+        if (firstAction) ckProtected = fresh // round 0's dir is in here
+        val superseded = ckCurrent -- ckProtected -- fresh
+        superseded.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+        ckCurrent = fresh
+      }
+    }
+
     // Lineage-flattening strategy per round. localCheckpoint (default) is
     // executor-local: fast, but executor loss fails the job. Reliable mode
     // checkpoints to ckDir every ckInterval rounds; rounds in between keep
     // recomputable lineage (persisted so they aren't recomputed in the
     // healthy path), rooted at the last reliable checkpoint.
     def flatten(df: DataFrame, round: Int): DataFrame = ckDir match {
-      case Some(_) if round % ckInterval == 0 => df.checkpoint(eager = false)
+      case Some(_) if round % ckInterval == 0 =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        ckPendingUnpersist ::= p
+        p.checkpoint(eager = false)
       case Some(_) => df.persist(StorageLevel.MEMORY_AND_DISK)
       case None => df.localCheckpoint(false)
     }
@@ -104,6 +146,7 @@ object ConnectedComponents {
       val next = flatten(smallStar(largeStar(e, salt), salt), iter + 1)
       val row = next.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      ckSweep(firstAction = iter == 0)
       val sig = (row.getLong(0), row.getLong(1))
       converged = prev.contains(sig)
       prev = Some(sig)

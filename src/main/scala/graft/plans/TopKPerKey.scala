@@ -92,17 +92,26 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val childOutput = child.output
     val limit = k
-    // default budget scales with heap-per-core so the aggregate across
-    // all concurrently-running tasks stays a bounded slice of the heap:
-    // heap/(cores*16), clamped to [8 MB, 64 MB] — 16 MB/task on an
-    // 8 g × 32-core local box (512 MB peak), 64 MB on a typical
-    // 4-core × 8 g executor
-    val defaultBudget = math.max(8L << 20, math.min(64L << 20,
-      Runtime.getRuntime.maxMemory /
-        (16L * math.max(1, sparkContext.defaultParallelism))))
-    val budget = conf.getConfString("spark.graft.topk.partialBudgetBytes",
-      defaultBudget.toString).toLong
+    // explicit override is read on the driver; the DEFAULT is computed
+    // inside the task from the EXECUTOR's own heap and task-slot count —
+    // a driver-side Runtime.maxMemory / defaultParallelism would size
+    // executor buffers from the wrong JVM's heap on a real cluster
+    val explicitBudget = conf.getConfString(
+      "spark.graft.topk.partialBudgetBytes", "").trim match {
+      case "" => None
+      case s => Some(s.toLong)
+    }
     child.execute().mapPartitions { iter =>
+      // heap/(slots*16), clamped to [8 MB, 64 MB] — the aggregate across
+      // this JVM's concurrently-running tasks stays a bounded heap slice:
+      // 16 MB/task on an 8 g × 32-thread local box (512 MB peak), 64 MB
+      // on a typical 4-core × 8 g executor
+      val budget = explicitBudget.getOrElse {
+        val slots = org.apache.spark.SparkEnv.get.conf.getInt(
+          "spark.executor.cores", Runtime.getRuntime.availableProcessors)
+        math.max(8L << 20, math.min(64L << 20,
+          Runtime.getRuntime.maxMemory / (16L * math.max(1, slots))))
+      }
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
       // reverse heap: the WORST kept row sits at the head for O(log k)

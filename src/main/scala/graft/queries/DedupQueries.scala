@@ -55,7 +55,8 @@ object DedupQueries {
     * once per DISTINCT text and expands, instead of going quadratic
     * inside every duplicate group before verification (the dominant cost
     * on real corpora, where boilerplate pages duplicate millions of
-    * times). Contraction is keyed on md5(text): the groupBy's map-side
+    * times). Contraction is keyed on (md5, xxhash64, length) of the
+    * text: the groupBy's map-side
     * partial keeps ONE text per digest per task, so the heavy payload
     * (text/shingles) shuffles once per distinct text while the
     * membership map shuffles only (doc_id, digest) pairs. Two distinct
@@ -68,8 +69,15 @@ object DedupQueries {
     * such a group — exactly the docs the uncontracted machinery admits).
     */
   private def shingleGroups(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // digest = (md5, xxhash64, length): an md5 collision between distinct
+    // texts would silently merge their rep groups (fabricating jaccard-1.0
+    // pairs); requiring a SIMULTANEOUS collision of two unrelated hash
+    // families plus equal length puts that beyond even adversarial corpora,
+    // while the key stays fixed-width for the shuffle (no full-text compare)
     val keyed = t(s, dir, "documents")
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("_dig"),
+      .select(col("doc_id"),
+        struct(md5(col("text").cast("binary")),
+          xxhash64(col("text")), length(col("text"))).as("_dig"),
         col("text"))
     val reps = keyed.groupBy(col("_dig"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))

@@ -76,6 +76,30 @@ class CopyStagingSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("bogus"))
   }
 
+  test("boolean cells accept Postgres' unique prefixes, reject ambiguous") {
+    // boolin accepts any unique case-insensitive prefix of
+    // true/false/yes/no/on/off plus 1/0; bare "o" is ambiguous (on/off)
+    val df = Seq("tr", "FALS", "ye", "of", "on", "1", "o", "maybe")
+      .toDF("has_covid_symptoms")
+      .withColumn("nhs_number", lit("111"))
+    val v = CopyStaging.violations(df, "tmp_contact_profile_updates")
+    assert(v.get("has_covid_symptoms: boolean").contains(2L)) // o, maybe
+  }
+
+  test("bigint cells require strict integer syntax, not cast semantics") {
+    val df = Seq(
+      ("111", "3.7"), // int8in rejects; a non-ANSI cast would truncate to 3
+      ("112", " 42 "), // whitespace-trimmed: loads
+      ("113", "9999999999999999999"), // overflows int8: rejected
+      ("114", "-12")) // loads
+      .toDF("nhs_number", "user_id")
+      .withColumn("category", lit("phone triage"))
+      .withColumn("created_at", lit("2020-04-06"))
+      .withColumn("updated_at", lit("2020-04-06"))
+    val v = CopyStaging.violations(df, "tmp_identified_needs")
+    assert(v.get("user_id: bigint").contains(2L)) // 3.7 and the overflow
+  }
+
   test("load script reproduces the documented psql flow") {
     val script = CopyStaging.loadScript
     // DDL declares the jsonb columns (the dialect behavior Derby lacks)

@@ -139,12 +139,15 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestSession {
         run(edges)
       }
       assert(got == expected)
-      // reliable checkpoints actually landed on disk
-      val files = java.nio.file.Files.walk(dir).iterator()
-      var found = false
-      while (files.hasNext && !found)
-        found = files.next().getFileName.toString.startsWith("rdd-")
-      assert(found, "no reliable checkpoint directories written")
+      // reliable checkpoints actually landed on disk, and superseded ones
+      // were deleted: what remains is round 0's (the final labeling's
+      // `nodes` side still reads it) plus the latest round's
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toSeq
+      assert(rddDirs.nonEmpty, "no reliable checkpoint directories written")
+      assert(rddDirs.size == 2,
+        s"expected round-0 + latest checkpoint dirs only, got: $rddDirs")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
