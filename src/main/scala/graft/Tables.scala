@@ -57,6 +57,28 @@ object Tables {
     else df
   }
 
+  /** Streaming read of the same table: the file source needs an explicit
+    * schema, taken from the parquet footer (one driver-side metadata
+    * read), with the identical nanos→µs dialect as [[load]] so streaming
+    * and batch plans see the same rows. At scale the path is a growing
+    * directory of part files; here it is the driver's single file.
+    */
+  def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
+    pinDialect(spark)
+    val path = s"$dir/$name.parquet"
+    // the driver testdata is one FILE per table; the file stream source
+    // requires a directory basePath, so glob the file under its parent
+    val df = spark.readStream
+      .schema(spark.read.parquet(path).schema)
+      .option("basePath", dir)
+      .parquet(path)
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
   /** Local session factory for tests / CLI. local[*] with shuffle
     * partitions sized for one machine; AQE on (it is the scale path's
     * runtime re-planner — skew joins, dynamic coalescing).

@@ -1,0 +1,133 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming made driver-checkable: each query runs a REAL
+  * streaming plan (file source → stateful operator → sink) with
+  * `Trigger.AvailableNow`, lands the output in a memory sink, and
+  * returns it as a DataFrame the driver hash-compares against a batch
+  * DuckDB oracle over the same rows. The reference is batch-only
+  * (SURVEY.md §2.5), so this is the engine's streaming extension path
+  * verified end-to-end rather than spec-only.
+  *
+  * Determinism across engines (these are hash-compared):
+  *  - windowed agg runs in Complete mode with an effectively-infinite
+  *    watermark, so no row is late-dropped regardless of how the source
+  *    batches files — output equals the batch groupBy by construction;
+  *  - stateful dedup projects to its key columns first, so the emitted
+  *    set is order-independent;
+  *  - sessionization emits closed sessions; each user's LAST session
+  *    (closed only by a timeout race with the final watermark) is
+  *    excluded on BOTH sides — engine via an anti-filter on the user's
+  *    max event time, oracle in SQL — so the compared set is exactly the
+  *    sessions whose closure is data-driven, not timing-driven.
+  *
+  * The memory sink is the verification harness only (it collects to the
+  * driver); the production path writes the same unbounded plans to
+  * parquet/Kafka sinks with checkpointing, as EventStreamsSpec pins.
+  */
+object StreamingQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Monotonic suffix: cold+warm bench runs of one query must not race
+    * on a shared memory-sink table name. */
+  private val runSeq = new AtomicInteger
+
+  /** Run `df` (a streaming frame) to completion under AvailableNow into
+    * a memory sink; returns the sink table. The temp checkpoint dir is
+    * removed by Spark on clean stop. */
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_stream_${runSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- streaming tumbling-window aggregation (the unbounded analogue
+    // of the batch groupBy/agg): Complete mode + unbounded watermark so
+    // the result is independent of file batching.
+    "st_window_agg" -> QueryDef.sql(
+      "streaming tumbling 1h window counts/cents via AvailableNow")(
+      """SELECT make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)
+        |         * 3600000000) AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+      runToMemory(
+        EventStreams.windowedCounts(stream, "1 hour", watermark = "36500 days"),
+        "complete")
+        .orderBy("window_start", "event_type")
+    },
+
+    // ---- streaming stateful dedup: dropDuplicates over an unbounded
+    // key stream (state = one entry per distinct key). Projected to the
+    // keys so the emitted SET is arrival-order-independent.
+    "st_dedup_keys" -> QueryDef.sql(
+      "streaming dropDuplicates emits each (user, event_type) once")(
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      runToMemory(stream, "append").orderBy("user_id", "event_type")
+    },
+
+    // ---- streaming gap sessionization via flatMapGroupsWithState (the
+    // custom-state operator class): same 6h gap as rel_sessionize. Both
+    // sides drop each user's final session — its emission depends on a
+    // timeout-vs-final-watermark race, not on data.
+    "st_sessionize" -> QueryDef.sql(
+      "streaming 6h-gap sessions (closed sessions only) vs batch oracle")(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT *, lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL
+        |                       OR epoch_us(ts) - prev_us > 21600000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM g),
+        |sid AS (SELECT *, sum(new_sess) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+        |sess AS (SELECT user_id, count(*) AS n_events,
+        |           min(ts) AS session_start, max(ts) AS session_end,
+        |           CAST(sum(cents) AS BIGINT) AS value_cents
+        |         FROM sid GROUP BY user_id, session_id),
+        |mx AS (SELECT user_id, max(ts) AS mx FROM e GROUP BY user_id)
+        |SELECT user_id, session_start, session_end,
+        |       CAST(n_events AS BIGINT) AS n_events, value_cents
+        |FROM sess JOIN mx USING (user_id) WHERE session_end < mx
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val out = runToMemory(
+        EventStreams.sessionize(stream, gapSeconds = 21600L,
+          watermark = "0 seconds").toDF(),
+        "append")
+      // a user's last session necessarily contains their max event time;
+      // excluding it removes exactly the timing-dependent emissions
+      val lastTs = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(max(col("ts")).as("_mx"))
+      out.join(broadcast(lastTs), "user_id")
+        .filter(col("session_end") < col("_mx"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_cents"))
+        .orderBy("user_id", "session_start")
+    })
+}

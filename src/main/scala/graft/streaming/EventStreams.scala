@@ -56,7 +56,8 @@ object EventStreams {
     import events.sparkSession.implicits._
     val gapUs = gapSeconds * 1000000L
 
-    def us(t: Timestamp): Long = t.getTime * 1000L
+    def us(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
     events
       .withWatermark("ts", watermark)
@@ -64,9 +65,17 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          def emit(s: SessionState): Session = Session(userId,
-            new Timestamp(s.startUs / 1000L), new Timestamp(s.lastUs / 1000L),
-            s.n, s.cents)
+          // µs-precise Timestamp (events carry µs components; a plain
+          // new Timestamp(us/1000) would truncate to ms and diverge from
+          // the batch sessionization of the same rows)
+          def tsOf(usv: Long): Timestamp = {
+            val t = new Timestamp(Math.floorDiv(usv, 1000000L) * 1000L)
+            t.setNanos((Math.floorMod(usv, 1000000L) * 1000L).toInt)
+            t
+          }
+
+          def emit(s: SessionState): Session =
+            Session(userId, tsOf(s.startUs), tsOf(s.lastUs), s.n, s.cents)
 
           if (state.hasTimedOut) {
             val out = state.getOption.map(emit).toSeq
