@@ -74,8 +74,32 @@ object Bench {
       val warmShuffleMb = (settledShuffleBytes() - before) / 1e6
       (name, cold, warm, warmShuffleMb)
     }
+    val (full, compact) = renderLines(results, sfDir)
+    // Full detail first (useful when reading the whole log, and persisted
+    // to a file), then a COMPACT line LAST: the harness captures only the
+    // final ~2000 chars of output, so the parseable line must be short
+    // enough to survive that window — the full per-query line never did.
+    println(full)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // detail file is best-effort
+    println(compact)
+    spark.stop()
+  }
+
+  type Res = (String, Either[String, Double], Either[String, Double], Double)
+
+  /** Render the (full, compact) JSON lines. Totals are computed over
+    * SUCCEEDED queries only and each line carries `n_errors`: an earlier
+    * shape let an erroring query contribute 0 s, so a broken round
+    * compared FASTER than a working one. Consumers comparing `value`
+    * across rounds must gate on `n_errors == 0` (both lines carry it);
+    * per-query error detail is in `errors`. Factored out of main so
+    * BenchSpec can pin the JSON shape without running queries. */
+  private[graft] def renderLines(results: Seq[Res], sfDir: String): (String, String) = {
     def jStr(s: String) = Json.str(s)
-    type Res = (String, Either[String, Double], Either[String, Double], Double)
     def secs(sel: Res => Either[String, Double]) =
       results.map(r => jStr(r._1) + ":" + sel(r).fold(_ => "-1", _.toString))
         .mkString("{", ",", "}")
@@ -85,26 +109,21 @@ object Bench {
       .map(r => jStr(r._1) + ":" + f"${r._4}%.2f").mkString("{", ",", "}")
     val errs = results.collect { case (n, Left(e), _, _) => jStr(n) + ":" + jStr(e) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2.getOrElse(0.0)).sum
-    val warmTotal = results.map(_._3.getOrElse(0.0)).sum
-    // Full detail first (useful when reading the whole log, and persisted
-    // to a file), then a COMPACT line LAST: the harness captures only the
-    // final ~2000 chars of output, so the parseable line must be short
-    // enough to survive that window — the full per-query line never did.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"sf":"$sfDir","queries":$qs,"warm":$warmQs,"warm_shuffle_mb":$shuffleQs,"errors":$errs}"""
-    println(full)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // detail file is best-effort
-    val slowest = results.filter(_._2.isRight).sortBy(-_._2.getOrElse(0.0)).take(10)
-      .map(r => jStr(r._1) + ":" + f"${r._2.getOrElse(0.0)}%.3f").mkString("{", ",", "}")
+    val ok = results.filter(_._2.isRight)
+    val total = ok.map(_._2.getOrElse(0.0)).sum
+    val warmTotal = ok.flatMap(_._3.toOption).sum
     val errCount = results.count(_._2.isLeft)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val head = s""""metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"n_queries":${results.size},"n_succeeded":${ok.size},"n_errors":$errCount,"sf":"$sfDir""""
+    val full =
+      s"""{$head,"queries":$qs,"warm":$warmQs,"warm_shuffle_mb":$shuffleQs,"errors":$errs}"""
+    val slowest = ok.sortBy(-_._2.getOrElse(0.0)).take(10)
+      .map(r => jStr(r._1) + ":" + f"${r._2.getOrElse(0.0)}%.3f").mkString("{", ",", "}")
     // bounded: ≤3 errors at ≤60 chars each, so the line stays under the window
     val compactErrs = results.collect { case (n, Left(e), _, _) => jStr(n) + ":" + jStr(e.take(60)) }
       .take(3).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"sf":"$sfDir","n_queries":${results.size},"n_errors":$errCount,"queries":$slowest,"queries_note":"10 slowest cold; full per-query detail in $outPath and the line above","errors":$compactErrs}""")
-    spark.stop()
+    val compact =
+      s"""{$head,"queries":$slowest,"queries_note":"10 slowest cold; totals are over succeeded queries only; full per-query detail in $outPath and the line above","errors":$compactErrs}"""
+    (full, compact)
   }
 }

@@ -66,12 +66,15 @@ object Tables {
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     pinDialect(spark)
     val path = s"$dir/$name.parquet"
-    // the driver testdata is one FILE per table; the file stream source
-    // requires a directory basePath, so glob the file under its parent
+    // The driver testdata is one FILE per table. FileStreamSource injects
+    // `basePath = <path>` for any NON-glob path (overriding an explicit
+    // basePath option), and PartitioningAwareFileIndex rejects a file as
+    // basePath — so stream a true glob, which skips the injection. A
+    // directory of part files (the scale layout) also works through the
+    // same glob.
     val df = spark.readStream
       .schema(spark.read.parquet(path).schema)
-      .option("basePath", dir)
-      .parquet(path)
+      .parquet(s"$dir/{$name.parquet}")
     if (name == "events")
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(

@@ -71,36 +71,50 @@ object ConnectedComponents {
     // is released as soon as the files land. Superseded checkpoint dirs
     // are deleted once a newer reliable checkpoint exists — except round
     // 0's, which the final labeling's `nodes` side still reads.
+    //
+    // Dirs are tracked BY IDENTITY — each frame's materialized
+    // `RDD.getCheckpointFile`, found by walking its RDD lineage — never
+    // by diffing the shared checkpoint-dir listing. The earlier
+    // listing-diff approach had two failure modes: with
+    // checkpointInterval=1 the round-0 and round-1 dirs both materialize
+    // inside the first action (one "fresh" set → both protected forever,
+    // a leak), and a second labels() run sharing this SparkContext's
+    // checkpoint dir could have its current checkpoint swept as
+    // "superseded" by this run. Identity tracking deletes only dirs this
+    // run's own frames produced.
     var ckPendingUnpersist: List[DataFrame] = Nil
-    var ckSeen = Set.empty[String]
-    var ckProtected = Set.empty[String]
-    var ckCurrent = Set.empty[String]
-    def ckDirContents(): Set[String] =
-      spark.sparkContext.getCheckpointDir.toSet.flatMap { d: String =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.listStatus(p).map(_.getPath.toString).toSet
-        else Set.empty[String]
-      }
+    var ckPendingFrames: List[DataFrame] = Nil
+    var ckRound0: Option[DataFrame] = None
+    var ckProtected: Option[String] = None // round 0's dir, by identity
+    var ckLive: List[String] = Nil // this run's live reliable dirs
+    def ckFileOf(df: DataFrame): Option[String] = {
+      def walk(r: org.apache.spark.rdd.RDD[_], depth: Int): Option[String] =
+        if (depth > 8) None
+        else r.getCheckpointFile.orElse(
+          r.dependencies.view.flatMap(d => walk(d.rdd, depth + 1)).headOption)
+      walk(df.queryExecution.toRdd, 0)
+    }
     // Call right after each round's action: every checkpoint requested so
     // far has materialized within that action, so pending persists can go
-    // and any prior (non-round-0) checkpoint dir is now superseded.
-    def ckSweep(firstAction: Boolean): Unit = if (ckDir.isDefined) {
+    // and this run's prior (non-round-0) checkpoint dirs are superseded.
+    def ckSweep(): Unit = if (ckDir.isDefined) {
       ckPendingUnpersist.foreach(_.unpersist(blocking = false))
       ckPendingUnpersist = Nil
-      val now = ckDirContents()
-      val fresh = now -- ckSeen
-      ckSeen = now
-      if (fresh.nonEmpty) {
-        if (firstAction) ckProtected = fresh // round 0's dir is in here
-        val superseded = ckCurrent -- ckProtected -- fresh
+      if (ckProtected.isEmpty) ckProtected = ckRound0.flatMap(ckFileOf)
+      val landed = ckPendingFrames.flatMap(ckFileOf(_).toList)
+      ckPendingFrames = Nil
+      // conservative: with round 0's identity unresolved, nothing is
+      // deleted (a leaked dir is recoverable; a wrongly-deleted one not)
+      if (landed.nonEmpty && ckProtected.isDefined) {
+        val superseded = ckLive.filterNot(landed.contains)
+          .filterNot(ckProtected.contains)
         superseded.foreach { d =>
           val p = new org.apache.hadoop.fs.Path(d)
           p.getFileSystem(spark.sparkContext.hadoopConfiguration)
             .delete(p, true)
         }
-        ckCurrent = fresh
-      }
+        ckLive = (ckLive.filterNot(superseded.contains) ++ landed).distinct
+      } else ckLive = (ckLive ++ landed).distinct
     }
 
     // Lineage-flattening strategy per round. localCheckpoint (default) is
@@ -112,7 +126,10 @@ object ConnectedComponents {
       case Some(_) if round % ckInterval == 0 =>
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         ckPendingUnpersist ::= p
-        p.checkpoint(eager = false)
+        val ck = p.checkpoint(eager = false)
+        ckPendingFrames ::= ck
+        if (round == 0) ckRound0 = Some(ck)
+        ck
       case Some(_) => df.persist(StorageLevel.MEMORY_AND_DISK)
       case None => df.localCheckpoint(false)
     }
@@ -146,7 +163,7 @@ object ConnectedComponents {
       val next = flatten(smallStar(largeStar(e, salt), salt), iter + 1)
       val row = next.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      ckSweep(firstAction = iter == 0)
+      ckSweep()
       val sig = (row.getLong(0), row.getLong(1))
       converged = prev.contains(sig)
       prev = Some(sig)

@@ -87,6 +87,21 @@ object StreamingQueries {
       runToMemory(stream, "append").orderBy("user_id", "event_type")
     },
 
+    // ---- streaming dedup with BOUNDED state: the 100-TB variant of
+    // st_dedup_keys. State per key is evicted once the watermark passes
+    // it; with a watermark wider than the table's time span the emitted
+    // set equals DISTINCT exactly, which is what the oracle checks.
+    "st_dedup_watermark" -> QueryDef.sql(
+      "streaming dropDuplicatesWithinWatermark (bounded state) = DISTINCT")(
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val stream = EventStreams.dedupKeysWithinWatermark(
+        Tables.loadStream(s, dir, "events").select(
+          col("ts"), col("user_id"), col("event_type")),
+        "36500 days", "user_id", "event_type")
+      runToMemory(stream, "append").orderBy("user_id", "event_type")
+    },
+
     // ---- streaming gap sessionization via flatMapGroupsWithState (the
     // custom-state operator class): same 6h gap as rel_sessionize. Both
     // sides drop each user's final session — its emission depends on a

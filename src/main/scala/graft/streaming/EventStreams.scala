@@ -26,6 +26,15 @@ object EventStreams {
   final case class Event(
       user_id: Long, ts: Timestamp, event_type: String, value: Double)
 
+  /** Scala-side money rounding, identical to the batch engine's
+    * `round(x*100)` (Spark Round on double = decimal HALF_UP, away from
+    * zero on ±.5) and the DuckDB oracle. Java's `math.round` is
+    * floor(x+0.5) — half-toward-+inf — which diverges on negative
+    * *.5-cent values, so never use it for cents. */
+  private[graft] def centsOf(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
   final case class Session(
       user_id: Long,
       session_start: Timestamp,
@@ -46,6 +55,24 @@ object EventStreams {
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("value_cents"))
+
+  /** Watermark-bounded streaming dedup — the 100-TB state path. Plain
+    * `dropDuplicates` keeps one state entry per distinct key FOREVER
+    * (state grows with the stream; on an unbounded 100-TB key stream it
+    * eventually spills every store). `dropDuplicatesWithinWatermark`
+    * instead evicts a key's state once the event-time watermark passes
+    * its first-seen time + `watermark`, so state is O(keys active within
+    * one watermark window). Semantics trade-off, pinned by
+    * EventStreamsSpec: two occurrences of a key farther apart than the
+    * watermark BOTH emit (batch-distinct parity holds only within the
+    * window — or exactly, when the watermark exceeds the stream's time
+    * span, which is how st_dedup_watermark is oracle-checked). */
+  def dedupKeysWithinWatermark(events: DataFrame, watermark: String,
+      keys: String*): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
 
   /** Gap-based sessionization with explicit state: events for a user
     * belong to one session while consecutive gaps stay under `gapSeconds`.
@@ -87,7 +114,7 @@ object EventStreams {
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
               val t = us(e.ts)
-              val cents = math.round(e.value * 100)
+              val cents = centsOf(e.value)
               current match {
                 case Some(s) if t >= s.startUs - gapUs && t - s.lastUs <= gapUs =>
                   // min() on start: a late-but-within-watermark event from

@@ -1,0 +1,55 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench output contract (VERDICT r4 item 5): totals count
+  * SUCCEEDED queries only, both lines are valid JSON, and both carry
+  * `n_errors` so a round with broken queries can never compare favorably
+  * on `value` alone.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val mapper = new ObjectMapper
+
+  private val results: Seq[Bench.Res] = Seq(
+    ("q_ok_fast", Right(1.5), Right(0.5), 2.25),
+    ("q_ok_slow", Right(4.0), Right(3.0), 0.0),
+    ("q_broken", Left("StreamingQueryException: boom \"quoted\"\nline2"),
+      Left("StreamingQueryException: boom \"quoted\"\nline2"), 0.0))
+
+  private val (full, compact) = Bench.renderLines(results, "/tmp/sf0.001")
+
+  test("both lines parse as JSON") {
+    mapper.readTree(full)
+    mapper.readTree(compact)
+  }
+
+  test("totals cover succeeded queries only and error counts are explicit") {
+    for (line <- Seq(full, compact)) {
+      val n = mapper.readTree(line)
+      assert(n.get("value").asDouble() === 5.5) // 1.5 + 4.0, error excluded
+      assert(n.get("cold_total").asDouble() === 5.5)
+      assert(n.get("warm_total").asDouble() === 3.5)
+      assert(n.get("n_queries").asInt() === 3)
+      assert(n.get("n_succeeded").asInt() === 2)
+      assert(n.get("n_errors").asInt() === 1)
+      assert(n.get("errors").has("q_broken"))
+    }
+  }
+
+  test("full line carries per-query detail; erroring query reports -1, not a time") {
+    val n = mapper.readTree(full)
+    assert(n.get("queries").get("q_broken").asDouble() === -1.0)
+    assert(n.get("warm").get("q_broken").asDouble() === -1.0)
+    assert(n.get("queries").get("q_ok_fast").asDouble() === 1.5)
+    assert(n.get("warm_shuffle_mb").get("q_ok_fast").asDouble() === 2.25)
+  }
+
+  test("compact line bounds error text and lists only succeeded in slowest map") {
+    val n = mapper.readTree(compact)
+    assert(!n.get("queries").has("q_broken"))
+    assert(n.get("queries").has("q_ok_slow"))
+    assert(n.get("errors").get("q_broken").asText().length <= 60)
+  }
+}

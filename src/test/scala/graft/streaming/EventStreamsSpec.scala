@@ -103,6 +103,33 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(spark.table("dedup_stream").count() == 2)
   }
 
+  test("dedupKeysWithinWatermark bounds state: key re-emits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = EventStreams.dedupKeysWithinWatermark(
+      input.toDF(), "1 hour", "user_id", "event_type")
+    val q = deduped.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1L, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Event(1L, ts("2024-01-01 00:10:00"), "click", 1.0)) // dup, in window
+      q.processAllAvailable()
+      // advance the watermark to 05:00 — evicts key (1, click), whose
+      // state expired at 01:00. This is the bounded-state guarantee.
+      input.addData(Event(2L, ts("2024-01-01 06:00:00"), "view", 2.0))
+      q.processAllAvailable()
+      // same key after eviction: emits AGAIN (documented trade-off —
+      // exact-distinct parity holds only within the watermark window)
+      input.addData(Event(1L, ts("2024-01-01 06:30:00"), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("wm_dedup").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.count(_ == (1L, "click")) == 2, rows)
+    assert(rows.count(_ == (2L, "view")) == 1, rows)
+  }
+
   test("stream-static join enriches events against a static dimension") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

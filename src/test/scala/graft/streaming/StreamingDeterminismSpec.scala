@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+import graft.SparkTestSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-batch streaming determinism (VERDICT r4 item 3): the st_*
+  * registry queries stream the driver's single file, so every row lands
+  * in ONE micro-batch and the cross-batch state transitions in
+  * [[EventStreams.sessionize]] are never exercised by the oracle match.
+  * This spec replays sf0.001 events as THREE time-ordered file batches
+  * (`maxFilesPerTrigger=1`) and asserts the closed-session set still
+  * equals the batch sessionization of the same rows.
+  *
+  * Why time-ordered chunks: with `watermark = 0s` the watermark after
+  * batch k is the max event time of batches ≤ k; contiguous-time chunks
+  * guarantee no row of batch k+1 is late, so the comparison isolates
+  * cross-batch STATE handling from late-data policy. Out-of-order
+  * replays are covered (and their documented approximations pinned) by
+  * EventStreamsSpec's late-arrival cases.
+  */
+class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
+
+  private def onePartFile(dir: Path): Path = {
+    val files = Files.list(dir).toArray.map(_.asInstanceOf[Path])
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    assert(files.length == 1, s"expected one part file in $dir")
+    files.head
+  }
+
+  test("sessionize over 3 time-ordered file batches equals batch sessionization") {
+    import spark.implicits._
+    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+
+    // stage as 3 contiguous-time chunks, one file each, ascending mtimes
+    // so the file source replays them in event-time order
+    val srcDir = Files.createTempDirectory("stream-det-src-")
+    val chunked = events.withColumn("_chunk",
+      ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"stream-det-chunk$i-")
+      chunked.filter(col("_chunk") === i)
+        .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val dst = srcDir.resolve(f"chunk_$i%02d.parquet")
+      Files.move(onePartFile(tmp), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+
+    val stream = spark.readStream
+      .schema(events.select("user_id", "ts", "event_type", "value").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream, gapSeconds = 21600L,
+        watermark = "0 seconds").toDF()
+      .writeStream.format("memory").queryName("det_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(180000) finally q.stop()
+
+    // batch sessionization of the same rows (mirrors the st_sessionize
+    // oracle): 6h-gap sessions, excluding each user's last session on
+    // BOTH sides — its emission is timing-driven, not data-driven
+    events.createOrReplaceTempView("det_events")
+    val expected = spark.sql(
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents,
+        |             lag(ts) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS prev
+        |           FROM det_events),
+        |s AS (SELECT *, CASE WHEN prev IS NULL OR
+        |        unix_micros(ts) - unix_micros(prev) > 21600000000
+        |        THEN 1 ELSE 0 END AS new_sess FROM g),
+        |sid AS (SELECT *, sum(new_sess) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+        |sess AS (SELECT user_id, min(ts) AS session_start,
+        |           max(ts) AS session_end, count(*) AS n_events,
+        |           sum(cents) AS value_cents
+        |         FROM sid GROUP BY user_id, session_id),
+        |mx AS (SELECT user_id, max(ts) AS mx FROM det_events GROUP BY user_id)
+        |SELECT sess.user_id, session_start, session_end, n_events, value_cents
+        |FROM sess JOIN mx ON sess.user_id = mx.user_id
+        |WHERE session_end < mx""".stripMargin)
+
+    val lastTs = events.groupBy(col("user_id")).agg(max(col("ts")).as("_mx"))
+    val got = spark.table("det_sessions").join(lastTs, "user_id")
+      .filter(col("session_end") < col("_mx"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("value_cents"))
+
+    val missing = expected.exceptAll(got).count()
+    val extra = got.exceptAll(expected).count()
+    assert(expected.count() > 0, "oracle produced no closed sessions")
+    assert(missing == 0 && extra == 0,
+      s"closed-session sets diverge: missing=$missing extra=$extra")
+  }
+}
