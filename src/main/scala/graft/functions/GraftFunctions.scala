@@ -52,7 +52,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => MinHashUnionAgg(es(0), intArg(es(1), "k"))),
     (FunctionIdentifier("graft_bitmap_distinct"),
       info("graft_bitmap_distinct", classOf[BitmapDistinctAgg]),
-      (es: Seq[Expression]) => BitmapDistinctAgg(es(0), intArg(es(1), "m")))
+      (es: Seq[Expression]) => BitmapDistinctAgg(es(0), intArg(es(1), "m"))),
+    (FunctionIdentifier("graft_char_ngrams"),
+      info("graft_char_ngrams", classOf[CharNGrams]),
+      (es: Seq[Expression]) => CharNGrams(es(0), intArg(es(1), "n")))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -87,6 +90,12 @@ object GraftFunctions {
   /** Bitmap distinct-bucket sketch count over a long hash column. */
   def bitmapDistinct(hash: Column, m: Int): Column =
     call_function("graft_bitmap_distinct", hash, lit(m))
+
+  /** One-pass overlapping char n-grams (see
+    * [[graft.functions.CharNGrams]]); callers filter strings shorter
+    * than n characters first. */
+  def charNGrams(text: Column, n: Int): Column =
+    call_function("graft_char_ngrams", text, lit(n))
 
   // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
 

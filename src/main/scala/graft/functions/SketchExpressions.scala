@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Sketch kernels for near-duplicate detection. Both take a pre-hashed
   * `array<long>` token column (the hashing itself — md5-hex → 60-bit long —
@@ -93,6 +94,54 @@ case class SimHash(child: Expression, bits: Int)
       j += 1
     }
     out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass overlapping character n-grams over code points. The
+  * composable form `transform(sequence(0, length(s)-n), i ->
+  * substr(s, i+1, n))` is O(L²): every substr() call locates its
+  * character offset by scanning the string from the start, which
+  * dominates the LM-surprisal query on kilobyte documents. This kernel
+  * walks the UTF-8 byte sequence ONCE, recording each code point's byte
+  * offset, then slices every n-gram by byte range — O(L) total.
+  * Bit-compatible with the composable form and with DuckDB's
+  * `list_transform(range(length(s)-n+1), i -> substr(s, i+1, n))` for
+  * strings of >= n characters (CharNGramsSpec pins the parity); shorter
+  * strings yield an empty array — callers filter those out first, as
+  * the two engines' range/sequence edge behaviors differ below n.
+  */
+case class CharNGrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+  require(n >= 1, "n must be >= 1")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val nb = bytes.length
+    // code-point start offsets + end sentinel (worst case: all 1-byte)
+    val offs = new Array[Int](nb + 1)
+    var i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(c) = nb
+    if (c < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](c - n + 1)
+    var k = 0
+    while (k <= c - n) {
+      out(k) = UTF8String.fromBytes(bytes, offs(k), offs(k + n) - offs(k))
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

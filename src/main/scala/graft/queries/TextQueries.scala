@@ -246,23 +246,32 @@ object TextQueries {
         |           CAST(mb[x][1] AS DOUBLE))),
         |         (a, b) -> a + b) / len(bgs) AS surprisal
         |FROM bg, mb, mc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // one-pass n-gram kernel, not the O(L²) substr form: this query
+      // extracts every document's bigrams twice (model training + the
+      // scoring fold), so extraction dominates its runtime
       val docs = t(s, dir, "documents").filter(length(col("text")) >= 2)
-      val bg = docs.select(col("doc_id"), charBigrams(col("text")).as("bgs"))
+      val bg = docs.select(col("doc_id"), charNGrams(col("text"), 2).as("bgs"))
       val counts = bg.select(explode(col("bgs")).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("cnt"))
-      val bgMap = counts
-        .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
-          .as("mb"))
-      val ctxMap = counts
+      // the model folds to ONE broadcast map: per-bigram ratio
+      // total(context)/count(bigram), precomputed on the model side
+      // (≤ charset² rows) so the hot per-document fold does a single
+      // element_at instead of two lookups + a substring per bigram. The
+      // division operands are the same doubles as the per-element form,
+      // so the fold's IEEE sum — and the driver hash — is unchanged.
+      val ctx = counts
         .groupBy(substring(col("b"), 1, 1).as("c"))
         .agg(sum(col("cnt")).cast("long").as("total"))
-        .agg(map_from_entries(collect_list(struct(col("c"), col("total"))))
-          .as("mc"))
-      bg.crossJoin(broadcast(bgMap)).crossJoin(broadcast(ctxMap))
+      val ratioMap = counts
+        .join(broadcast(ctx), substring(col("b"), 1, 1) === col("c"))
+        .select(col("b"),
+          (col("total").cast("double") / col("cnt").cast("double")).as("r"))
+        .agg(map_from_entries(collect_list(struct(col("b"), col("r"))))
+          .as("mr"))
+      bg.crossJoin(broadcast(ratioMap))
         .select(col("doc_id"), size(col("bgs")).as("n_bigrams"),
           (aggregate(col("bgs"), lit(0.0), (acc, x) =>
-            acc + element_at(col("mc"), substring(x, 1, 1)).cast("double") /
-              element_at(col("mb"), x).cast("double")) /
+            acc + element_at(col("mr"), x)) /
             size(col("bgs"))).as("surprisal"))
         .orderBy("doc_id")
     },

@@ -111,4 +111,24 @@ object KernelProps extends Properties("graft.kernels") {
       val b = new GenericArrayData(Array.fill(m)(1.0))
       Prop(DotProduct(dummy, dummy).nullSafeEval(a, b) == null)
     }
+
+  private val textGen: Gen[String] = Gen.oneOf(
+    Gen.const(""), Gen.const("a"), Gen.const("café au lait"),
+    Gen.const("日本語テキスト"), Gen.const("mixed café 日本 𝔘nicode"),
+    Gen.alphaNumStr, Gen.stringOfN(40, Gen.alphaLowerChar))
+
+  property("CharNGrams matches the code-point sliding-window reference") =
+    forAll(textGen, Gen.choose(1, 3)) { (s, n) =>
+      val got = CharNGrams(dummy, n)
+        .nullSafeEval(UTF8String.fromString(s)).asInstanceOf[ArrayData]
+        .toObjectArray(StringType)
+        .map(_.asInstanceOf[UTF8String].toString).toSeq
+      // reference slides over CODE POINTS (a UTF-16 char slide would
+      // split surrogate pairs like 𝔘 — exactly the bug class this pins)
+      val cps = s.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp))).toSeq
+      val want = if (cps.length < n) Seq.empty
+        else cps.sliding(n).map(_.mkString).toSeq
+      Prop(got == want) :| s"got=$got want=$want"
+    }
 }

@@ -154,4 +154,68 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTestSession {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("checkpointInterval=1 does not leak intermediate checkpoint dirs") {
+    // regression: round-0 and round-1 checkpoints both materialize inside
+    // the FIRST action; a listing-diff sweep protected both forever. The
+    // identity-based sweep must keep exactly round-0 + the latest.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck1")
+    try {
+      val edges = (1L until 40L).map(i => (i, i + 1))
+      val got = withConf(
+        "spark.graft.cc.checkpointDir" -> dir.toString,
+        "spark.graft.cc.checkpointInterval" -> "1") {
+        run(edges)
+      }
+      assert(got == brute(edges))
+      import scala.jdk.CollectionConverters._
+      val rddDirs = java.nio.file.Files.walk(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("rdd-")).toSeq
+      assert(rddDirs.size == 2,
+        s"expected round-0 + latest checkpoint dirs only, got: $rddDirs")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("reliable mode roots every round at the checkpoint: source computed once") {
+    // The restart-safety property behind reliable checkpointing: once the
+    // round-0 checkpoint lands, NOTHING re-executes the (possibly
+    // expensive) edge-producing pipeline — later rounds, the final
+    // labeling's `nodes` side, and any recompute read checkpoint files or
+    // cached blocks. A lineage bug here would re-run the source, which
+    // the partition-compute counter detects.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ck-src")
+    try {
+      CcSourceComputeCounter.n.set(0)
+      import spark.implicits._
+      val source = spark.createDataset(1L until 40L).repartition(1)
+        .mapPartitions { it =>
+          CcSourceComputeCounter.n.incrementAndGet()
+          it.map(i => (i, i + 1))
+        }.toDF("src", "dst")
+      val got = withConf(
+        "spark.graft.cc.checkpointDir" -> dir.toString,
+        "spark.graft.cc.checkpointInterval" -> "2") {
+        ConnectedComponents.labels(source)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(got == brute((1L until 40L).map(i => (i, i + 1))))
+      assert(CcSourceComputeCounter.n.get() == 1,
+        s"source pipeline computed ${CcSourceComputeCounter.n.get()} times — " +
+          "rounds are not rooted at the reliable checkpoint")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
+
+/** JVM-wide partition-compute counter for the source-computed-once test
+  * (local mode: executors share the test JVM, so a static is visible). */
+object CcSourceComputeCounter {
+  val n = new java.util.concurrent.atomic.AtomicInteger
 }
