@@ -28,10 +28,12 @@ object TextQueries {
     "fr" -> Seq("ou", "le", "es"),
     "zh" -> Seq("zh", "ng", "sh"))
 
-  /** Overlapping character bigrams of a text column. */
-  private def charBigrams(text: Column): Column =
-    transform(sequence(lit(0), length(text) - 2),
-      i => text.substr(i + 1, lit(2)))
+  /** Overlapping character bigrams of a text column — the one-pass
+    * [[graft.functions.CharNGrams]] kernel (the composable
+    * substr-per-index form is O(L²) per document). For texts shorter
+    * than 2 chars the kernel yields an empty array, exactly matching
+    * the oracle's `list_transform(range(length(text)-1), ...)`. */
+  private def charBigrams(text: Column): Column = charNGrams(text, 2)
 
   /** Count of bigrams that appear in the given profile. */
   private def profileScore(bigrams: Column, profile: Seq[String]): Column =

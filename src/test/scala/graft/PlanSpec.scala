@@ -87,9 +87,10 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
 
   test("td_lm_surprisal broadcasts the trained model, never shuffles docs") {
     val p = plan("td_lm_surprisal")
-    // two one-row model maps arrive by broadcast; the document side joins
-    // them with a free 1-row BNLJ and shuffles only for the final sort
-    assert(p.linesIterator.count(_.contains("IdentityBroadcastMode")) == 2, p)
+    // ONE one-row ratio-map broadcast reaches the document side (a free
+    // 1-row BNLJ); the bigram⋈context model join is itself broadcast
+    // (both sides ≤ charset² rows); docs shuffle only for the final sort
+    assert(p.linesIterator.count(_.contains("IdentityBroadcastMode")) == 1, p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.linesIterator.count(_.contains("Exchange rangepartitioning")) == 1, p)
   }
