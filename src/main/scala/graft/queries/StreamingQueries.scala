@@ -74,6 +74,34 @@ object StreamingQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // ---- streaming APPEND-mode watermarked window agg — the production
+    // unbounded path (Complete mode above re-emits everything; append
+    // emits each window once, when the watermark passes its end, and
+    // evicts its state). Emitted set = windows whose end <= max(ts) - 1h
+    // (the final watermark), which the oracle replays. The driver
+    // testdata's max ts is never on an hour boundary (checked at all
+    // SFs), so the <=-vs-< eviction boundary cannot bite.
+    "st_window_append" -> QueryDef.sql(
+      "append-mode watermarked 1h window agg emits only closed windows")(
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        |mx AS (SELECT epoch_us(max(ts)) AS mxus FROM e)
+        |SELECT make_timestamp((epoch_us(ts) // 3600000000)
+        |         * 3600000000) AS window_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM e, mx
+        |GROUP BY 1, 2, mxus
+        |HAVING epoch_us(window_start) + 7200000000 <= mxus
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+      runToMemory(
+        EventStreams.windowedCounts(stream, "1 hour", watermark = "1 hour"),
+        "append")
+        .orderBy("window_start", "event_type")
+    },
+
     // ---- streaming stateful dedup: dropDuplicates over an unbounded
     // key stream (state = one entry per distinct key). Projected to the
     // keys so the emitted SET is arrival-order-independent.

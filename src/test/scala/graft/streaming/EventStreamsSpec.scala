@@ -242,6 +242,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     assert(u11(0).session_end == ts("2024-01-01 01:00:00"))
   }
 
+  test("sessionize runs on the RocksDB state store (the scale state path)") {
+    // HDFS-backed state lives on the executor heap — fine for bounded
+    // key spaces, an OOM risk at 100-TB key cardinality. RocksDB keeps
+    // state off-heap/on-disk; this pins that the engine's custom-state
+    // operator runs on it unchanged and that the provider really engaged.
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Event]
+      val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800,
+          watermark = "0 seconds")
+        .writeStream.format("memory").queryName("rocks_sessions")
+        .outputMode(OutputMode.Append).start()
+      val rocksEngaged = try {
+        input.addData(
+          Event(31L, ts("2024-01-01 00:00:00"), "click", 1.0),
+          Event(31L, ts("2024-01-01 00:10:00"), "view", 2.0))
+        q.processAllAvailable()
+        input.addData(Event(31L, ts("2024-01-01 02:10:00"), "click", 3.0))
+        q.processAllAvailable()
+        input.addData(Event(32L, ts("2024-01-02 00:00:00"), "click", 0.5))
+        q.processAllAvailable()
+        input.addData(Event(33L, ts("2024-01-03 00:00:00"), "click", 0.0))
+        q.processAllAvailable()
+        q.recentProgress.flatMap(_.stateOperators).exists(
+          _.customMetrics.keySet.stream.anyMatch(_.contains("rocksdb")))
+      } finally q.stop()
+      assert(rocksEngaged, "no rocksdb state-operator metrics — provider not used")
+      val u31 = spark.table("rocks_sessions").as[Session]
+        .collect().filter(_.user_id == 31L).sortBy(_.session_start.getTime)
+      assert(u31.length == 2, u31.toSeq)
+      assert(u31(0).n_events == 2 && u31(0).value_cents == 300L)
+      assert(u31(1).n_events == 1 && u31(1).value_cents == 300L)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("late event older than start-gap becomes its own session, not a merge") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -102,4 +102,39 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
     assert(missing == 0 && extra == 0,
       s"closed-session sets diverge: missing=$missing extra=$extra")
   }
+
+  test("checkpointed restart resumes from source offsets exactly once") {
+    // The production-path guarantee behind every st_* query's design
+    // notes: a file-source → parquet-sink stream with a checkpoint
+    // location, stopped and restarted after new data arrives, must emit
+    // the old data zero more times and the new data exactly once.
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val src = Files.createTempDirectory("restart-src-")
+    val out = Files.createTempDirectory("restart-out-")
+    val ck = Files.createTempDirectory("restart-ck-")
+    def writeChunk(ids: Range, name: String): Unit = {
+      val tmp = Files.createTempDirectory("restart-chunk-")
+      ids.map(_.toLong).toDF("id").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      Files.move(onePartFile(tmp), src.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("id", LongType))))
+        .parquet(src.toString)
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    writeChunk(0 until 100, "a.parquet")
+    runOnce()
+    writeChunk(100 until 150, "b.parquet")
+    runOnce() // second incarnation: must pick up ONLY chunk b
+    val got = spark.read.parquet(out.toString)
+      .as[Long].collect().sorted.toSeq
+    assert(got == (0L until 150L), s"expected 0..149 exactly once, got " +
+      s"${got.size} rows (${got.diff((0L until 150L)).take(5)} dups/extras)")
+  }
 }
