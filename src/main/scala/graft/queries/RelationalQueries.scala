@@ -60,6 +60,43 @@ object RelationalQueries {
         .orderBy("c_custkey")
     },
 
+    // ---- JSONL source + sink: the interchange format training-data
+    // pipelines actually exchange (one JSON object per line, splittable,
+    // schema-on-read). Round-trips the documents table through Spark's
+    // json sink/source with an explicit schema — string escaping is
+    // lossless, so the hash must equal the parquet original. Scale: JSONL
+    // parse is a narrow per-line map; part files split by line.
+    "rel_jsonl_roundtrip" -> QueryDef.sql(
+      "JSONL sink + schema'd JSONL scan round trip vs parquet")(
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "documents")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        s"/graft_jsonl_roundtrip_${s.sparkContext.applicationId}"
+      src.write.mode("overwrite").json(tmp)
+      s.read.schema(src.schema).json(tmp)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- ORC source + sink (the second columnar format Spark ships
+    // built-in): round-trips the embeddings table — including the
+    // array<float> vector column, which must survive bit-exactly in a
+    // binary columnar format — against the parquet original.
+    "rel_orc_roundtrip" -> QueryDef.sql(
+      "ORC sink + ORC scan round trip of array<float> vectors vs parquet")(
+      """SELECT vec_id, embedding, label
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "embeddings")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        s"/graft_orc_roundtrip_${s.sparkContext.applicationId}"
+      src.write.mode("overwrite").orc(tmp)
+      s.read.schema(src.schema).orc(tmp)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .orderBy("vec_id")
+    },
+
     // ---- P1/P2/P3/P4: rename, project-with-reorder, constant + computed
     // columns (ref: petl rename/cut/addfield, prepare_calls.py:35,51;
     // SURVEY §2.2). Narrow ops only: no shuffle, whole-stage codegen,
