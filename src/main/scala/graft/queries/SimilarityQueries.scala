@@ -202,6 +202,85 @@ object SimilarityQueries {
         .select(col("q_id"), col("rnk"), col("n_id"), col("bucket"),
           col("cosine"))
         .orderBy("q_id", "rnk")
+    },
+
+    // ---- ANN quality evaluation: recall@3 of the LSH-bucketed path
+    // against the exact brute-force baseline, per query vector — the
+    // metric that decides whether an approximate index is good enough to
+    // deploy. Both sides are deterministic (ties broken by n_id), so the
+    // per-query hit counts are exact cross-engine. Same plan shapes as
+    // td_ann_topk / td_ann_lsh; the comparison itself is a small
+    // (queries × k)-row join.
+    "td_ann_recall" -> QueryDef.sql(
+      "recall@3 of LSH-bucketed ANN vs exact brute-force, per query")(
+      s"""$NormCte,
+        |bp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*c.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        |      WHERE q.vec_id % 50 = 0),
+        |bf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM bp)
+        |       WHERE rnk <= 3),
+        |b AS (SELECT vec_id, an, CAST(list_sum(list_transform(range(4), j ->
+        |        CASE WHEN list_reduce(list_transform(range(len(vd)),
+        |               i -> vd[i+1] * CAST((i*37 + j*101) % 19 - 9 AS DOUBLE)),
+        |               (a,b) -> a+b) > 0
+        |             THEN (1 << j) ELSE 0 END)) AS INTEGER) AS bucket FROM n),
+        |lp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*c.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        |      WHERE q.vec_id % 50 = 0),
+        |ls AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM lp)
+        |       WHERE rnk <= 3),
+        |h AS (SELECT bf.q_id AS q_id,
+        |        CASE WHEN ls.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM bf LEFT JOIN ls ON bf.q_id = ls.q_id AND bf.n_id = ls.n_id)
+        |SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+        |       CAST(sum(hit) AS DOUBLE) / 3 AS recall_at_3
+        |FROM h GROUP BY q_id ORDER BY q_id""".stripMargin) { (s, dir) =>
+      val n = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vd"))
+        .withColumn("nrm", sqrt(dot(col("vd"), col("vd"))))
+        .select(col("vec_id"), col("vd"),
+          transform(col("vd"), x => x / col("nrm")).as("an"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      // exact baseline: brute-force top-3
+      val q0 = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("an").as("qa"))
+      val bf = n.select(col("vec_id").as("n_id"), col("an").as("ca"))
+        .join(broadcast(q0), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          dot(col("qa"), col("ca")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"))
+      // approximate path: LSH-bucketed top-3 (same construction as
+      // td_ann_lsh)
+      val b = n.select(col("vec_id"), col("an"),
+        bucketExpr(col("vd")).as("bucket"))
+      val ql = b.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("an").as("qa"), col("bucket"))
+      val ls = b.select(col("vec_id").as("n_id"), col("an").as("ca"),
+          col("bucket").as("bucket_c"))
+        .join(broadcast(ql),
+          col("bucket") === col("bucket_c") && col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          dot(col("qa"), col("ca")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id").as("lq"), col("n_id").as("ln"))
+      bf.join(ls, col("q_id") === col("lq") && col("n_id") === col("ln"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(sum(when(col("ln").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_hits"))
+        .withColumn("recall_at_3", col("n_hits").cast("double") / 3)
+        .orderBy("q_id")
     }
   )
 }
