@@ -14,6 +14,25 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("centsOf matches Spark round(x*100) exactly, including negative halves") {
+    import org.apache.spark.sql.functions.{col, round}
+    // Exact ±.5-cent doubles (x.x25 / x.x75 are representable halves
+    // after ×100) are where Java's math.round (floor(x+0.5) — toward
+    // +inf) and Spark/DuckDB HALF_UP (away from zero) diverge:
+    // round(-112.5) must be -113, where math.round gives -112. The
+    // engine's batch cents, the streaming centsOf, and the oracle must
+    // agree on every one of these.
+    val vals = Seq(1.125, -1.125, 2.375, -2.375, 0.125, -0.125,
+      1.005, -1.005, 327.53, -327.53, 0.0, 99.999, -99.999)
+    val sparkCents = vals.toDF("v")
+      .select(round(col("v") * 100).cast("long").as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(vals.map(EventStreams.centsOf) == sparkCents,
+      vals.zip(vals.map(EventStreams.centsOf)).zip(sparkCents).toString)
+    assert(EventStreams.centsOf(-1.125) == -113L) // away from zero
+    assert(math.round(-1.125 * 100) == -112L) // the bug centsOf avoids
+  }
+
   test("windowedCounts on a streaming source matches the batch aggregate") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
