@@ -16,6 +16,19 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     SparkEntry.registry(name).build(spark, sfDir)
       .queryExecution.executedPlan.toString
 
+  test("no batch registry query plans a CartesianProduct") {
+    // the global scale-hygiene gate: every similarity/dedup/join path
+    // must block on an equi-key or broadcast a bounded side — a
+    // CartesianProduct anywhere is O(n²) at 100 TB. (st_ queries are
+    // excluded: building them executes the stream; their operators are
+    // the same aggregate/dedup/state shapes gated here in batch form.)
+    for (name <- SparkEntry.registry.keys.filterNot(_.startsWith("st_"))
+        .toSeq.sorted) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+    }
+  }
+
   test("rel_filter_project pushes predicates into the parquet scan") {
     val p = plan("rel_filter_project")
     // (the toString truncates the PushedFilters list — assert on the
