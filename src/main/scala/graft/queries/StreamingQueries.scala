@@ -130,6 +130,45 @@ object StreamingQueries {
       runToMemory(stream, "append").orderBy("user_id", "event_type")
     },
 
+    // ---- stream-stream interval join (the two-unbounded-sides operator
+    // class): purchases within 30 min after a click by the same user.
+    // Inner interval joins emit each match as soon as both rows have
+    // arrived; the watermarks bound each side's buffered state to the
+    // join interval plus the delay. The emitted set equals the batch
+    // join — which the oracle replays — regardless of file batching.
+    "st_interval_join" -> QueryDef.sql(
+      "stream-stream interval join: purchases within 30min of a click")(
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+        |       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+        |FROM e c JOIN e p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
+      val clicks = Tables.loadStream(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = Tables.loadStream(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("value"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(buys, expr(
+        """user_id = p_user AND
+           purchase_ts >= click_ts AND
+           purchase_ts <= click_ts + INTERVAL 30 MINUTES"""))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"),
+          round(col("value") * 100).cast("long").as("purchase_cents"))
+      runToMemory(joined, "append").orderBy("click_id", "purchase_id")
+    },
+
     // ---- streaming gap sessionization via flatMapGroupsWithState (the
     // custom-state operator class): same 6h gap as rel_sessionize. Both
     // sides drop each user's final session — its emission depends on a
