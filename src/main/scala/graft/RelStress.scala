@@ -1,0 +1,106 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Scale-cliff probe for the RELATIONAL layer (the td_ layer has
+  * [[StressSmoke]]): blows `orders`/`lineitem` up by an integer factor —
+  * distributed generation via a crossJoin with a broadcast replica
+  * index, with `o_orderkey`/`l_orderkey` remapped consistently
+  * (`key + rep * (maxKey+1)`) so the fact-fact join fans out linearly,
+  * not quadratically — then times every `rel_*` registry query against
+  * the scaled copy. Dimension tables stay unscaled (their joins grow on
+  * the probe side only, like real dims at 100 TB).
+  *
+  * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.RelStress 10" }}}
+  */
+object RelStress {
+
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(10)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2)
+      else s"${System.getProperty("java.io.tmpdir")}/graft-relstress-x$scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.pinDialect(Tables.localSession("graft-relstress", cpus))
+
+    val orders = Tables.load(spark, src, "orders")
+    val keyStride = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val reps = broadcast(spark.range(scale).toDF("rep"))
+
+    orders.crossJoin(reps)
+      .withColumn("o_orderkey",
+        col("o_orderkey") + col("rep") * lit(keyStride))
+      .drop("rep")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    Tables.load(spark, src, "lineitem").crossJoin(reps)
+      .withColumn("l_orderkey",
+        col("l_orderkey") + col("rep") * lit(keyStride))
+      .drop("rep")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    for (name <- Seq("region", "nation", "customer", "supplier", "part",
+        "events", "documents", "embeddings")) {
+      val from = java.nio.file.Paths.get(s"$src/$name.parquet")
+      if (java.nio.file.Files.exists(from))
+        java.nio.file.Files.copy(from,
+          java.nio.file.Paths.get(s"$out/$name.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    val shuffleBytes = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    })
+    def settled(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
+      }
+      cur
+    }
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Either[String, Double] = {
+      val t0 = System.nanoTime()
+      try { fn(spark, out).count(); Right((System.nanoTime() - t0) / 1e9) }
+      catch {
+        case e: Throwable => Left(s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").take(160))
+      }
+    }
+
+    val targets = SparkEntry.queries.filter(_._1.startsWith("rel_"))
+      .toSeq.sortBy(_._1)
+    val results = targets.map { case (name, fn) =>
+      val cold = timed(fn)
+      val before = settled()
+      val warm = if (cold.isRight) timed(fn) else cold
+      val mb = (settled() - before) / 1e6
+      println(f"[relstress] $name cold=${cold.fold(_ => -1.0, identity)}%.1fs " +
+        f"warm=${warm.fold(_ => -1.0, identity)}%.1fs shuffle=$mb%.1fMB" +
+        cold.left.toOption.map(e => s" ERROR $e").getOrElse(""))
+      (name, cold, warm, mb)
+    }
+    def jm(sel: ((String, Either[String, Double], Either[String, Double],
+        Double)) => Either[String, Double]) =
+      results.map(r => Json.str(r._1) + ":" + sel(r).fold(_ => "-1", _.toString))
+        .mkString("{", ",", "}")
+    val errs = results.collect { case (n, Left(e), _, _) =>
+      Json.str(n) + ":" + Json.str(e) }.mkString("{", ",", "}")
+    val shuffles = results.map(r => Json.str(r._1) + ":" + f"${r._4}%.2f")
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._2.isRight)
+    val total = ok.map(_._2.getOrElse(0.0)).sum
+    val warmTotal = ok.flatMap(_._3.toOption).sum
+    println(s"""{"metric":"relstress_total","value":$total,"unit":"sec","warm_total":$warmTotal,"scale":$scale,"n_errors":${results.size - ok.size},"queries":${jm(_._2)},"warm":${jm(_._3)},"warm_shuffle_mb":$shuffles,"errors":$errs}""")
+    spark.stop()
+  }
+}
