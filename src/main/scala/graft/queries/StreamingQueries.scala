@@ -130,6 +130,27 @@ object StreamingQueries {
       runToMemory(stream, "append").orderBy("user_id", "event_type")
     },
 
+    // ---- stream-static join: per-event enrichment against a broadcast
+    // dimension — the stateless lookup every streaming ingest pipeline
+    // does (no watermark needed; the static side is re-read per batch
+    // and broadcast). Emitted set = the batch join, row for row.
+    "st_static_join" -> QueryDef.sql(
+      "stream-static broadcast enrichment of events with the customer dim")(
+      """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+        |       CAST(round(e.value * 100) AS BIGINT) AS value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val joined = stream
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("segment"),
+          round(col("value") * 100).cast("long").as("value_cents"))
+      runToMemory(joined, "append").orderBy("event_id")
+    },
+
     // ---- stream-stream interval join (the two-unbounded-sides operator
     // class): purchases within 30 min after a click by the same user.
     // Inner interval joins emit each match as soon as both rows have
