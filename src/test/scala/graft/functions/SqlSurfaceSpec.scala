@@ -16,11 +16,13 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
         |            array(CAST(3 AS DOUBLE), CAST(4 AS DOUBLE))) AS dot,
         |  graft_shingle_hash(array('a', 'b', 'c'), 2, 0) AS sh,
         |  graft_simhash(array(CAST(5 AS BIGINT), CAST(7 AS BIGINT)), 8) AS sim,
-        |  graft_minhash(array(CAST(11 AS BIGINT), CAST(3 AS BIGINT)), 4) AS sig
+        |  graft_minhash(array(CAST(11 AS BIGINT), CAST(3 AS BIGINT)), 4) AS sig,
+        |  graft_char_ngrams('abcd', 2) AS ng
         |""".stripMargin).collect().head
     assert(row.getDouble(0) == 11.0)
     assert(row.getSeq[Long](1).length == 2) // shingles "a b", "b c"
     assert(row.getSeq[Long](3).length == 4)
+    assert(row.getSeq[String](4) == Seq("ab", "bc", "cd"))
   }
 
   test("custom aggregates work in SQL GROUP BY with partial aggregation") {
