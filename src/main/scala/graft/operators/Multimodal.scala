@@ -151,6 +151,73 @@ object MultimodalPipeline {
     }
   }
 
+  /** Deterministic gradient PNG for a doc id: same dims as
+    * [[pngPayload]] but pixel (x, y) carries gray `(id + x + y) % 256` —
+    * spatial structure, so a resize's pixel SAMPLING (not just metadata)
+    * is oracle-checkable: a fake resize of a solid image would pass, a
+    * fake resize of a gradient cannot. */
+  def pngGradientPayload(docId: Long): Array[Byte] = {
+    val w = 1 + (docId % 31).toInt
+    val h = 1 + (docId % 17).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((docId + x + y) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** documents → deterministic gradient-PNG payload blobs. */
+  def toGradientPngBlobs(documents: DataFrame): Dataset[MediaBlob] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long].mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.map(id => MediaBlob(id, pngGradientPayload(id)))
+    }
+  }
+
+  /** Resize features: fixed output grid + the exact sum of sampled
+    * grays (the oracle recomputes it arithmetically). */
+  final case class ResizedMeta(
+      doc_id: Long, out_w: Int, out_h: Int, gray_sum: Long)
+
+  /** Real decode + deterministic nearest-neighbor resize to
+    * `outW × outH`: output pixel (x', y') samples source pixel
+    * (⌊x'·w/outW⌋, ⌊y'·h/outH⌋) — the standard NN mapping, exact in
+    * integer math both engines replay. Batched per-partition like every
+    * decode step; narrow, no shuffle. */
+  def resizeImages(blobs: Dataset[MediaBlob], outW: Int, outH: Int)
+      : Dataset[ResizedMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.grouped(DecodeBatchSize).flatMap(_.map { b =>
+        val img = ImageIO.read(new ByteArrayInputStream(b.content))
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var yy = 0
+        while (yy < outH) {
+          var xx = 0
+          while (xx < outW) {
+            sum += img.getRGB(xx * w / outW, yy * h / outH) & 0xff
+            xx += 1
+          }
+          yy += 1
+        }
+        ResizedMeta(b.doc_id, outW, outH, sum)
+      })
+    }
+  }
+
   /** documents.text → UTF-8 binary payload column (the stand-in for real
     * media bytes in the synthetic testdata). */
   def toBlobs(documents: DataFrame): Dataset[MediaBlob] = {

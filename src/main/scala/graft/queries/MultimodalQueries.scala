@@ -50,6 +50,26 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // Resize: gradient PNGs (pixel gray = (id+x+y) % 256) decoded and
+    // nearest-neighbor-resized to 8×8; the oracle recomputes the exact
+    // sampled-gray sum from the NN index mapping, so skipping either the
+    // decode or the per-pixel sampling cannot hash-match.
+    "td_multimodal_resize" -> QueryDef.sql(
+      "real decode + deterministic nearest-neighbor resize to 8x8")(
+      """SELECT doc_id,
+        |  CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+        |  CAST(list_sum(list_transform(range(64), k ->
+        |    (doc_id + ((k % 8) * (1 + doc_id % 31)) // 8
+        |            + ((k // 8) * (1 + doc_id % 17)) // 8) % 256))
+        |    AS BIGINT) AS gray_sum
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blobs =
+        MultimodalPipeline.toGradientPngBlobs(Tables.load(s, dir, "documents"))
+      MultimodalPipeline.resizeImages(blobs, 8, 8)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // Frame sampling: 32-byte frames, every 4th kept, digests of the
     // first and of the sampled concatenation. Payloads are ASCII, so the
     // oracle's char-based substr slicing equals the byte slicing.
