@@ -204,6 +204,37 @@ object SimilarityQueries {
         .orderBy("q_id", "rnk")
     },
 
+    // ---- Per-label element-wise centroid — the k-means/IVF TRAINING
+    // step (assignment is td_ann_ivf's job). Floating sums are
+    // order-dependent under distributed aggregation, so the centroid is
+    // computed in exact integer micro-units (round(x·1e6), the same
+    // HALF_UP both engines use for cents) — order-independent, hence
+    // hash-stable — with the mean as one final exact-int double division.
+    // Plan: posexplode → one groupBy(label, pos) with map-side partials.
+    "td_embed_centroid" -> QueryDef.sql(
+      "per-label element-wise embedding centroid in exact micro-units")(
+      """WITH vd AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+        |            FROM embeddings)
+        |SELECT label, t.k AS pos,
+        |       CAST(sum(CAST(round(vd[t.k+1]*1000000) AS BIGINT)) AS BIGINT)
+        |         AS sum_micro,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(vd[t.k+1]*1000000) AS BIGINT)) AS DOUBLE)
+        |         / count(*) AS centroid_micro
+        |FROM vd, unnest(range(len(vd))) AS t(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(round(col("x") * 1000000).cast("long")).as("sum_micro"),
+          count(lit(1)).as("n"))
+        .withColumn("centroid_micro",
+          col("sum_micro").cast("double") / col("n"))
+        .orderBy("label", "pos")
+    },
+
     // ---- ANN quality evaluation: recall@3 of the LSH-bucketed path
     // against the exact brute-force baseline, per query vector — the
     // metric that decides whether an approximate index is good enough to
