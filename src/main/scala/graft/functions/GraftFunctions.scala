@@ -55,7 +55,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => BitmapDistinctAgg(es(0), intArg(es(1), "m"))),
     (FunctionIdentifier("graft_char_ngrams"),
       info("graft_char_ngrams", classOf[CharNGrams]),
-      (es: Seq[Expression]) => CharNGrams(es(0), intArg(es(1), "n")))
+      (es: Seq[Expression]) => CharNGrams(es(0), intArg(es(1), "n"))),
+    (FunctionIdentifier("graft_spacesaving_topk"),
+      info("graft_spacesaving_topk", classOf[SpaceSavingTopKAgg]),
+      (es: Seq[Expression]) => SpaceSavingTopKAgg(es(0),
+        intArg(es(1), "capacity"), intArg(es(2), "n")))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -96,6 +100,12 @@ object GraftFunctions {
     * than n characters first. */
   def charNGrams(text: Column, n: Int): Column =
     call_function("graft_char_ngrams", text, lit(n))
+
+  /** SpaceSaving heavy-hitters: top `n` of ≤`capacity` tracked counters
+    * as `array<struct<term,cnt,err>>` (see
+    * [[graft.functions.SpaceSavingTopKAgg]]). */
+  def spaceSavingTopK(term: Column, capacity: Int, n: Int): Column =
+    call_function("graft_spacesaving_topk", term, lit(capacity), lit(n))
 
   // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
 

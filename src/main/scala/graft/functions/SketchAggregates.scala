@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType,
+  StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom typed aggregates (the `TypedImperativeAggregate` surface) for
   * mergeable sketches. Both are deterministic and exactly replayed by
@@ -149,5 +151,138 @@ case class BitmapDistinctAgg(
   override def withNewInputAggBufferOffset(o: Int): BitmapDistinctAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(newChild: Expression): BitmapDistinctAgg =
+    copy(child = newChild)
+}
+
+/** SpaceSaving heavy-hitters sketch (Metwally et al., "Efficient
+  * computation of frequent and top-k elements in data streams", ICDT'05;
+  * merge rule per Agarwal et al., "Mergeable Summaries", PODS'12):
+  * tracks at most `capacity` counters; an untracked item evicts the
+  * current minimum counter and inherits its count (+1) with that count
+  * recorded as the new counter's overestimation error. Guarantees after
+  * any stream of N items: every item with true frequency > N/capacity is
+  * tracked, and each reported count overestimates by at most its `err`
+  * (≤ N/capacity). Merging two summaries sums matching counters (counts
+  * AND errors) and prunes back to the top `capacity` — the error bounds
+  * add, so partial aggregation / map-side combine stays sound. State is
+  * O(capacity) per group regardless of input size: the bounded
+  * replacement for exact per-group `count(*)` term frequencies at
+  * 100 TB.
+  *
+  * eval() returns the top `n` tracked entries as
+  * `array<struct<term,cnt,err>>` ordered by (cnt DESC, term ASC). With
+  * `capacity` ≥ the group's distinct-item count no eviction ever fires,
+  * all errors are 0 and counts are exact — the mode the DuckDB oracle
+  * replays; eviction/error semantics are pinned by SketchAggregatesSpec
+  * at capacity 2.
+  */
+case class SpaceSavingTopKAgg(
+    child: Expression,
+    capacity: Int,
+    n: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.HashMap[String, Array[Long]]]
+  with UnaryLike[Expression] {
+  require(capacity > 0 && n > 0 && n <= capacity,
+    s"need 0 < n <= capacity, got n=$n capacity=$capacity")
+
+  private type Buf = scala.collection.mutable.HashMap[String, Array[Long]]
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.sql}")
+  }
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  override def update(buf: Buf, input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val term = v.asInstanceOf[UTF8String].toString
+      buf.get(term) match {
+        case Some(ce) => ce(0) += 1
+        case None if buf.size < capacity => buf(term) = Array(1L, 0L)
+        case None =>
+          // evict the min counter; ties broken on term for determinism.
+          // O(capacity) scan — evictions only fire once the group's
+          // distinct count exceeds capacity, and capacity is small.
+          var minK: String = null
+          var minC = Long.MaxValue
+          buf.foreach { case (k, a) =>
+            if (a(0) < minC || (a(0) == minC && (minK == null || k < minK))) {
+              minC = a(0); minK = k
+            }
+          }
+          buf.remove(minK)
+          buf(term) = Array(minC + 1, minC)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (k, ce) =>
+      a.get(k) match {
+        case Some(ae) => ae(0) += ce(0); ae(1) += ce(1)
+        case None => a(k) = ce.clone()
+      }
+    }
+    if (a.size > capacity) {
+      // prune to the top `capacity` by (count desc, term asc); dropped
+      // counters lose their (bounded) mass — the PODS'12 merge.
+      val keep = a.toSeq.sortBy { case (k, ce) => (-ce(0), k) }.take(capacity)
+      a.clear()
+      keep.foreach { case (k, ce) => a(k) = ce }
+    }
+    a
+  }
+
+  override def eval(buf: Buf): Any = {
+    val top = buf.toSeq.sortBy { case (k, ce) => (-ce(0), k) }.take(n)
+    new GenericArrayData(top.map { case (k, ce) =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(k), ce(0), ce(1))
+    })
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = buf.toSeq.map { case (k, ce) =>
+      (UTF8String.fromString(k).getBytes, ce(0), ce(1))
+    }
+    val bb = ByteBuffer.allocate(4 + entries.map(_._1.length + 20).sum)
+    bb.putInt(entries.size)
+    entries.foreach { case (kb, c, e) =>
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(c); bb.putLong(e)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Buf
+    val sz = bb.getInt()
+    var i = 0
+    while (i < sz) {
+      val kb = new Array[Byte](bb.getInt()); bb.get(kb)
+      buf(UTF8String.fromBytes(kb).toString) = Array(bb.getLong(), bb.getLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_spacesaving_topk"
+
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingTopKAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingTopKAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(newChild: Expression): SpaceSavingTopKAgg =
     copy(child = newChild)
 }

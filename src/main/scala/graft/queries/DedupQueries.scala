@@ -445,6 +445,34 @@ object DedupQueries {
         .orderBy("event_type")
     },
 
+    // ---- SpaceSaving heavy hitters: per-language top-8 most frequent
+    // words via the bounded-state mergeable sketch (state = `capacity`
+    // counters per group, NOT one per distinct term — the 100-TB
+    // replacement for exact term-frequency groupBys; see
+    // [[graft.functions.SpaceSavingTopKAgg]] for the N/capacity error
+    // bound). capacity=64 exceeds every group's distinct-word count at
+    // test SF, so counts are exact and the plain-count oracle matches;
+    // eviction semantics are spec-pinned at capacity 2.
+    "td_heavy_hitters" -> QueryDef.sql(
+      "per-language top-8 words via mergeable SpaceSaving sketch")(
+      """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |c AS (SELECT lang, term, count(*) AS cnt FROM w GROUP BY lang, term),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY lang ORDER BY cnt DESC, term) AS rk FROM c)
+        |SELECT lang, term, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(0 AS BIGINT) AS err
+        |FROM r WHERE rk <= 8 ORDER BY lang, cnt DESC, term""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), explode(words(col("text"))).as("term"))
+        .groupBy(col("lang"))
+        .agg(spaceSavingTopK(col("term"), 64, 8).as("top"))
+        .select(col("lang"), explode(col("top")).as("e"))
+        .select(col("lang"), col("e.term").as("term"),
+          col("e.cnt").as("cnt"), col("e.err").as("err"))
+        .orderBy(col("lang"), col("cnt").desc, col("term"))
+    },
+
     // ---- Embedding-cosine near-dup, IVF-style: candidates restricted to
     // the same coarse cell (here the label column stands in for a centroid
     // assignment), cosine via the codegen'd dot-product kernel.

@@ -632,6 +632,34 @@ object RelationalQueries {
         .orderBy("region", "nation")
     },
 
+    // ---- Explicit GROUPING SETS (the general form rollup/cube lower
+    // to): a hand-picked subset of the lattice — per (flag, status),
+    // per flag, per status, but NO grand total. One shuffle: Spark
+    // plans an Expand over the sets feeding a single hash aggregate,
+    // so cost scales with |sets| × input, not with extra passes.
+    "rel_grouping_sets" -> QueryDef.sql(
+      "explicit grouping-sets subset (no grand total) in one aggregate")(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("qty"))
+        .orderBy("returnflag", "linestatus")
+    },
+
     // ---- Cube (full grouping-sets lattice over two dims).
     "rel_cube" -> QueryDef.sql(
       "cube aggregation over (returnflag, linestatus)")(
