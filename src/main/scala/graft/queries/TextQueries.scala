@@ -150,6 +150,69 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Okapi BM25 top term per document (k1=1.2, b=0.75): the
+    // retrieval-grade relevance scorer — tf saturation + document-length
+    // normalization against the corpus average, idf in the RATIONAL form
+    // (N - df + 0.5)/(df + 0.5) (the argument of BM25's log; log is
+    // monotone, so ranking is identical and the score avoids
+    // libm-dependent ln for the cross-engine hash gate). Corpus stats
+    // (N, avgdl) are a one-row aggregate broadcast to every scorer —
+    // the same train-then-broadcast shape as td_lm_surprisal, so no
+    // per-row shuffle for the stats at any scale. Both engines evaluate
+    // the identical IEEE op order, so scores are bit-exact.
+    "td_bm25" -> QueryDef.sql(
+      "top BM25-scored term per doc (rational idf, broadcast corpus stats)")(
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+        |st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) AS total
+        |       FROM dl),
+        |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |        (CAST(tf.tf AS DOUBLE) * 2.2 /
+        |          (CAST(tf.tf AS DOUBLE) +
+        |           1.2 * (0.25 + 0.75 *
+        |             (CAST(dl.dl AS DOUBLE) / (st.total / st.n_docs))))) *
+        |        ((CAST(st.n_docs AS DOUBLE) - df.df + 0.5) /
+        |         (CAST(df.df AS DOUBLE) + 0.5)) AS score
+        |      FROM tf JOIN dl USING (doc_id) JOIN df USING (word)
+        |      CROSS JOIN st),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM s)
+        |SELECT doc_id, word AS top_term, CAST(tf AS BIGINT) AS tf,
+        |       CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val tf = w.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = w.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val df = w.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+      val st = dl.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("double").as("total"))
+      // op order mirrors the oracle SQL exactly — every +,*,/ is a
+      // correctly-rounded IEEE op, so identical order = identical bits
+      val norm = col("tf").cast("double") * 2.2 /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) *
+            (col("dl").cast("double") / (col("total") / col("n_docs")))))
+      val idf = (col("n_docs").cast("double") - col("df") + 0.5) /
+        (col("df").cast("double") + 0.5)
+      val win = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))
+      tf.join(dl, "doc_id").join(df, "word")
+        .crossJoin(broadcast(st))
+        .withColumn("score", norm * idf)
+        .withColumn("rk", row_number().over(win))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("word").as("top_term"),
+          col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+          col("score"))
+        .orderBy("doc_id")
+    },
+
     // ---- TF-IDF-style top term per document: explode → tf groupBy →
     // df groupBy → join → window rank. The one genuinely multi-shuffle
     // text query; score is the rational tf/df (same ranking as tf·N/df,

@@ -37,6 +37,22 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.forall(_.getInt(1) == 17))
   }
 
+  test("SpaceSaving top-k is callable from SQL and partial-aggregates") {
+    spark.range(0, 900)
+      .selectExpr("id % 3 AS g", "concat('w', CAST(id % (g + 2) AS STRING)) AS w")
+      .createOrReplaceTempView("ss_t")
+    val rows = spark.sql(
+      """SELECT g, graft_spacesaving_topk(w, 16, 2) AS top
+        |FROM ss_t GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(rows.length == 3)
+    // capacity 16 > distinct words per group (g+2 <= 4) -> exact counts:
+    // group g has 300 rows over (g+2) distinct words
+    val g0 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g0.map(r => (r.getString(0), r.getLong(1))) ==
+      Seq(("w0", 150L), ("w1", 150L)))
+    assert(g0.forall(_.getLong(2) == 0L)) // no evictions -> zero error
+  }
+
   test("wrong-typed sketch-aggregate inputs fail at analysis, not runtime") {
     spark.range(0, 10).selectExpr("CAST(id AS INT) AS iv",
       "array(CAST(id AS INT)) AS av").createOrReplaceTempView("typed_t")
