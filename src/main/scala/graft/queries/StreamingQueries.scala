@@ -190,6 +190,40 @@ object StreamingQueries {
       runToMemory(joined, "append").orderBy("click_id", "purchase_id")
     },
 
+    // ---- streaming sketch state: the SpaceSaving heavy-hitters
+    // aggregate inside a streaming groupBy — per-group state in the
+    // state store is the sketch's serialized O(capacity) counter set,
+    // NOT one entry per distinct term (the bounded-state pattern for
+    // top-k over unbounded streams). capacity=128 exceeds the 100
+    // distinct props.k values at every SF, so no eviction fires, the
+    // merged counts are exact and batch-order-independent, and the
+    // plain-count oracle matches; bounded-capacity behavior is pinned
+    // in SketchAggregatesSpec.
+    "st_heavy_hitters" -> QueryDef.sql(
+      "streaming per-event-type top-5 props.k via SpaceSaving sketch state")(
+      """WITH k AS (SELECT event_type, json_extract_string(props, 'k') AS term
+        |           FROM events),
+        |c AS (SELECT event_type, term, count(*) AS cnt
+        |      FROM k GROUP BY event_type, term),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY event_type ORDER BY cnt DESC, term) AS rk
+        |      FROM c)
+        |SELECT event_type, term, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rk <= 5
+        |ORDER BY event_type, cnt DESC, term""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").as("term"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.GraftFunctions
+          .spaceSavingTopK(col("term"), 128, 5).as("top"))
+      runToMemory(stream, "complete")
+        .select(col("event_type"), explode(col("top")).as("e"))
+        .select(col("event_type"), col("e.term").as("term"),
+          col("e.cnt").as("cnt"))
+        .orderBy(col("event_type"), col("cnt").desc, col("term"))
+    },
+
     // ---- streaming gap sessionization via flatMapGroupsWithState (the
     // custom-state operator class): same 6h gap as rel_sessionize. Both
     // sides drop each user's final session — its emission depends on a
