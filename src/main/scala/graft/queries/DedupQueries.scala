@@ -445,6 +445,84 @@ object DedupQueries {
         .orderBy("event_type")
     },
 
+    // ---- Incremental-ingest dedup: admit a NEW batch (doc_id % 5 = 4,
+    // ~20% of the corpus) against the EXISTING corpus — the shape every
+    // production pipeline actually runs per ingest, where the existing
+    // side's shingles/signatures/bands are precomputed and stored. The
+    // candidate band join is restricted to new×existing, so per-ingest
+    // cost is |batch| × collision rate — it NEVER re-pairs
+    // existing×existing (what td_dedup_* would do if re-run whole). A
+    // new doc is dropped on an exact text match with an existing doc
+    // (digest equi-join, catches <3-word texts too) or a verified
+    // near-dup (Jaccard >= 0.5) against an existing doc. Within-batch
+    // duplicates are the following full pass's job (td_dedup_corpus).
+    "td_incremental_dedup" -> QueryDef.sql(
+      "admit new batch vs existing corpus: exact + near-dup drops")(
+      s"""$ShingleCte,
+        |sig AS (SELECT doc_id, list_transform(range(8), k ->
+        |          list_min(list_transform(hs,
+        |            h -> ((2*k+3)*h + (5*k+7)) % 1000000007))) AS sig
+        |        FROM hs),
+        |bands AS (SELECT doc_id,
+        |            b::VARCHAR || '_' || sig[2*b+1]::VARCHAR || '_' ||
+        |            sig[2*b+2]::VARCHAR AS bkey
+        |          FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS n_id, y.doc_id AS e_id
+        |         FROM bands x JOIN bands y ON x.bkey = y.bkey
+        |         WHERE x.doc_id % 5 = 4 AND y.doc_id % 5 <> 4),
+        |ver AS (SELECT DISTINCT n_id FROM (
+        |          SELECT n_id,
+        |            len(list_intersect(a.hs, b.hs)) /
+        |              len(list_distinct(list_concat(a.hs, b.hs))) AS j
+        |          FROM cand JOIN hs a ON cand.n_id = a.doc_id
+        |                    JOIN hs b ON cand.e_id = b.doc_id)
+        |        WHERE j >= 0.5),
+        |ex AS (SELECT DISTINCT n.doc_id AS n_id
+        |       FROM documents n JOIN documents e
+        |         ON n.text = e.text AND e.doc_id % 5 <> 4
+        |       WHERE n.doc_id % 5 = 4)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 5 = 4
+        |  AND d.doc_id NOT IN (SELECT n_id FROM ver)
+        |  AND d.doc_id NOT IN (SELECT n_id FROM ex)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val isNew = col("doc_id") % 5 === 4
+      val sh = docs
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
+      val sig = sh.select(col("doc_id"), minhashSig(col("hs"), 8).as("sig"))
+      val bandArr = transform(sequence(lit(0), lit(3)), b =>
+        concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
+          element_at(col("sig"), b * 2 + 2)))
+      val bands = sig.select(col("doc_id"), explode(bandArr).as("bkey"))
+      val cand = bands.filter(isNew)
+        .select(col("doc_id").as("n_id"), col("bkey"))
+        .join(bands.filter(!isNew)
+          .select(col("doc_id").as("e_id"), col("bkey").as("bkey_y")),
+          col("bkey") === col("bkey_y"))
+        .select(col("n_id"), col("e_id")).distinct()
+      val ver = cand
+        .join(sh.select(col("doc_id").as("n_id"), col("hs").as("a_hs")), "n_id")
+        .join(sh.select(col("doc_id").as("e_id"), col("hs").as("b_hs")), "e_id")
+        .filter(jaccard(col("a_hs"), col("b_hs")) >= 0.5)
+        .select(col("n_id").as("doc_id")).distinct()
+      // exact text match via the fixed-width (md5, xxhash64, length)
+      // digest — same no-full-text-shuffle rationale as shingleGroups
+      val dig = struct(md5(col("text").cast("binary")),
+        xxhash64(col("text")), length(col("text"))).as("_dig")
+      val ex = docs.filter(isNew).select(col("doc_id"), dig)
+        .join(docs.filter(!isNew).select(dig), "_dig")
+        .select(col("doc_id")).distinct()
+      docs.filter(isNew)
+        .join(ver, Seq("doc_id"), "left_anti")
+        .join(ex, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // ---- SpaceSaving heavy hitters: per-language top-8 most frequent
     // words via the bounded-state mergeable sketch (state = `capacity`
     // counters per group, NOT one per distinct term — the 100-TB
