@@ -32,4 +32,41 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestSession {
       .filter(_.isDirectory).map(_.getName).toSet
     assert(langDirs.exists(_.startsWith("lang=")))
   }
+
+  test("dynamic partition overwrite replaces only the touched partitions") {
+    // the write-side half of incremental ingest: re-running one
+    // partition's backfill must not wipe the others (static overwrite
+    // truncates the whole table root; dynamic replaces only partitions
+    // present in the incoming frame — the idempotent per-partition
+    // publish at any scale)
+    val dir = Files.createTempDirectory("graft-dyn-").toString + "/docs"
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.write.partitionBy("lang").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val langs = before.select("lang").distinct().count()
+    assert(langs > 1, "fixture needs >1 partition for this test")
+    val enOnly = docs.filter(col("lang") === "en")
+      .withColumn("n_chars", col("n_chars") + 1000000)
+
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try enOnly.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+
+    val after = spark.read.parquet(dir)
+    // untouched partitions intact...
+    assert(after.select("lang").distinct().count() == langs)
+    assert(after.filter(col("lang") =!= "en").count() ==
+      docs.filter(col("lang") =!= "en").count())
+    // ...and the touched partition fully replaced, not appended
+    assert(after.filter(col("lang") === "en").count() == enOnly.count())
+    assert(after.filter(col("lang") === "en")
+      .agg(min(col("n_chars"))).head.getLong(0) >= 1000000)
+  }
 }
