@@ -44,13 +44,32 @@ object StreamingQueries {
 
   /** Run `df` (a streaming frame) to completion under AvailableNow into
     * a memory sink; returns the sink table. The temp checkpoint dir is
-    * removed by Spark on clean stop. */
+    * removed by Spark on clean stop.
+    *
+    * State-store sizing: a streaming query's state-partition count is
+    * frozen from `spark.sql.shuffle.partitions` at first start, and every
+    * micro-batch commits EVERY state store instance (a stream-stream join
+    * commits 4 per partition) — so oversized partition counts turn into
+    * pure per-batch commit fan-out, unrelated to data volume (measured
+    * here: the interval join at 32 partitions is 8.2 s vs 2.8 s at 8 for
+    * identical output). The count should track state volume, not core
+    * count: default 8 suits the fixture scale; production streams
+    * override `spark.graft.stream.statePartitions` to cluster scale. The
+    * session's global shuffle setting is restored afterwards (batch
+    * queries keep their core-count sizing). */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val sess = df.sparkSession
+    val prev = sess.conf.get("spark.sql.shuffle.partitions")
+    val stateParts = sess.conf.getOption("spark.graft.stream.statePartitions")
+      .getOrElse("8")
+    sess.conf.set("spark.sql.shuffle.partitions", stateParts)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prev)
+    sess.table(name)
   }
 
   val defs: Map[String, QueryDef] = Map(
