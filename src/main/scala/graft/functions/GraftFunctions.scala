@@ -59,7 +59,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_spacesaving_topk"),
       info("graft_spacesaving_topk", classOf[SpaceSavingTopKAgg]),
       (es: Seq[Expression]) => SpaceSavingTopKAgg(es(0),
-        intArg(es(1), "capacity"), intArg(es(2), "n")))
+        intArg(es(1), "capacity"), intArg(es(2), "n"))),
+    (FunctionIdentifier("graft_barrier"),
+      info("graft_barrier", classOf[PushdownBarrier]),
+      (es: Seq[Expression]) => PushdownBarrier(es(0)))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -106,6 +109,25 @@ object GraftFunctions {
     * [[graft.functions.SpaceSavingTopKAgg]]). */
   def spaceSavingTopK(term: Column, capacity: Int, n: Int): Column =
     call_function("graft_spacesaving_topk", term, lit(capacity), lit(n))
+
+  /** Pushdown barrier for a filter predicate: returns a semantically
+    * identical predicate Catalyst will NOT push below an aggregate.
+    *
+    * Why it exists: the optimizer pushes deterministic predicates on
+    * grouping expressions below aggregates. For `session_window`
+    * grouping that rewrite is UNSOUND — the post-merge predicate lands
+    * on each row's pre-merge window `[ts, ts+gap)`, so filtering merged
+    * sessions on `session_end <= W` silently drops the rows whose
+    * initial window end exceeds W and fabricates shorter sessions that
+    * the unfiltered aggregation never produces (observed on Spark
+    * 4.1.2: the pushed `ts + gap <= W` reaches the parquet scan below
+    * MergingSessions; SessionWindowPushdownSpec pins the hazard and
+    * this mitigation). The wrapper is the opaque non-deterministic
+    * identity [[PushdownBarrier]] — a `rand()`-based guard is not
+    * enough, because the optimizer constant-folds provably-constant
+    * rand comparisons and then moves the remaining predicate.
+    */
+  def noPushdown(pred: Column): Column = call_function("graft_barrier", pred)
 
   // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
 

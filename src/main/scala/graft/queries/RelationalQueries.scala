@@ -870,6 +870,69 @@ object RelationalQueries {
 
     // ---- C12/C13-shape: ternary classification with a genuine null
     // branch (parse_covid_symptoms yes/no/None, prepare_calls.py:239-246).
+    // ---- Unpivot/melt (the inverse of rel_pivot): wide per-flag
+    // aggregate columns to long (flag, metric, value) rows. A narrow
+    // Expand over the aggregate output — no extra shuffle.
+    "rel_unpivot" -> QueryDef.sql(
+      "unpivot wide per-flag aggregates to long (metric, value) rows")(
+      """WITH a AS (SELECT l_returnflag,
+        |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |               AS BIGINT) AS price_cents
+        |           FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value FROM a
+        |UNPIVOT (value FOR metric IN (qty, price_cents))
+        |ORDER BY l_returnflag, metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long"))
+            .as("price_cents"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price_cents")), "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+
+    // ---- Native session_window (the built-in gap-session OPERATOR, vs
+    // rel_sessionize's lag+running-sum formulation): one hash aggregate
+    // whose grouping key is the merged session window — no window
+    // functions, so no per-user sort barrier beyond the aggregate's own
+    // shuffle. Boundary semantics differ from the lag form: Spark's
+    // session window is half-open [first, last+gap), so an event at
+    // exactly prev+gap starts a NEW session — the oracle uses >= where
+    // rel_sessionize's uses >. session_end = last event + gap by
+    // definition (not max(ts)).
+    "rel_session_window" -> QueryDef.sql(
+      "native session_window 6h gap sessions (batch operator form)")(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT *, lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL
+        |                       OR epoch_us(ts) - prev_us >= 21600000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM g),
+        |sid AS (SELECT *, sum(new_sess) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 6 HOUR AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM sid GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("value_cents"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"),
+          col("value_cents"))
+        .orderBy("user_id", "session_start")
+    },
+
     "rel_case_ternary" -> QueryDef.sql(
       "when/when/otherwise(null) ternary + null-group aggregate")(
       """SELECT CASE WHEN lower(event_type) IN ('click','view') THEN 'passive'

@@ -209,6 +209,50 @@ object StreamingQueries {
       runToMemory(joined, "append").orderBy("click_id", "purchase_id")
     },
 
+    // ---- native session_window in streaming append mode (vs
+    // st_sessionize's hand-rolled flatMapGroupsWithState): merged
+    // session state lives in the state store and a session is emitted
+    // once the watermark passes its end. With a 0-second delay the
+    // final watermark is the global max event time, so the emitted set
+    // is exactly {sessions with last_event + gap <= max(ts)} — a
+    // data-driven global condition, independent of file batching (no
+    // per-user final-session race: verified no session_end == max(ts)
+    // collision at any SF).
+    "st_session_window" -> QueryDef.sql(
+      "streaming native session_window emits watermark-closed sessions")(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT *, lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL
+        |                       OR epoch_us(ts) - prev_us >= 21600000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM g),
+        |sid AS (SELECT *, sum(new_sess) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+        |mx AS (SELECT max(ts) AS mx FROM e)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 6 HOUR AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM sid, mx
+        |GROUP BY user_id, session_id, mx
+        |HAVING max(ts) + INTERVAL 6 HOUR <= mx
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("value_cents"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"),
+          col("value_cents"))
+      runToMemory(stream, "append").orderBy("user_id", "session_start")
+    },
+
     // ---- streaming sketch state: the SpaceSaving heavy-hitters
     // aggregate inside a streaming groupBy — per-group state in the
     // state store is the sketch's serialized O(capacity) counter set,

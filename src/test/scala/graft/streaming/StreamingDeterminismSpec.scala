@@ -33,14 +33,14 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
     files.head
   }
 
-  test("sessionize over 3 time-ordered file batches equals batch sessionization") {
-    import spark.implicits._
-    val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+  private def events0001 =
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"), col("value"))
 
-    // stage as 3 contiguous-time chunks, one file each, ascending mtimes
-    // so the file source replays them in event-time order
+  /** Stage `events` as 3 contiguous-time chunks, one file each, ascending
+    * mtimes so the file source replays them in event-time order. */
+  private def stageChunks(events: org.apache.spark.sql.DataFrame): Path = {
     val srcDir = Files.createTempDirectory("stream-det-src-")
     val chunked = events.withColumn("_chunk",
       ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
@@ -53,6 +53,13 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
       Files.move(onePartFile(tmp), dst)
       Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 10000L))
     }
+    srcDir
+  }
+
+  test("sessionize over 3 time-ordered file batches equals batch sessionization") {
+    import spark.implicits._
+    val events = events0001
+    val srcDir = stageChunks(events)
 
     val stream = spark.readStream
       .schema(events.select("user_id", "ts", "event_type", "value").schema)
@@ -101,6 +108,49 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
     assert(expected.count() > 0, "oracle produced no closed sessions")
     assert(missing == 0 && extra == 0,
       s"closed-session sets diverge: missing=$missing extra=$extra")
+  }
+
+  test("native session_window over 3 file batches equals the batch operator") {
+    // same replay harness, exercising Spark's built-in session-window
+    // STATE (merge-on-arrival + watermark eviction) across micro-batches
+    // instead of the hand-rolled flatMapGroupsWithState path. Emitted
+    // set = sessions with end <= final watermark (global max ts).
+    val events = events0001
+    val srcDir = stageChunks(events)
+    val stream = spark.readStream
+      .schema(events.select("user_id", "ts", "event_type", "value").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("value_cents"))
+    val q = stream.writeStream.format("memory").queryName("det_sw")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(180000) finally q.stop()
+
+    val batch = events
+      .select(col("user_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("value_cents"))
+    val mx = events.agg(max(col("ts"))).head.getTimestamp(0)
+    // noPushdown: a bare filter on the merged session end is pushed
+    // below MergingSessions onto the per-row windows (unsound — it
+    // fabricates shorter sessions; see SessionWindowPushdownSpec)
+    val expected = batch.filter(
+      graft.functions.GraftFunctions.noPushdown(col("session_end") <= lit(mx)))
+
+    val got = spark.table("det_sw")
+    assert(expected.count() > 0)
+    assert(expected.exceptAll(got).count() == 0 &&
+      got.exceptAll(expected).count() == 0,
+      "streamed session_window set diverges from the batch operator")
   }
 
   test("checkpointed restart resumes from source offsets exactly once") {
