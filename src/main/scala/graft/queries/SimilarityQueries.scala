@@ -312,6 +312,121 @@ object SimilarityQueries {
           .as("n_hits"))
         .withColumn("recall_at_3", col("n_hits").cast("double") / 3)
         .orderBy("q_id")
+    },
+
+    // ---- Product quantization + asymmetric-distance (ADC) top-k: THE
+    // memory-bounded ANN representation at 100 TB — each 64-dim vector
+    // compresses to m=4 one-byte codes (16 dims per subspace), and query
+    // distance is a table lookup per subspace, never a full-vector scan.
+    // Codebook "training" is the per-label centroid restricted to each
+    // subspace (the same deterministic label-as-cluster stand-in as
+    // td_ann_ivf / td_embed_centroid; production swaps in k-means
+    // without changing a single plan shape). Everything runs in exact
+    // micro-unit arithmetic with ascending-index prepend-0 folds, so
+    // encode codes, ADC distances, and ranks are all bit-identical
+    // cross-engine. Plan shape: encode = candidates × broadcast(40-row
+    // codebook); ADC = candidates × broadcast(queries) — no shuffle
+    // grows with the corpus except the final per-query top-k.
+    "td_ann_pq" -> QueryDef.sql(
+      "PQ(4x16) encode + asymmetric-distance top-3 per query")(
+      """WITH vd AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+        |            FROM embeddings),
+        |vm AS (SELECT vec_id, label, list_transform(vd,
+        |         x -> CAST(CAST(round(x*1000000) AS BIGINT) AS DOUBLE)) AS vm
+        |       FROM vd),
+        |cent AS (SELECT label, t.k AS pos,
+        |           CAST(sum(CAST(round(vd[t.k+1]*1000000) AS BIGINT)) AS DOUBLE)
+        |             / count(*) AS cm
+        |         FROM vd, unnest(range(len(vd))) AS t(k) GROUP BY 1, 2),
+        |cb AS (SELECT label AS code, list(cm ORDER BY pos) AS cma
+        |       FROM cent GROUP BY label),
+        |sub AS (SELECT unnest(range(4)) AS s),
+        |enc0 AS (SELECT v.vec_id, sub.s, cb.code,
+        |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(range(16),
+        |               i -> (v.vm[sub.s*16+i+1] - cb.cma[sub.s*16+i+1])
+        |                  * (v.vm[sub.s*16+i+1] - cb.cma[sub.s*16+i+1]))),
+        |             (a, b) -> a + b) AS d
+        |         FROM vm v, sub, cb),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |          SELECT *, row_number() OVER
+        |            (PARTITION BY vec_id, s ORDER BY d, code) AS rk FROM enc0)
+        |        WHERE rk = 1),
+        |qd AS (SELECT vec_id AS q_id, vm FROM vm WHERE vec_id % 50 = 0),
+        |ad0 AS (SELECT q.q_id, e.vec_id AS n_id, e.s,
+        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |            list_transform(range(16),
+        |              i -> (q.vm[e.s*16+i+1] - c.cma[e.s*16+i+1])
+        |                 * (q.vm[e.s*16+i+1] - c.cma[e.s*16+i+1]))),
+        |            (a, b) -> a + b) AS d
+        |        FROM qd q, enc e JOIN cb c ON e.code = c.code
+        |        WHERE e.vec_id <> q.q_id),
+        |adc AS (SELECT q_id, n_id,
+        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |            list(d ORDER BY s)), (a, b) -> a + b) AS adc_dist
+        |        FROM ad0 GROUP BY q_id, n_id)
+        |SELECT q_id, n_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rnk FROM adc)
+        |WHERE rnk <= 3 ORDER BY q_id, n_id""".stripMargin) { (s, dir) =>
+      val subDim = 16
+      // micro-unit vectors: exact integers in doubles
+      val vd = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("vd"))
+      val vm = vd.select(col("vec_id"), col("label"),
+        transform(col("vd"),
+          x => round(x * 1000000).cast("long").cast("double")).as("vm"))
+      // codebook: per-label centroid (micro-unit double), as one 64-dim
+      // array per code, ordered by position
+      val cb = vd
+        .select(col("label"),
+          posexplode(col("vd")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(round(col("x") * 1000000).cast("long")).cast("double") /
+          count(lit(1))).as("cm"))
+        .groupBy(col("label").as("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
+          .as("pc"))
+        .select(col("code"), transform(col("pc"), p => p("cm")).as("cma"))
+      val cbs = cb.select(explode(sequence(lit(0), lit(3))).as("s"),
+        col("code"), col("cma"))
+      // ascending-index prepend-0 fold of squared diffs on subspace s
+      def l2(a: Column, b: Column, sCol: Column): Column =
+        aggregate(
+          transform(sequence(lit(0), lit(subDim - 1)), i => {
+            val d = element_at(a, sCol * subDim + i + 1) -
+              element_at(b, sCol * subDim + i + 1)
+            d * d
+          }),
+          lit(0.0), (acc, x) => acc + x)
+      // encode: nearest code per (vector, subspace), ties to min code
+      val enc = vm.crossJoin(broadcast(cbs))
+        .select(col("vec_id"), col("s"), col("code"),
+          l2(col("vm"), col("cma"), col("s")).as("d"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min(struct(col("d"), col("code"))).as("m"))
+        .select(col("vec_id"), col("s"), col("m.code").as("code"))
+      val qd = vm.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("vm").as("qm"))
+      // ADC: per (query, candidate, subspace) distance to the candidate's
+      // code centroid, folded over subspaces in ascending order
+      val ad0 = enc
+        .join(broadcast(cbs), Seq("s", "code"))
+        .join(broadcast(qd), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"), col("s"),
+          l2(col("qm"), col("cma"), col("s")).as("d"))
+      val adc = ad0.groupBy(col("q_id"), col("n_id"))
+        .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("sd"))
+        .select(col("q_id"), col("n_id"),
+          aggregate(transform(col("sd"), p => p("d")), lit(0.0),
+            (acc, x) => acc + x).as("adc_dist"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_dist"), col("n_id"))
+      adc.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("adc_dist"), col("rnk"))
+        .orderBy("q_id", "n_id")
     }
   )
 }
