@@ -62,7 +62,10 @@ object GraftFunctions {
         intArg(es(1), "capacity"), intArg(es(2), "n"))),
     (FunctionIdentifier("graft_barrier"),
       info("graft_barrier", classOf[PushdownBarrier]),
-      (es: Seq[Expression]) => PushdownBarrier(es(0)))
+      (es: Seq[Expression]) => PushdownBarrier(es(0))),
+    (FunctionIdentifier("graft_nfc"),
+      info("graft_nfc", classOf[NfcNormalize]),
+      (es: Seq[Expression]) => NfcNormalize(es(0)))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -128,6 +131,11 @@ object GraftFunctions {
     * rand comparisons and then moves the remaining predicate.
     */
   def noPushdown(pred: Column): Column = call_function("graft_barrier", pred)
+
+  /** Unicode NFC canonical composition (see
+    * [[graft.functions.NfcNormalize]]); DuckDB parity via
+    * `nfc_normalize`. */
+  def nfc(c: Column): Column = call_function("graft_nfc", c)
 
   // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
 

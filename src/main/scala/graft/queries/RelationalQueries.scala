@@ -870,6 +870,34 @@ object RelationalQueries {
 
     // ---- C12/C13-shape: ternary classification with a genuine null
     // branch (parse_covid_symptoms yes/no/None, prepare_calls.py:239-246).
+    // ---- Fuzzy join (approximate string match): levenshtein <= 2
+    // pairs, blocked on the nation key so candidate generation is an
+    // equi-join — the edit distance only runs inside blocks, never on
+    // the n² cross product. At production scale the blocking key is a
+    // cheap q-gram / length / prefix signature with the same plan
+    // shape. Both engines implement classic Levenshtein, so distances
+    // and the survivor set agree exactly.
+    "rel_fuzzy_join" -> QueryDef.sql(
+      "levenshtein<=2 fuzzy self-join, nation-blocked candidates")(
+      """SELECT x.c_name AS a_name, y.c_name AS b_name,
+        |       CAST(levenshtein(x.c_name, y.c_name) AS INTEGER) AS dist
+        |FROM customer x JOIN customer y
+        |  ON x.c_nationkey = y.c_nationkey AND x.c_custkey < y.c_custkey
+        |WHERE levenshtein(x.c_name, y.c_name) <= 2
+        |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      val x = c.select(col("c_custkey").as("a_key"),
+        col("c_name").as("a_name"), col("c_nationkey").as("nk"))
+      val y = c.select(col("c_custkey").as("b_key"),
+        col("c_name").as("b_name"), col("c_nationkey").as("nk_y"))
+      x.join(y, col("nk") === col("nk_y") && col("a_key") < col("b_key"))
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+        .filter(col("dist") <= 2)
+        .select(col("a_name"), col("b_name"), col("dist"))
+        .orderBy("a_name", "b_name")
+    },
+
     // ---- Unpivot/melt (the inverse of rel_pivot): wide per-flag
     // aggregate columns to long (flag, metric, value) rows. A narrow
     // Expand over the aggregate output — no extra shuffle.

@@ -150,6 +150,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Unicode NFC normalization: canonical composition BEFORE
+    // hashing/dedup, so visually-identical strings ("é" composed vs
+    // "e"+U+0301 combining) produce identical digests — skipping this
+    // pass silently splits duplicate groups on real-world text. The
+    // fixture text is ASCII, so a decomposed-accent suffix is appended
+    // to make the normalization observable; the custom codegen'd
+    // [[graft.functions.NfcNormalize]] matches DuckDB's nfc_normalize
+    // byte-for-byte (both implement Unicode canonical composition).
+    "td_unicode_normalize" -> QueryDef.sql(
+      "NFC canonical composition changes lengths and digests")(
+      """SELECT doc_id,
+        |  length(text || ' cafe' || chr(769)) AS len_raw,
+        |  length(nfc_normalize(text || ' cafe' || chr(769))) AS len_nfc,
+        |  CAST(('0x'||substr(md5(nfc_normalize(text || ' cafe' || chr(769))),1,15))
+        |    AS BIGINT) AS fp_nfc
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // decomposed on purpose: 'e' + U+0301 combining acute (as an
+      // explicit escape so no editor re-composes it), matching the
+      // oracle's chr(769) — NFC has real composition work to do
+      val raw = concat(col("text"), lit(" cafe\u0301"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(raw).as("len_raw"),
+        length(nfc(raw)).as("len_nfc"),
+        hash60(nfc(raw)).as("fp_nfc"))
+        .orderBy("doc_id")
+    },
+
     // ---- Okapi BM25 top term per document (k1=1.2, b=0.75): the
     // retrieval-grade relevance scorer — tf saturation + document-length
     // normalization against the corpus average, idf in the RATIONAL form

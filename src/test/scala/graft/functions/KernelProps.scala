@@ -117,6 +117,23 @@ object KernelProps extends Properties("graft.kernels") {
     Gen.const("日本語テキスト"), Gen.const("mixed café 日本 𝔘nicode"),
     Gen.alphaNumStr, Gen.stringOfN(40, Gen.alphaLowerChar))
 
+  private val decomposable: Gen[String] = Gen.oneOf(
+    Gen.const("cafe\u0301"),            // e + combining acute
+    Gen.const("A\u030angstro\u0308m"),  // ring / diaeresis compose
+    Gen.const("d\u0307\u0323"),         // marks reorder under NFC
+    textGen)
+
+  property("NfcNormalize equals java.text.Normalizer NFC and is idempotent") =
+    forAll(decomposable) { s =>
+      def run(x: String): String = NfcNormalize(dummy)
+        .nullSafeEval(UTF8String.fromString(x))
+        .asInstanceOf[UTF8String].toString
+      val got = run(s)
+      val want = java.text.Normalizer
+        .normalize(s, java.text.Normalizer.Form.NFC)
+      Prop(got == want && run(got) == got)
+    }
+
   property("CharNGrams matches the code-point sliding-window reference") =
     forAll(textGen, Gen.choose(1, 3)) { (s, n) =>
       val got = CharNGrams(dummy, n)
