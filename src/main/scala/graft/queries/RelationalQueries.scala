@@ -870,6 +870,25 @@ object RelationalQueries {
 
     // ---- C12/C13-shape: ternary classification with a genuine null
     // branch (parse_covid_symptoms yes/no/None, prepare_calls.py:239-246).
+    // ---- Custom DataSource V2 connector (graft.sources.GraftGen): a
+    // deterministic generated table read through the full connector
+    // contract — partition planning over id slices, EXACT id-range
+    // filter pushdown (out-of-range slices never planned, no residual
+    // re-filter), and column pruning. The oracle replays the generator
+    // formula over DuckDB's range(). GraftGenSpec asserts the physical
+    // pruning; here the driver hashes the values end-to-end.
+    "rel_custom_source" -> QueryDef.sql(
+      "custom DSv2 source: pushed id range + pruned columns vs range()")(
+      """SELECT CAST(t.id AS BIGINT) AS id,
+        |       'w' || (t.id % 97) AS text,
+        |       CAST((t.id * 7) % 100 AS DOUBLE) / 10 AS val
+        |FROM range(1000, 5000) t(id) ORDER BY id""".stripMargin) { (s, dir) =>
+      s.read.format("graftgen")
+        .option("rows", "100000").option("slices", "16").load()
+        .filter(col("id") >= 1000 && col("id") < 5000)
+        .orderBy("id")
+    },
+
     // ---- Fuzzy join (approximate string match): levenshtein <= 2
     // pairs, blocked on the nation key so candidate generation is an
     // equi-join — the edit distance only runs inside blocks, never on

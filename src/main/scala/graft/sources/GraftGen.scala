@@ -1,0 +1,155 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom DataSource V2 connector: a deterministic generated table
+  * (`spark.read.format("graftgen").option("rows", N).option("slices", P)`)
+  * demonstrating the full connector contract the engine's external
+  * sources rely on —
+  *
+  *  - **partition planning**: the id space [0, rows) splits into
+  *    `slices` input partitions, each generated independently on an
+  *    executor (no driver materialization at any N);
+  *  - **filter pushdown** (`SupportsPushDownFilters`): id-range
+  *    predicates narrow the generated interval EXACTLY, whole slices
+  *    outside it are never planned, and the accepted filters are
+  *    consumed (no residual re-filter in the Spark plan);
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): readers
+  *    materialize only the requested columns.
+  *
+  * Row formula (replayed by the DuckDB oracle over `range()`):
+  * `id BIGINT, text = 'w' || (id % 97), val = ((id*7) % 100) / 10.0`.
+  * [[GraftGen.rowsGenerated]] counts generated rows so specs can assert
+  * pruning happened physically, not just in the plan.
+  */
+class GraftGen extends TableProvider
+  with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graftgen"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftGen.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GenTable
+}
+
+object GraftGen {
+  val Schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("val", DoubleType, nullable = false)))
+
+  /** Rows physically generated across all readers (test observability;
+    * local-mode executors share the JVM). */
+  val rowsGenerated = new AtomicLong
+}
+
+private class GenTable extends Table with SupportsRead {
+  override def name(): String = "graftgen"
+  override def schema(): StructType = GraftGen.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GenScanBuilder(
+      options.getLong("rows", 1000L),
+      options.getInt("slices", 8))
+}
+
+private class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = GraftGen.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ours, residual) = filters.partition {
+      case GreaterThan("id", _: java.lang.Long) => true
+      case GreaterThanOrEqual("id", _: java.lang.Long) => true
+      case LessThan("id", _: java.lang.Long) => true
+      case LessThanOrEqual("id", _: java.lang.Long) => true
+      case EqualTo("id", _: java.lang.Long) => true
+      case _ => false
+    }
+    ours.foreach {
+      case GreaterThan("id", v: java.lang.Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: java.lang.Long) =>
+        lo = math.max(lo, v)
+      case LessThan("id", v: java.lang.Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: java.lang.Long) =>
+        hi = math.min(hi, v + 1)
+      case EqualTo("id", v: java.lang.Long) =>
+        lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    accepted = ours
+    residual // id-range filters are applied EXACTLY -> no residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GenScan(lo, math.max(lo, hi), rows, slices, required)
+}
+
+private class GenScan(lo: Long, hi: Long, rows: Long, slices: Int,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftgen [$lo, $hi) of $rows, slices=$slices, " +
+      s"columns=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // fixed slice boundaries over the FULL id space (like file splits),
+    // keeping only slices intersecting the pushed range
+    val per = math.max(1L, (rows + slices - 1) / slices)
+    (0L until rows by per)
+      .map(s => (math.max(s, lo), math.min(s + per, hi)))
+      .filter { case (a, b) => a < b }
+      .map { case (a, b) => GenPartition(a, b): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required)
+}
+
+private case class GenPartition(start: Long, end: Long) extends InputPartition
+
+private class GenReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GenPartition]
+    new PartitionReader[InternalRow] {
+      private var id = gp.start - 1
+      private val fields = required.fieldNames
+      override def next(): Boolean = { id += 1; id < gp.end }
+      override def get(): InternalRow = {
+        GraftGen.rowsGenerated.incrementAndGet()
+        InternalRow.fromSeq(fields.map {
+          case "id" => id
+          case "text" => UTF8String.fromString("w" + (id % 97))
+          case "val" => ((id * 7) % 100).toDouble / 10.0
+        }.toSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
