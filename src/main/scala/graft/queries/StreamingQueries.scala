@@ -209,6 +209,25 @@ object StreamingQueries {
       runToMemory(joined, "append").orderBy("click_id", "purchase_id")
     },
 
+    // ---- the custom DSv2 connector's micro-batch half: graftgen's id
+    // space is the offset axis, admission control (rowsPerBatch=6000)
+    // bounds each batch, and AvailableNow drains [0, rows) in 4 batches
+    // through checkpointed offsets (restart exactly-once is pinned in
+    // GraftGenSpec). The emitted set is the full deterministic table,
+    // which the oracle replays over range().
+    "st_custom_source" -> QueryDef.sql(
+      "custom DSv2 micro-batch source drains offset-bounded batches")(
+      """SELECT CAST(t.id AS BIGINT) AS id,
+        |       'w' || (t.id % 97) AS text,
+        |       CAST((t.id * 7) % 100 AS DOUBLE) / 10 AS val
+        |FROM range(0, 20000) t(id) ORDER BY id""".stripMargin) { (s, dir) =>
+      Tables.pinDialect(s)
+      val stream = s.readStream.format("graftgen")
+        .option("rows", "20000").option("slices", "8")
+        .option("rowsPerBatch", "6000").load()
+      runToMemory(stream, "append").orderBy("id")
+    },
+
     // ---- native session_window in streaming append mode (vs
     // st_sessionize's hand-rolled flatMapGroupsWithState): merged
     // session state lives in the state store and a session is emitted

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -59,14 +60,17 @@ private class GenTable extends Table with SupportsRead {
   override def name(): String = "graftgen"
   override def schema(): StructType = GraftGen.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GenScanBuilder(
       options.getLong("rows", 1000L),
-      options.getInt("slices", 8))
+      options.getInt("slices", 8),
+      options.getLong("rowsPerBatch", 0L))
 }
 
-private class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
+private class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
+  extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var lo: Long = 0L
@@ -104,14 +108,16 @@ private class GenScanBuilder(rows: Long, slices: Int) extends ScanBuilder
     required = requiredSchema
 
   override def build(): Scan =
-    new GenScan(lo, math.max(lo, hi), rows, slices, required)
+    new GenScan(lo, math.max(lo, hi), rows, slices, required, rowsPerBatch)
 }
 
 private class GenScan(lo: Long, hi: Long, rows: Long, slices: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, rowsPerBatch: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GenMicroBatchStream(lo, hi, slices, required, rowsPerBatch)
   override def description(): String =
     s"graftgen [$lo, $hi) of $rows, slices=$slices, " +
       s"columns=${required.fieldNames.mkString(",")}"
@@ -132,6 +138,58 @@ private class GenScan(lo: Long, hi: Long, rows: Long, slices: Int,
 }
 
 private case class GenPartition(start: Long, end: Long) extends InputPartition
+
+/** Micro-batch half of the connector: the id space is the offset axis.
+  * Offsets are plain longs persisted in the streaming checkpoint, so a
+  * restarted query resumes exactly after the last committed id.
+  * Admission control (`rowsPerBatch`) bounds each micro-batch; with
+  * Trigger.AvailableNow the engine drains [committed, hi) in
+  * rowsPerBatch-sized batches and stops. Each batch's id interval is
+  * sliced into input partitions like the batch scan. */
+private class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    required: StructType, rowsPerBatch: Long)
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private case class GenOffset(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  // SupportsTriggerAvailableNow (extends SupportsAdmissionControl):
+  // without it, AvailableNow degrades to Trigger.Once — one unbounded
+  // batch that IGNORES the read limit. The bounded generator's "all
+  // available data" target is simply hi.
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = GenOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    GenOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit =
+    if (rowsPerBatch > 0) ReadLimit.maxRows(rowsPerBatch)
+    else ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-control latestOffset(start, limit) is the entry point")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GenOffset].v
+    limit match {
+      case mr: ReadMaxRows => GenOffset(math.min(hi, s + mr.maxRows()))
+      case _ => GenOffset(hi)
+    }
+  }
+  override def reportLatestOffset(): Offset = GenOffset(hi)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[GenOffset].v, end.asInstanceOf[GenOffset].v)
+    val per = math.max(1L, (b - a + slices - 1) / slices)
+    (a until b by per)
+      .map(s => GenPartition(s, math.min(s + per, b)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private class GenReaderFactory(required: StructType)
   extends PartitionReaderFactory {

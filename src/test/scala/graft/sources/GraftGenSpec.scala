@@ -51,4 +51,32 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.map(_.getLong(0)).toSeq == Seq(777777L))
     assert(GraftGen.rowsGenerated.get() == 1)
   }
+
+  test("micro-batch stream drains via offsets; restart is exactly-once") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graftgen-out-").toString
+    val ck = Files.createTempDirectory("graftgen-ck-").toString
+    def runOnce() = {
+      val q = spark.readStream.format("graftgen")
+        .option("rows", "1000").option("slices", "4")
+        .option("rowsPerBatch", "300").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(120000); q.recentProgress }
+      finally q.stop()
+    }
+    val progress = runOnce()
+    // admission control: 1000 rows at 300/batch -> 4 data batches
+    assert(progress.count(_.numInputRows > 0) == 4,
+      progress.map(_.numInputRows).mkString(","))
+    val first = spark.read.parquet(out)
+    assert(first.count() == 1000)
+    assert(first.agg(sum(col("id"))).head.getLong(0) == 499500L)
+    // second incarnation from the same checkpoint: offsets are committed,
+    // the bounded source is drained -> zero new rows, no re-emit
+    runOnce()
+    assert(spark.read.parquet(out).count() == 1000)
+  }
 }
