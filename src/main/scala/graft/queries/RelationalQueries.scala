@@ -911,8 +911,14 @@ object RelationalQueries {
       val y = c.select(col("c_custkey").as("b_key"),
         col("c_name").as("b_name"), col("c_nationkey").as("nk_y"))
       x.join(y, col("nk") === col("nk_y") && col("a_key") < col("b_key"))
-        .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-        .filter(col("dist") <= 2)
+        // threshold form: banded O(len·k) DP with early abandon, -1 when
+        // the distance exceeds 2 — ~20x cheaper per pair than the full
+        // O(len²) matrix on non-matches (the overwhelming majority).
+        // noPushdown keeps the filter ABOVE this projection: pushed, it
+        // lands in the join condition and the projection re-computes the
+        // distance for every surviving row — two evals per pair
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+        .filter(graft.functions.GraftFunctions.noPushdown(col("dist") >= 0))
         .select(col("a_name"), col("b_name"), col("dist"))
         .orderBy("a_name", "b_name")
     },

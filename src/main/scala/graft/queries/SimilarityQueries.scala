@@ -416,11 +416,17 @@ object SimilarityQueries {
         .join(broadcast(qd), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"), col("s"),
           l2(col("qm"), col("cma"), col("s")).as("d"))
+      // each (q, n) group holds EXACTLY one row per subspace, so four
+      // single-row conditional sums + an explicit left-associated add
+      // replace a collect_list/array_sort/fold — same bits (the oracle's
+      // ordered fold is 0+d0+d1+d2+d3), no array churn on the reducer
+      val dCols = (0 until 4).map(i =>
+        sum(when(col("s") === i, col("d"))).as(s"_d$i"))
       val adc = ad0.groupBy(col("q_id"), col("n_id"))
-        .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("sd"))
+        .agg(dCols.head, dCols.tail: _*)
         .select(col("q_id"), col("n_id"),
-          aggregate(transform(col("sd"), p => p("d")), lit(0.0),
-            (acc, x) => acc + x).as("adc_dist"))
+          (lit(0.0) + col("_d0") + col("_d1") + col("_d2") + col("_d3"))
+            .as("adc_dist"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("adc_dist"), col("n_id"))
       adc.withColumn("rnk", row_number().over(w))
