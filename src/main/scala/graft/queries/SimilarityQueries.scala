@@ -407,24 +407,33 @@ object SimilarityQueries {
         .groupBy(col("vec_id"), col("s"))
         .agg(min(struct(col("d"), col("code"))).as("m"))
         .select(col("vec_id"), col("s"), col("m.code").as("code"))
+      // one row per candidate holding its 4 codes (the compressed
+      // representation a PQ index actually stores — 4 bytes/vector)
+      val cCols = (0 until 4).map(i =>
+        min(when(col("s") === i, col("code"))).as(s"_c$i"))
+      val codes = enc.groupBy(col("vec_id")).agg(cCols.head, cCols.tail: _*)
+      // the real ADC structure: a per-query DISTANCE LOOKUP TABLE
+      // (queries × subspaces × codes = tiny) built once, then each
+      // candidate's distance is 4 broadcast hash-join lookups + an
+      // explicit left-associated add — the candidate stream never
+      // shuffles; the only shuffle left is the per-query top-k heap
+      // (TopKPerKey via the rn<=k rewrite)
       val qd = vm.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("vm").as("qm"))
-      // ADC: per (query, candidate, subspace) distance to the candidate's
-      // code centroid, folded over subspaces in ascending order
-      val ad0 = enc
-        .join(broadcast(cbs), Seq("s", "code"))
-        .join(broadcast(qd), col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"), col("s"),
+      val qdist = qd.crossJoin(broadcast(cbs))
+        .select(col("q_id"), col("s"), col("code"),
           l2(col("qm"), col("cma"), col("s")).as("d"))
-      // each (q, n) group holds EXACTLY one row per subspace, so four
-      // single-row conditional sums + an explicit left-associated add
-      // replace a collect_list/array_sort/fold — same bits (the oracle's
-      // ordered fold is 0+d0+d1+d2+d3), no array churn on the reducer
-      val dCols = (0 until 4).map(i =>
-        sum(when(col("s") === i, col("d"))).as(s"_d$i"))
-      val adc = ad0.groupBy(col("q_id"), col("n_id"))
-        .agg(dCols.head, dCols.tail: _*)
-        .select(col("q_id"), col("n_id"),
+      val lookups = (0 until 4).map(i => qdist.filter(col("s") === i)
+        .select(col("q_id").as(s"q$i"), col("code").as(s"_c$i"),
+          col("d").as(s"_d$i")))
+      val adc = lookups.zipWithIndex
+        .foldLeft(codes.crossJoin(broadcast(
+          qd.select(col("q_id"))))) { case (acc, (lk, i)) =>
+          acc.join(broadcast(lk),
+            col("q_id") === col(s"q$i") && acc(s"_c$i") === lk(s"_c$i"))
+        }
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
           (lit(0.0) + col("_d0") + col("_d1") + col("_d2") + col("_d3"))
             .as("adc_dist"))
       val w = Window.partitionBy(col("q_id"))
