@@ -412,30 +412,31 @@ object SimilarityQueries {
       val cCols = (0 until 4).map(i =>
         min(when(col("s") === i, col("code"))).as(s"_c$i"))
       val codes = enc.groupBy(col("vec_id")).agg(cCols.head, cCols.tail: _*)
-      // the real ADC structure: a per-query DISTANCE LOOKUP TABLE
-      // (queries × subspaces × codes = tiny) built once, then each
-      // candidate's distance is 4 broadcast hash-join lookups + an
-      // explicit left-associated add — the candidate stream never
-      // shuffles; the only shuffle left is the per-query top-k heap
-      // (TopKPerKey via the rn<=k rewrite)
+      // the real ADC structure: each query's DISTANCE LOOKUP TABLE
+      // (subspaces × codes = 40 doubles) is prebuilt and broadcast as
+      // one flat array indexed s*nCodes+code, so the 200M-row candidate
+      // × query enumeration is a single broadcast join + a PURE
+      // PROJECTION (4 element_at lookups + an explicit left-associated
+      // add) — no per-row hash-join probes, and the candidate stream
+      // never shuffles; the only exchange left is the per-query top-k
+      // heap (TopKPerKey via the rn<=k rewrite)
+      val nCodes = 10
       val qd = vm.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("vm").as("qm"))
-      val qdist = qd.crossJoin(broadcast(cbs))
+      val qarr = qd.crossJoin(broadcast(cbs))
         .select(col("q_id"), col("s"), col("code"),
           l2(col("qm"), col("cma"), col("s")).as("d"))
-      val lookups = (0 until 4).map(i => qdist.filter(col("s") === i)
-        .select(col("q_id").as(s"q$i"), col("code").as(s"_c$i"),
-          col("d").as(s"_d$i")))
-      val adc = lookups.zipWithIndex
-        .foldLeft(codes.crossJoin(broadcast(
-          qd.select(col("q_id"))))) { case (acc, (lk, i)) =>
-          acc.join(broadcast(lk),
-            col("q_id") === col(s"q$i") && acc(s"_c$i") === lk(s"_c$i"))
-        }
+        .groupBy(col("q_id"))
+        .agg(array_sort(collect_list(struct(col("s"), col("code"),
+          col("d")))).as("scd"))
+        .select(col("q_id"),
+          transform(col("scd"), e => e("d")).as("qdist"))
+      def lk(i: Int): Column =
+        element_at(col("qdist"), lit(i * nCodes) + col(s"_c$i") + 1)
+      val adc = codes.crossJoin(broadcast(qarr))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          (lit(0.0) + col("_d0") + col("_d1") + col("_d2") + col("_d3"))
-            .as("adc_dist"))
+          (lit(0.0) + lk(0) + lk(1) + lk(2) + lk(3)).as("adc_dist"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("adc_dist"), col("n_id"))
       adc.withColumn("rnk", row_number().over(w))

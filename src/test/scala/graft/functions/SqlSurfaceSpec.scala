@@ -17,12 +17,16 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
         |  graft_shingle_hash(array('a', 'b', 'c'), 2, 0) AS sh,
         |  graft_simhash(array(CAST(5 AS BIGINT), CAST(7 AS BIGINT)), 8) AS sim,
         |  graft_minhash(array(CAST(11 AS BIGINT), CAST(3 AS BIGINT)), 4) AS sig,
-        |  graft_char_ngrams('abcd', 2) AS ng
+        |  graft_char_ngrams('abcd', 2) AS ng,
+        |  graft_nfc('cafe' || chr(769)) AS nfc,
+        |  graft_barrier(1 < 2) AS barrier
         |""".stripMargin).collect().head
     assert(row.getDouble(0) == 11.0)
     assert(row.getSeq[Long](1).length == 2) // shingles "a b", "b c"
     assert(row.getSeq[Long](3).length == 4)
     assert(row.getSeq[String](4) == Seq("ab", "bc", "cd"))
+    assert(row.getString(5) == "caf\u00e9") // composed single code point
+    assert(row.getBoolean(6))
   }
 
   test("custom aggregates work in SQL GROUP BY with partial aggregation") {
