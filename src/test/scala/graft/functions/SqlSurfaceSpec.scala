@@ -18,7 +18,7 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
         |  graft_simhash(array(CAST(5 AS BIGINT), CAST(7 AS BIGINT)), 8) AS sim,
         |  graft_minhash(array(CAST(11 AS BIGINT), CAST(3 AS BIGINT)), 4) AS sig,
         |  graft_char_ngrams('abcd', 2) AS ng,
-        |  graft_nfc('cafe' || chr(769)) AS nfc,
+        |  graft_nfc('cafe' || decode(unhex('CC81'), 'UTF-8')) AS nfc,
         |  graft_barrier(1 < 2) AS barrier
         |""".stripMargin).collect().head
     assert(row.getDouble(0) == 11.0)
