@@ -3,10 +3,11 @@ package graft.sources
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -54,19 +55,73 @@ object GraftGen {
   /** Rows physically generated across all readers (test observability;
     * local-mode executors share the JVM). */
   val rowsGenerated = new AtomicLong
+
+  /** The write half's in-memory store, keyed by the `table` option:
+    * only rows from COMMITTED jobs appear — the driver-side
+    * `BatchWrite.commit` installs task outputs atomically, so a failed
+    * or aborted job leaves the previous table state untouched (the
+    * connector commit protocol every real sink implements over object
+    * stores / metastores). */
+  val committed = new java.util.concurrent.ConcurrentHashMap[
+    String, Vector[(Long, String, Double)]]()
 }
 
-private class GenTable extends Table with SupportsRead {
+private class GenTable extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "graftgen"
   override def schema(): StructType = GraftGen.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GenScanBuilder(
       options.getLong("rows", 1000L),
       options.getInt("slices", 8),
       options.getLong("rowsPerBatch", 0L))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GenWriteBuilder(info.options.get("table"))
+}
+
+/** Batch-write half: per-task [[GenDataWriter]]s buffer rows and ship
+  * them in their commit message; nothing becomes visible until the
+  * driver's `commit(messages)` installs the union atomically. A task
+  * abort simply drops the buffer, and `BatchWrite.abort` leaves the
+  * store untouched — GraftGenSpec pins both visibility rules by driving
+  * the writer/commit API directly. */
+private class GenWriteBuilder(table: String) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GenBatchWrite(table)
+  }
+}
+
+private[sources] class GenBatchWrite(table: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GenWriterFactory
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val all = messages.flatMap {
+      case GenCommit(rows) => rows
+      case _ => Nil
+    }.toVector
+    GraftGen.committed.merge(table, all, (a, b) => a ++ b)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private case class GenCommit(rows: Seq[(Long, String, Double)])
+  extends WriterCommitMessage
+
+private class GenWriterFactory extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GenDataWriter
+}
+
+private[sources] class GenDataWriter extends DataWriter[InternalRow] {
+  private val buf = Vector.newBuilder[(Long, String, Double)]
+  override def write(r: InternalRow): Unit =
+    buf += ((r.getLong(0), r.getUTF8String(1).toString, r.getDouble(2)))
+  override def commit(): WriterCommitMessage = GenCommit(buf.result())
+  override def abort(): Unit = buf.clear()
+  override def close(): Unit = ()
 }
 
 private class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)

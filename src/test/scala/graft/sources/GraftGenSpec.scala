@@ -52,6 +52,43 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
     assert(GraftGen.rowsGenerated.get() == 1)
   }
 
+  test("batch write goes through the commit protocol into the store") {
+    GraftGen.committed.remove("t_spec")
+    gen(500, 4).filter(col("id") < 100)
+      .write.format("graftgen").option("table", "t_spec")
+      .mode("append").save()
+    val rows = GraftGen.committed.get("t_spec")
+    assert(rows != null && rows.size == 100)
+    assert(rows.map(_._1).sorted == (0L until 100L))
+    assert(rows.forall { case (id, text, v) =>
+      text == "w" + (id % 97) && v == ((id * 7) % 100).toDouble / 10.0
+    })
+  }
+
+  test("uncommitted and aborted writer output is never visible") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    GraftGen.committed.remove("t_abort")
+    def row(id: Long) =
+      InternalRow(id, UTF8String.fromString("x"), 1.0)
+    // task writes then ABORTS: its buffer must never surface
+    val w1 = new GenDataWriter
+    w1.write(row(1)); w1.write(row(2)); w1.abort()
+    // a second task commits its message, but until the DRIVER commits
+    // the job, the store stays empty
+    val w2 = new GenDataWriter
+    w2.write(row(3))
+    val msg = w2.commit()
+    assert(!GraftGen.committed.containsKey("t_abort"))
+    // job-level abort: still nothing
+    val bw = new GenBatchWrite("t_abort")
+    bw.abort(Array(msg))
+    assert(!GraftGen.committed.containsKey("t_abort"))
+    // job-level commit installs exactly the committed task's rows
+    bw.commit(Array(msg))
+    assert(GraftGen.committed.get("t_abort").map(_._1) == Vector(3L))
+  }
+
   test("micro-batch stream drains via offsets; restart is exactly-once") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graftgen-out-").toString
