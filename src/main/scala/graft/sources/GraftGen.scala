@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -64,6 +65,13 @@ object GraftGen {
     * stores / metastores). */
   val committed = new java.util.concurrent.ConcurrentHashMap[
     String, Vector[(Long, String, Double)]]()
+
+  /** Streaming sink bookkeeping: epochs already applied per table. An
+    * epoch replayed after a failure/restart commits again with the SAME
+    * id — the idempotency ledger is what turns at-least-once delivery
+    * into exactly-once sink state. */
+  val committedEpochs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean]]()
 }
 
 private class GenTable extends Table with SupportsRead with SupportsWrite {
@@ -72,7 +80,8 @@ private class GenTable extends Table with SupportsRead with SupportsWrite {
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GenScanBuilder(
       options.getLong("rows", 1000L),
@@ -91,7 +100,36 @@ private class GenTable extends Table with SupportsRead with SupportsWrite {
 private class GenWriteBuilder(table: String) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GenBatchWrite(table)
+    override def toStreaming: StreamingWrite = new GenStreamingWrite(table)
   }
+}
+
+/** Streaming sink with IDEMPOTENT epoch commits: Structured Streaming
+  * guarantees each epoch's data is deterministic given the checkpointed
+  * offsets, but a failure between sink commit and checkpoint write
+  * means the epoch is REPLAYED — the sink must treat a repeated
+  * (epochId) commit as a no-op or state duplicates. The per-table epoch
+  * ledger here is the same pattern as the JDBC upsert sink's
+  * transactional batch-id table. */
+private[sources] class GenStreamingWrite(table: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] = new GenDataWriter
+    }
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val ledger = GraftGen.committedEpochs.computeIfAbsent(table,
+      _ => new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean]())
+    if (ledger.putIfAbsent(epochId, java.lang.Boolean.TRUE) == null) {
+      val all = messages.flatMap {
+        case GenCommit(rows) => rows
+        case _ => Nil
+      }.toVector
+      GraftGen.committed.merge(table, all, (a, b) => a ++ b)
+    } // replayed epoch: already applied, exactly-once preserved
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private[sources] class GenBatchWrite(table: String) extends BatchWrite {

@@ -89,6 +89,34 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
     assert(GraftGen.committed.get("t_abort").map(_._1) == Vector(3L))
   }
 
+  test("streaming sink commits per epoch; a replayed epoch is a no-op") {
+    import java.nio.file.Files
+    GraftGen.committed.remove("t_stream")
+    GraftGen.committedEpochs.remove("t_stream")
+    val ck = Files.createTempDirectory("graftgen-sink-ck-").toString
+    // end-to-end: custom source -> custom streaming sink, 2 data epochs
+    val q = spark.readStream.format("graftgen")
+      .option("rows", "400").option("slices", "4")
+      .option("rowsPerBatch", "200").load()
+      .writeStream.format("graftgen").option("table", "t_stream")
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination(120000) finally q.stop()
+    val rows = GraftGen.committed.get("t_stream")
+    assert(rows != null && rows.map(_._1).sorted == (0L until 400L))
+    assert(GraftGen.committedEpochs.get("t_stream").size() >= 2)
+
+    // replay an already-committed epoch (failure between sink commit and
+    // checkpoint write): the ledger makes it a no-op
+    val sw = new GenStreamingWrite("t_stream")
+    val epoch = GraftGen.committedEpochs.get("t_stream").keys()
+      .nextElement().longValue()
+    sw.commit(epoch, Array(GenCommit(Seq((999L, "dup", 0.0)))))
+    assert(GraftGen.committed.get("t_stream").size == 400,
+      "replayed epoch appended rows — sink is not idempotent")
+  }
+
   test("micro-batch stream drains via offsets; restart is exactly-once") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("graftgen-out-").toString
