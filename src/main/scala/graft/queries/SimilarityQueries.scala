@@ -29,6 +29,117 @@ object SimilarityQueries {
       |n AS (SELECT vec_id, label, vd,
       |        list_transform(vd, x -> x / nrm) AS an FROM nr)""".stripMargin
 
+  /** Oracle CTE chain for the PQ(4×16) pipeline — everything from the
+    * micro-unit vectors through per-pair ADC distances (`adc`). Prefix
+    * with `WITH vd AS (...)`; shared by td_ann_pq and
+    * td_ann_pq_recall. */
+  private val PqSqlChain =
+    """vm AS (SELECT vec_id, label, list_transform(vd,
+      |         x -> CAST(CAST(round(x*1000000) AS BIGINT) AS DOUBLE)) AS vm
+      |       FROM vd),
+      |cent AS (SELECT label, t.k AS pos,
+      |           CAST(sum(CAST(round(vd[t.k+1]*1000000) AS BIGINT)) AS DOUBLE)
+      |             / count(*) AS cm
+      |         FROM vd, unnest(range(len(vd))) AS t(k) GROUP BY 1, 2),
+      |cb AS (SELECT label AS code, list(cm ORDER BY pos) AS cma
+      |       FROM cent GROUP BY label),
+      |sub AS (SELECT unnest(range(4)) AS s),
+      |enc0 AS (SELECT v.vec_id, sub.s, cb.code,
+      |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |             list_transform(range(16),
+      |               i -> (v.vm[sub.s*16+i+1] - cb.cma[sub.s*16+i+1])
+      |                  * (v.vm[sub.s*16+i+1] - cb.cma[sub.s*16+i+1]))),
+      |             (a, b) -> a + b) AS d
+      |         FROM vm v, sub, cb),
+      |enc AS (SELECT vec_id, s, code FROM (
+      |          SELECT *, row_number() OVER
+      |            (PARTITION BY vec_id, s ORDER BY d, code) AS rk FROM enc0)
+      |        WHERE rk = 1),
+      |qd AS (SELECT vec_id AS q_id, vm FROM vm WHERE vec_id % 50 = 0),
+      |ad0 AS (SELECT q.q_id, e.vec_id AS n_id, e.s,
+      |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |            list_transform(range(16),
+      |              i -> (q.vm[e.s*16+i+1] - c.cma[e.s*16+i+1])
+      |                 * (q.vm[e.s*16+i+1] - c.cma[e.s*16+i+1]))),
+      |            (a, b) -> a + b) AS d
+      |        FROM qd q, enc e JOIN cb c ON e.code = c.code
+      |        WHERE e.vec_id <> q.q_id),
+      |adc AS (SELECT q_id, n_id,
+      |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |            list(d ORDER BY s)), (a, b) -> a + b) AS adc_dist
+      |        FROM ad0 GROUP BY q_id, n_id)""".stripMargin
+
+  /** PQ(4×16) encode + ADC top-3 per query (see td_ann_pq's doc for the
+    * plan-shape rationale); returns (q_id, n_id, adc_dist, rnk<=3). */
+  private def pqTop3(s: SparkSession, dir: String): DataFrame = {
+    val subDim = 16
+    // micro-unit vectors: exact integers in doubles
+    val vd = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vd"))
+    val vm = vd.select(col("vec_id"), col("label"),
+      transform(col("vd"),
+        x => round(x * 1000000).cast("long").cast("double")).as("vm"))
+    // codebook: per-label centroid (micro-unit double), as one 64-dim
+    // array per code, ordered by position
+    val cb = vd
+      .select(col("label"), posexplode(col("vd")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(round(col("x") * 1000000).cast("long")).cast("double") /
+        count(lit(1))).as("cm"))
+      .groupBy(col("label").as("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
+      .select(col("code"), transform(col("pc"), p => p("cm")).as("cma"))
+    val cbs = cb.select(explode(sequence(lit(0), lit(3))).as("s"),
+      col("code"), col("cma"))
+    // ascending-index prepend-0 fold of squared diffs on subspace s
+    def l2(a: Column, b: Column, sCol: Column): Column =
+      aggregate(
+        transform(sequence(lit(0), lit(subDim - 1)), i => {
+          val d = element_at(a, sCol * subDim + i + 1) -
+            element_at(b, sCol * subDim + i + 1)
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+    // encode: nearest code per (vector, subspace), ties to min code
+    val enc = vm.crossJoin(broadcast(cbs))
+      .select(col("vec_id"), col("s"), col("code"),
+        l2(col("vm"), col("cma"), col("s")).as("d"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(col("d"), col("code"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.code").as("code"))
+    // one row per candidate holding its 4 codes (the compressed
+    // representation a PQ index actually stores — 4 bytes/vector)
+    val cCols = (0 until 4).map(i =>
+      min(when(col("s") === i, col("code"))).as(s"_c$i"))
+    val codes = enc.groupBy(col("vec_id")).agg(cCols.head, cCols.tail: _*)
+    // each query's DISTANCE LOOKUP TABLE (subspaces × codes = 40
+    // doubles) broadcasts as one flat array indexed s*nCodes+code, so
+    // the candidate × query enumeration is one broadcast join + a PURE
+    // PROJECTION (4 element_at lookups + explicit left-associated add)
+    // — the candidate stream never shuffles; the only exchange is the
+    // per-query top-k heap (TopKPerKey via the rn<=k rewrite)
+    val nCodes = 10
+    val qd = vm.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("vm").as("qm"))
+    val qarr = qd.crossJoin(broadcast(cbs))
+      .select(col("q_id"), col("s"), col("code"),
+        l2(col("qm"), col("cma"), col("s")).as("d"))
+      .groupBy(col("q_id"))
+      .agg(array_sort(collect_list(struct(col("s"), col("code"),
+        col("d")))).as("scd"))
+      .select(col("q_id"), transform(col("scd"), e => e("d")).as("qdist"))
+    def lk(i: Int): Column =
+      element_at(col("qdist"), lit(i * nCodes) + col(s"_c$i") + 1)
+    val adc = codes.crossJoin(broadcast(qarr))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (lit(0.0) + lk(0) + lk(1) + lk(2) + lk(3)).as("adc_dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("n_id"))
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+  }
+
   /** 4-hyperplane random-projection bucket (16 buckets). Hyperplane j's
     * component i is the small integer ((i*37 + j*101) mod 19) - 9 — exact
     * in doubles, so the sign test is bit-deterministic cross-engine. */
@@ -329,120 +440,83 @@ object SimilarityQueries {
     // grows with the corpus except the final per-query top-k.
     "td_ann_pq" -> QueryDef.sql(
       "PQ(4x16) encode + asymmetric-distance top-3 per query")(
-      """WITH vd AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+      s"""WITH vd AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
         |            FROM embeddings),
-        |vm AS (SELECT vec_id, label, list_transform(vd,
-        |         x -> CAST(CAST(round(x*1000000) AS BIGINT) AS DOUBLE)) AS vm
-        |       FROM vd),
-        |cent AS (SELECT label, t.k AS pos,
-        |           CAST(sum(CAST(round(vd[t.k+1]*1000000) AS BIGINT)) AS DOUBLE)
-        |             / count(*) AS cm
-        |         FROM vd, unnest(range(len(vd))) AS t(k) GROUP BY 1, 2),
-        |cb AS (SELECT label AS code, list(cm ORDER BY pos) AS cma
-        |       FROM cent GROUP BY label),
-        |sub AS (SELECT unnest(range(4)) AS s),
-        |enc0 AS (SELECT v.vec_id, sub.s, cb.code,
-        |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |             list_transform(range(16),
-        |               i -> (v.vm[sub.s*16+i+1] - cb.cma[sub.s*16+i+1])
-        |                  * (v.vm[sub.s*16+i+1] - cb.cma[sub.s*16+i+1]))),
-        |             (a, b) -> a + b) AS d
-        |         FROM vm v, sub, cb),
-        |enc AS (SELECT vec_id, s, code FROM (
-        |          SELECT *, row_number() OVER
-        |            (PARTITION BY vec_id, s ORDER BY d, code) AS rk FROM enc0)
-        |        WHERE rk = 1),
-        |qd AS (SELECT vec_id AS q_id, vm FROM vm WHERE vec_id % 50 = 0),
-        |ad0 AS (SELECT q.q_id, e.vec_id AS n_id, e.s,
-        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |            list_transform(range(16),
-        |              i -> (q.vm[e.s*16+i+1] - c.cma[e.s*16+i+1])
-        |                 * (q.vm[e.s*16+i+1] - c.cma[e.s*16+i+1]))),
-        |            (a, b) -> a + b) AS d
-        |        FROM qd q, enc e JOIN cb c ON e.code = c.code
-        |        WHERE e.vec_id <> q.q_id),
-        |adc AS (SELECT q_id, n_id,
-        |          list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |            list(d ORDER BY s)), (a, b) -> a + b) AS adc_dist
-        |        FROM ad0 GROUP BY q_id, n_id)
+        |$PqSqlChain
         |SELECT q_id, n_id, adc_dist, CAST(rnk AS INTEGER) AS rnk FROM (
         |  SELECT *, row_number() OVER
         |    (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rnk FROM adc)
         |WHERE rnk <= 3 ORDER BY q_id, n_id""".stripMargin) { (s, dir) =>
-      val subDim = 16
-      // micro-unit vectors: exact integers in doubles
-      val vd = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("vd"))
-      val vm = vd.select(col("vec_id"), col("label"),
-        transform(col("vd"),
-          x => round(x * 1000000).cast("long").cast("double")).as("vm"))
-      // codebook: per-label centroid (micro-unit double), as one 64-dim
-      // array per code, ordered by position
-      val cb = vd
-        .select(col("label"),
-          posexplode(col("vd")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(round(col("x") * 1000000).cast("long")).cast("double") /
-          count(lit(1))).as("cm"))
-        .groupBy(col("label").as("code"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
-          .as("pc"))
-        .select(col("code"), transform(col("pc"), p => p("cm")).as("cma"))
-      val cbs = cb.select(explode(sequence(lit(0), lit(3))).as("s"),
-        col("code"), col("cma"))
-      // ascending-index prepend-0 fold of squared diffs on subspace s
-      def l2(a: Column, b: Column, sCol: Column): Column =
-        aggregate(
-          transform(sequence(lit(0), lit(subDim - 1)), i => {
-            val d = element_at(a, sCol * subDim + i + 1) -
-              element_at(b, sCol * subDim + i + 1)
-            d * d
-          }),
-          lit(0.0), (acc, x) => acc + x)
-      // encode: nearest code per (vector, subspace), ties to min code
-      val enc = vm.crossJoin(broadcast(cbs))
-        .select(col("vec_id"), col("s"), col("code"),
-          l2(col("vm"), col("cma"), col("s")).as("d"))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(struct(col("d"), col("code"))).as("m"))
-        .select(col("vec_id"), col("s"), col("m.code").as("code"))
-      // one row per candidate holding its 4 codes (the compressed
-      // representation a PQ index actually stores — 4 bytes/vector)
-      val cCols = (0 until 4).map(i =>
-        min(when(col("s") === i, col("code"))).as(s"_c$i"))
-      val codes = enc.groupBy(col("vec_id")).agg(cCols.head, cCols.tail: _*)
-      // the real ADC structure: each query's DISTANCE LOOKUP TABLE
-      // (subspaces × codes = 40 doubles) is prebuilt and broadcast as
-      // one flat array indexed s*nCodes+code, so the 200M-row candidate
-      // × query enumeration is a single broadcast join + a PURE
-      // PROJECTION (4 element_at lookups + an explicit left-associated
-      // add) — no per-row hash-join probes, and the candidate stream
-      // never shuffles; the only exchange left is the per-query top-k
-      // heap (TopKPerKey via the rn<=k rewrite)
-      val nCodes = 10
-      val qd = vm.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("vm").as("qm"))
-      val qarr = qd.crossJoin(broadcast(cbs))
-        .select(col("q_id"), col("s"), col("code"),
-          l2(col("qm"), col("cma"), col("s")).as("d"))
-        .groupBy(col("q_id"))
-        .agg(array_sort(collect_list(struct(col("s"), col("code"),
-          col("d")))).as("scd"))
-        .select(col("q_id"),
-          transform(col("scd"), e => e("d")).as("qdist"))
-      def lk(i: Int): Column =
-        element_at(col("qdist"), lit(i * nCodes) + col(s"_c$i") + 1)
-      val adc = codes.crossJoin(broadcast(qarr))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"),
-          (lit(0.0) + lk(0) + lk(1) + lk(2) + lk(3)).as("adc_dist"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("adc_dist"), col("n_id"))
-      adc.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 3)
+      pqTop3(s, dir)
         .select(col("q_id"), col("n_id"), col("adc_dist"), col("rnk"))
         .orderBy("q_id", "n_id")
+    },
+
+    // ---- PQ quality evaluation: recall@3 of the compressed ADC ranking
+    // vs the exact brute-force cosine top-3 — what 4-byte codes cost in
+    // answer quality (the LSH twin is td_ann_recall). Note the metrics
+    // deliberately differ (ADC = unnormalized L2 on reconstructions;
+    // brute force = cosine on unit vectors), so recall measures the
+    // production trade as deployed, not a same-metric tautology.
+    // Measured ≈0.17 mean at sf0.01: honest for a k=10-per-subspace
+    // quantizer over near-random synthetic vectors — production PQ uses
+    // k=256 codebooks from k-means, which raises recall without
+    // changing any plan shape here; the pipeline+metric is the
+    // deliverable.
+    "td_ann_pq_recall" -> QueryDef.sql(
+      "recall@3 of PQ/ADC vs exact brute-force cosine, per query")(
+      s"""WITH vd AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+        |            FROM embeddings),
+        |$PqSqlChain,
+        |pq3 AS (SELECT q_id, n_id FROM (
+        |          SELECT q_id, n_id, row_number() OVER
+        |            (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rnk
+        |          FROM adc) WHERE rnk <= 3),
+        |nr AS (SELECT vec_id, vd,
+        |         sqrt(list_reduce(list_transform(range(len(vd)),
+        |           i -> vd[i+1]*vd[i+1]), (a,b) -> a+b)) AS nrm FROM vd),
+        |nn AS (SELECT vec_id, list_transform(vd, x -> x / nrm) AS an FROM nr),
+        |bp AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*c.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM nn q JOIN nn c ON c.vec_id <> q.vec_id
+        |      WHERE q.vec_id % 50 = 0),
+        |bf AS (SELECT q_id, n_id FROM (SELECT q_id, n_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM bp)
+        |       WHERE rnk <= 3),
+        |h AS (SELECT bf.q_id AS q_id,
+        |        CASE WHEN pq3.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |      FROM bf LEFT JOIN pq3 ON bf.q_id = pq3.q_id
+        |                           AND bf.n_id = pq3.n_id)
+        |SELECT q_id, CAST(sum(hit) AS BIGINT) AS n_hits,
+        |       CAST(sum(hit) AS DOUBLE) / 3 AS recall_at_3
+        |FROM h GROUP BY q_id ORDER BY q_id""".stripMargin) { (s, dir) =>
+      val n = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast("array<double>").as("vd"))
+        .withColumn("nrm", sqrt(dot(col("vd"), col("vd"))))
+        .select(col("vec_id"), transform(col("vd"), x => x / col("nrm"))
+          .as("an"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      val q0 = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("an").as("qa"))
+      val bf = n.select(col("vec_id").as("n_id"), col("an").as("ca"))
+        .join(broadcast(q0), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          dot(col("qa"), col("ca")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"))
+      val pq3 = pqTop3(s, dir)
+        .select(col("q_id").as("pq"), col("n_id").as("pn"))
+      bf.join(pq3, col("q_id") === col("pq") && col("n_id") === col("pn"),
+          "left")
+        .groupBy(col("q_id"))
+        .agg(sum(when(col("pn").isNotNull, 1).otherwise(0)).cast("long")
+          .as("n_hits"))
+        .withColumn("recall_at_3", col("n_hits").cast("double") / 3)
+        .orderBy("q_id")
     }
   )
 }
