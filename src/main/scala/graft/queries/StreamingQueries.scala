@@ -209,6 +209,33 @@ object StreamingQueries {
       runToMemory(joined, "append").orderBy("click_id", "purchase_id")
     },
 
+    // ---- streaming ingest dedup: the arriving document stream is
+    // anti-joined against the EXISTING corpus's digest set (stream-
+    // static LEFT ANTI, static side broadcast — the remaining
+    // stream-static join class after st_static_join's inner). Exact
+    // text match via the fixed-width (md5, xxhash64, length) digest,
+    // same rationale as the batch td_incremental_dedup; stateless, so
+    // any file batching emits the same set. Within-batch duplicates are
+    // the downstream batch pass's job.
+    "st_incremental_dedup" -> QueryDef.sql(
+      "stream-static anti-join drops docs already in the corpus")(
+      """SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id % 5 = 4
+        |  AND NOT EXISTS (SELECT 1 FROM documents e
+        |                  WHERE e.doc_id % 5 <> 4 AND e.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val dig = struct(md5(col("text").cast("binary")),
+        xxhash64(col("text")), length(col("text"))).as("_dig")
+      val existing = t(s, dir, "documents")
+        .filter(col("doc_id") % 5 =!= 4).select(dig)
+      val stream = Tables.loadStream(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id"), col("lang"), col("source"), dig)
+        .join(broadcast(existing), Seq("_dig"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+      runToMemory(stream, "append").orderBy("doc_id")
+    },
+
     // ---- the custom DSv2 connector's micro-batch half: graftgen's id
     // space is the offset axis, admission control (rowsPerBatch=6000)
     // bounds each batch, and AvailableNow drains [0, rows) in 4 batches
