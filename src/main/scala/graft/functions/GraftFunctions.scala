@@ -65,7 +65,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => PushdownBarrier(es(0))),
     (FunctionIdentifier("graft_nfc"),
       info("graft_nfc", classOf[NfcNormalize]),
-      (es: Seq[Expression]) => NfcNormalize(es(0)))
+      (es: Seq[Expression]) => NfcNormalize(es(0))),
+    (FunctionIdentifier("graft_bottomk_sample"),
+      info("graft_bottomk_sample", classOf[BottomKByKeyAgg]),
+      (es: Seq[Expression]) => BottomKByKeyAgg(es(0), es(1),
+        intArg(es(2), "k")))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -136,6 +140,11 @@ object GraftFunctions {
     * [[graft.functions.NfcNormalize]]); DuckDB parity via
     * `nfc_normalize`. */
   def nfc(c: Column): Column = call_function("graft_nfc", c)
+
+  /** Deterministic bottom-k-by-hash sample per group (see
+    * [[graft.functions.BottomKByKeyAgg]]). */
+  def bottomKSample(key: Column, payload: Column, k: Int): Column =
+    call_function("graft_bottomk_sample", key, payload, lit(k))
 
   // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
 

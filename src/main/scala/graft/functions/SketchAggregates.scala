@@ -154,6 +154,101 @@ case class BitmapDistinctAgg(
     copy(child = newChild)
 }
 
+/** Bottom-k-by-key sample: keeps the k smallest (key, payload) pairs
+  * per group — with key = a uniform hash of the row, this is the
+  * standard DISTRIBUTED UNIFORM SAMPLE without replacement (bottom-k
+  * sketch): mergeable (union then trim), O(k) state per group, and —
+  * unlike rand()-based sampling — fully deterministic, so the sample is
+  * reproducible across runs/engines and the DuckDB oracle replays it
+  * with a row_number over the same hash. Also the mergeable core of
+  * KMV distinct estimation (the k-th smallest hash estimates
+  * cardinality).
+  *
+  * eval() returns `array<struct<key,payload>>` ascending by
+  * (key, payload).
+  */
+case class BottomKByKeyAgg(
+    keyChild: Expression,
+    payloadChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[scala.collection.mutable.PriorityQueue[(Long, Long)]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(k > 0, s"k must be positive, got $k")
+
+  // max-heap on (key, payload): the head is the CURRENT worst kept pair
+  private type Buf = scala.collection.mutable.PriorityQueue[(Long, Long)]
+  private val ord: Ordering[(Long, Long)] =
+    Ordering.Tuple2(Ordering.Long, Ordering.Long)
+
+  override def left: Expression = keyChild
+  override def right: Expression = payloadChild
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (keyChild.dataType, payloadChild.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (bigint, bigint), got (${a.sql}, ${b.sql})")
+    }
+
+  override def createAggregationBuffer(): Buf =
+    scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+
+  private def insert(buf: Buf, e: (Long, Long)): Unit =
+    if (buf.size < k) buf.enqueue(e)
+    else if (ord.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
+
+  override def update(buf: Buf, input: org.apache.spark.sql.catalyst.InternalRow): Buf = {
+    val kv = keyChild.eval(input)
+    val pv = payloadChild.eval(input)
+    if (kv != null && pv != null)
+      insert(buf, (kv.asInstanceOf[Long], pv.asInstanceOf[Long]))
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach(insert(a, _))
+    a
+  }
+
+  override def eval(buf: Buf): Any =
+    new GenericArrayData(buf.toSeq.sorted(ord).map { case (h, p) =>
+      org.apache.spark.sql.catalyst.InternalRow(h, p)
+    })
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = buf.toSeq
+    val bb = ByteBuffer.allocate(4 + 16 * entries.size)
+    bb.putInt(entries.size)
+    entries.foreach { case (h, p) => bb.putLong(h); bb.putLong(p) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    val n = bb.getInt()
+    (0 until n).foreach(_ => buf.enqueue((bb.getLong(), bb.getLong())))
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("payload", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bottomk_sample"
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKByKeyAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKByKeyAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BottomKByKeyAgg =
+    copy(keyChild = newLeft, payloadChild = newRight)
+}
+
 /** SpaceSaving heavy-hitters sketch (Metwally et al., "Efficient
   * computation of frequent and top-k elements in data streams", ICDT'05;
   * merge rule per Agarwal et al., "Mergeable Summaries", PODS'12):

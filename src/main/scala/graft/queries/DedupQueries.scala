@@ -523,6 +523,34 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Deterministic uniform sample via the bottom-k-by-hash sketch:
+    // per language, the 5 docs with the smallest content hashes — the
+    // distributed sample-without-replacement primitive (state = k pairs
+    // per group, mergeable by union+trim; also the KMV distinct-
+    // estimation core). Unlike rand()-based sampling the result is
+    // reproducible across runs AND engines, which is what makes sampled
+    // eval sets / debugging slices trustworthy; the oracle replays it
+    // as a row_number over the same hash.
+    "td_group_sample" -> QueryDef.sql(
+      "per-language 5-doc deterministic sample via bottom-k hash sketch")(
+      """WITH h AS (SELECT lang, doc_id,
+        |             CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS h
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM h)
+        |SELECT lang, h AS sample_hash, doc_id
+        |FROM r WHERE rk <= 5 ORDER BY lang, sample_hash, doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          hash60(col("text")).as("h"))
+        .groupBy(col("lang"))
+        .agg(bottomKSample(col("h"), col("doc_id"), 5).as("smp"))
+        .select(col("lang"), explode(col("smp")).as("e"))
+        .select(col("lang"), col("e.key").as("sample_hash"),
+          col("e.payload").as("doc_id"))
+        .orderBy("lang", "sample_hash", "doc_id")
+    },
+
     // ---- SpaceSaving heavy hitters: per-language top-8 most frequent
     // words via the bounded-state mergeable sketch (state = `capacity`
     // counters per group, NOT one per distinct term — the 100-TB

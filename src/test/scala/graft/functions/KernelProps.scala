@@ -105,6 +105,27 @@ object KernelProps extends Properties("graft.kernels") {
       Prop(agg.eval(buf) == hs.map(h => ((h % m + m) % m)).distinct.size)
     }
 
+  property("BottomKByKeyAgg merge = bottom-k of the union (mergeable sample)") =
+    forAll(Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 1000L))),
+      Gen.listOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(0L, 1000L))),
+      Gen.choose(1, 6)) { (xs, ys, k) =>
+      val agg = BottomKByKeyAgg(dummy, dummy, k)
+      def feed(items: Seq[(Long, Long)]) =
+        items.foldLeft(agg.createAggregationBuffer()) { (b, e) =>
+          if (b.size < k) b.enqueue(e)
+          else if (Ordering.Tuple2(Ordering.Long, Ordering.Long).lt(e, b.head)) {
+            b.dequeue(); b.enqueue(e)
+          }
+          b
+        }
+      val merged = agg.merge(feed(xs), feed(ys))
+      val got = agg.eval(merged).asInstanceOf[ArrayData]
+      val gotSeq = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+      }
+      Prop(gotSeq == (xs ++ ys).sorted.take(k))
+    }
+
   property("DotProduct yields null on mismatched array lengths") =
     forAll(Gen.choose(1, 10), Gen.choose(11, 20)) { (n, m) =>
       val a = new GenericArrayData(Array.fill(n)(1.0))
