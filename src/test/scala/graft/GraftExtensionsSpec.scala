@@ -31,6 +31,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |                 array(CAST(3 AS DOUBLE))) AS d""".stripMargin)
         .collect().head.getDouble(0)
       assert(dot == 6.0)
+      // every registered name resolves through the extensions path (the
+      // builders list is the single source for both wirings)
+      graft.functions.GraftFunctions.builders.foreach { case (id, _, _) =>
+        assert(spark.sessionState.functionRegistry
+          .functionExists(id), s"${id.funcName} missing via extensions")
+      }
       // the ranking-filter rewrite plans through TopKPerKey
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
