@@ -870,6 +870,34 @@ object RelationalQueries {
 
     // ---- C12/C13-shape: ternary classification with a genuine null
     // branch (parse_covid_symptoms yes/no/None, prepare_calls.py:239-246).
+    // ---- LATERAL correlated join (the per-row-subquery operator
+    // class): for each region, its top-2 customers by balance computed
+    // by a correlated ORDER BY+LIMIT subquery. Spark decorrelates this
+    // into a join + per-key ranking rather than executing the inner
+    // query once per outer row, so the declarative form survives scale;
+    // both engines run the identical SQL.
+    "rel_lateral_topk" -> QueryDef.sql(
+      "LATERAL correlated top-2 customers per region")(
+      """SELECT r.r_name, l.c_name, l.bal_cents
+        |FROM region r, LATERAL (
+        |  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE n_regionkey = r.r_regionkey
+        |  ORDER BY bal_cents DESC, c_name LIMIT 2) l
+        |ORDER BY r_name, bal_cents DESC, c_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "region").createOrReplaceTempView("region_v")
+      t(s, dir, "nation").createOrReplaceTempView("nation_v")
+      t(s, dir, "customer").createOrReplaceTempView("customer_v")
+      s.sql(
+        """SELECT r.r_name, l.c_name, l.bal_cents
+          |FROM region_v r, LATERAL (
+          |  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+          |  FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+          |  WHERE n_regionkey = r.r_regionkey
+          |  ORDER BY bal_cents DESC, c_name LIMIT 2) l
+          |ORDER BY r_name, bal_cents DESC, c_name""".stripMargin)
+    },
+
     // ---- Custom DataSource V2 connector (graft.sources.GraftGen): a
     // deterministic generated table read through the full connector
     // contract — partition planning over id slices, EXACT id-range
