@@ -83,18 +83,25 @@ object RelationalQueries {
     // ---- ORC source + sink (the second columnar format Spark ships
     // built-in): round-trips the embeddings table — including the
     // array<float> vector column, which must survive bit-exactly in a
-    // binary columnar format — against the parquet original.
+    // binary columnar format — against the parquet original. The final
+    // projection posexplodes the vector to (pos, val) rows: the driver's
+    // hash gate sorts on raw column values and cannot order a raw
+    // array<float>, so the bit-exactness claim is carried by the per-
+    // element float32 values instead (same information, driver-sortable).
     "rel_orc_roundtrip" -> QueryDef.sql(
       "ORC sink + ORC scan round trip of array<float> vectors vs parquet")(
-      """SELECT vec_id, embedding, label
-        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      """SELECT vec_id, t.k AS pos, embedding[t.k+1] AS val, label
+        |FROM embeddings, unnest(range(len(embedding))) AS t(k)
+        |ORDER BY vec_id, pos""".stripMargin) { (s, dir) =>
       val src = t(s, dir, "embeddings")
       val tmp = System.getProperty("java.io.tmpdir") +
         s"/graft_orc_roundtrip_${s.sparkContext.applicationId}"
       src.write.mode("overwrite").orc(tmp)
       s.read.schema(src.schema).orc(tmp)
-        .select(col("vec_id"), col("embedding"), col("label"))
-        .orderBy("vec_id")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "val")))
+        .select(col("vec_id"), col("pos"), col("val"), col("label"))
+        .orderBy("vec_id", "pos")
     },
 
     // ---- P1/P2/P3/P4: rename, project-with-reorder, constant + computed

@@ -33,6 +33,20 @@ class RegistrySpec extends AnyFunSuite with SparkTestSession {
       val df = q.build(spark, sfDir)
       val cols = df.columns.toSeq
       assert(cols.distinct == cols, s"duplicate columns in $name")
+      // The driver's correctness gate sorts output rows column-by-column
+      // in pandas before hashing; a raw array/map/struct column makes
+      // that sort throw ("unhashable type: numpy.ndarray" — the exact
+      // r5 rel_orc_roundtrip failure). Every registry query must emit
+      // only atomic driver-sortable types: project arrays through
+      // posexplode / to_json / a checksum before returning.
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val unsortable = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+      }
+      assert(unsortable.isEmpty,
+        s"$name emits driver-unsortable columns: ${unsortable.mkString(", ")}")
       val n = df.count()
       assert(n >= 0)
       withClue(s"$name should not be trivially empty at sf0.001: ") {
