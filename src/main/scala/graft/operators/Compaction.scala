@@ -27,9 +27,17 @@ import org.apache.spark.sql.functions.col
   * oversized partitions, so the operator composes with the standard
   * knob instead of inventing one.
   *
-  * Readers racing the swap see each partition either whole-old or
-  * whole-new (rename is atomic per partition directory) — the same
-  * contract as dynamic partition overwrite.
+  * Crash safety: the swap never deletes a copy before its replacement
+  * is live. Each old leaf is renamed aside to a `.‹leaf›.compact-bak`
+  * sibling, the new leaf renamed in, and the backups + staging dropped
+  * only after EVERY swap has succeeded — so at any crash point each
+  * partition has at least one complete copy on disk (live, backup, or
+  * staging), and a retry first restores any orphaned backup whose live
+  * leaf is missing. On failure staging is left in place for inspection
+  * or retry. Readers racing a swap can observe a leaf briefly absent
+  * between the two renames (rename itself is atomic; the pair is not) —
+  * the no-lost-data guarantee is the contract, not snapshot isolation;
+  * pause readers or use a table format with commit metadata for that.
   */
 object Compaction {
 
@@ -56,32 +64,59 @@ object Compaction {
       n
     }
 
+    // recover from a previous crashed swap: a `.‹leaf›.compact-bak`
+    // whose live leaf is missing is that partition's only copy —
+    // restore it before reading; a stale backup with a live leaf is
+    // left over from a crash after its swap completed — drop it.
+    def recoverBackups(p: Path, depth: Int): Unit =
+      if (depth < partitionCols.length && fs.exists(p))
+        fs.listStatus(p).foreach { s =>
+          val n = s.getPath.getName
+          if (s.isDirectory && n.startsWith(".") && n.endsWith(bakSuffix)) {
+            val live = new Path(p, n.drop(1).dropRight(bakSuffix.length))
+            if (!fs.exists(live))
+              require(fs.rename(s.getPath, live), s"restore $live failed")
+            else fs.delete(s.getPath, true)
+          } else if (s.isDirectory && n.contains("="))
+            recoverBackups(s.getPath, depth + 1)
+        }
+    recoverBackups(root, 0)
+
     val before = dataFiles(root)
-    try {
-      spark.read.parquet(root.toString)
-        .repartition(partitionCols.map(col): _*)
-        .write.partitionBy(partitionCols: _*)
-        .parquet(staging.toString)
+    spark.read.parquet(root.toString)
+      .repartition(partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*)
+      .parquet(staging.toString)
 
-      // swap each rewritten leaf partition dir into place: delete old,
-      // rename new. Leaf = the deepest partition level (k=v components).
-      def leafDirs(p: Path, depth: Int): Seq[Path] =
-        if (depth == partitionCols.length) Seq(p)
-        else fs.listStatus(p).toSeq
-          .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-          .flatMap(s => leafDirs(s.getPath, depth + 1))
+    // Leaf = the deepest partition level (k=v components).
+    def leafDirs(p: Path, depth: Int): Seq[Path] =
+      if (depth == partitionCols.length) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+        .flatMap(s => leafDirs(s.getPath, depth + 1))
 
-      val swapped = leafDirs(staging, 0).map { newLeaf =>
-        val rel = newLeaf.toString.stripPrefix(staging.toString)
-          .stripPrefix("/")
-        val oldLeaf = new Path(root, rel)
-        fs.delete(oldLeaf, true)
-        fs.mkdirs(oldLeaf.getParent)
-        require(fs.rename(newLeaf, oldLeaf),
-          s"rename $newLeaf -> $oldLeaf failed")
-        oldLeaf
+    // Swap: rename old aside → rename new in. Nothing is deleted until
+    // every leaf has swapped; a failure anywhere leaves backups and
+    // staging on disk for recoverBackups/retry.
+    val backups = Seq.newBuilder[Path]
+    val swapped = leafDirs(staging, 0).map { newLeaf =>
+      val rel = newLeaf.toString.stripPrefix(staging.toString)
+        .stripPrefix("/")
+      val oldLeaf = new Path(root, rel)
+      fs.mkdirs(oldLeaf.getParent)
+      if (fs.exists(oldLeaf)) {
+        val bak = new Path(oldLeaf.getParent, s".${oldLeaf.getName}$bakSuffix")
+        require(fs.rename(oldLeaf, bak), s"rename $oldLeaf -> $bak failed")
+        backups += bak
       }
-      (swapped.size, before, dataFiles(root))
-    } finally fs.delete(staging, true)
+      require(fs.rename(newLeaf, oldLeaf),
+        s"rename $newLeaf -> $oldLeaf failed")
+      oldLeaf
+    }
+    backups.result().foreach(b => fs.delete(b, true))
+    fs.delete(staging, true)
+    (swapped.size, before, dataFiles(root))
   }
+
+  private val bakSuffix = ".compact-bak"
 }

@@ -56,7 +56,17 @@ object StreamingQueries {
     * count: default 8 suits the fixture scale; production streams
     * override `spark.graft.stream.statePartitions` to cluster scale. The
     * session's global shuffle setting is restored afterwards (batch
-    * queries keep their core-count sizing). */
+    * queries keep their core-count sizing).
+    *
+    * INVARIANT: this set/restore mutates the shared session's conf, so
+    * it assumes the harness runs queries strictly sequentially (Verify,
+    * Bench, the specs, and the driver all do). A concurrent batch query
+    * on the same session during a streaming run would pick up the
+    * temporary state-partition count (or race the restore). If the
+    * harness ever goes concurrent, scope the setting with
+    * `sparkSession.newSession()` per streaming run instead — not done
+    * today because the memory-sink table and downstream joins would
+    * then live in different analyzer sessions. */
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val sess = df.sparkSession

@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
@@ -66,12 +66,19 @@ object GraftGen {
   val committed = new java.util.concurrent.ConcurrentHashMap[
     String, Vector[(Long, String, Double)]]()
 
-  /** Streaming sink bookkeeping: epochs already applied per table. An
-    * epoch replayed after a failure/restart commits again with the SAME
-    * id — the idempotency ledger is what turns at-least-once delivery
-    * into exactly-once sink state. */
+  /** Streaming sink bookkeeping: epochs already applied, keyed by
+    * (table, queryId). An epoch replayed after a failure/restart commits
+    * again with the SAME (queryId, epochId) — the idempotency ledger is
+    * what turns at-least-once delivery into exactly-once sink state.
+    * The queryId component matters: it is stable across restarts of one
+    * checkpoint but fresh for a NEW query reusing the table name, whose
+    * epochs restart at 0 — without it those commits would be silently
+    * swallowed as replays of the old query. */
   val committedEpochs = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean]]()
+
+  /** Composite ledger key; '#' cannot appear in a Spark query UUID. */
+  def ledgerKey(table: String, queryId: String): String = s"$table#$queryId"
 }
 
 private class GenTable extends Table with SupportsRead with SupportsWrite {
@@ -88,7 +95,7 @@ private class GenTable extends Table with SupportsRead with SupportsWrite {
       options.getInt("slices", 8),
       options.getLong("rowsPerBatch", 0L))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GenWriteBuilder(info.options.get("table"))
+    new GenWriteBuilder(info.options.get("table"), info.queryId())
 }
 
 /** Batch-write half: per-task [[GenDataWriter]]s buffer rows and ship
@@ -96,11 +103,20 @@ private class GenTable extends Table with SupportsRead with SupportsWrite {
   * driver's `commit(messages)` installs the union atomically. A task
   * abort simply drops the buffer, and `BatchWrite.abort` leaves the
   * store untouched — GraftGenSpec pins both visibility rules by driving
-  * the writer/commit API directly. */
-private class GenWriteBuilder(table: String) extends WriteBuilder {
+  * the writer/commit API directly.
+  *
+  * `SupportsTruncate` backs the TRUNCATE capability GenTable advertises
+  * (`mode("overwrite")` in batch, Complete output mode in streaming):
+  * a truncating commit REPLACES the table's committed state instead of
+  * appending to it. */
+private class GenWriteBuilder(table: String, queryId: String)
+  extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GenBatchWrite(table)
-    override def toStreaming: StreamingWrite = new GenStreamingWrite(table)
+    override def toBatch: BatchWrite = new GenBatchWrite(table, truncateFirst)
+    override def toStreaming: StreamingWrite =
+      new GenStreamingWrite(table, queryId, truncateFirst)
   }
 }
 
@@ -111,7 +127,8 @@ private class GenWriteBuilder(table: String) extends WriteBuilder {
   * (epochId) commit as a no-op or state duplicates. The per-table epoch
   * ledger here is the same pattern as the JDBC upsert sink's
   * transactional batch-id table. */
-private[sources] class GenStreamingWrite(table: String) extends StreamingWrite {
+private[sources] class GenStreamingWrite(table: String, queryId: String,
+    truncate: Boolean = false) extends StreamingWrite {
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new StreamingDataWriterFactory {
@@ -119,20 +136,23 @@ private[sources] class GenStreamingWrite(table: String) extends StreamingWrite {
           epochId: Long): DataWriter[InternalRow] = new GenDataWriter
     }
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val ledger = GraftGen.committedEpochs.computeIfAbsent(table,
+    val ledger = GraftGen.committedEpochs.computeIfAbsent(
+      GraftGen.ledgerKey(table, queryId),
       _ => new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Boolean]())
     if (ledger.putIfAbsent(epochId, java.lang.Boolean.TRUE) == null) {
       val all = messages.flatMap {
         case GenCommit(rows) => rows
         case _ => Nil
       }.toVector
-      GraftGen.committed.merge(table, all, (a, b) => a ++ b)
+      if (truncate) GraftGen.committed.put(table, all) // Complete mode
+      else GraftGen.committed.merge(table, all, (a, b) => a ++ b)
     } // replayed epoch: already applied, exactly-once preserved
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-private[sources] class GenBatchWrite(table: String) extends BatchWrite {
+private[sources] class GenBatchWrite(table: String,
+    truncate: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GenWriterFactory
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -140,7 +160,8 @@ private[sources] class GenBatchWrite(table: String) extends BatchWrite {
       case GenCommit(rows) => rows
       case _ => Nil
     }.toVector
-    GraftGen.committed.merge(table, all, (a, b) => a ++ b)
+    if (truncate) GraftGen.committed.put(table, all)
+    else GraftGen.committed.merge(table, all, (a, b) => a ++ b)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -50,6 +50,35 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(!parent.listFiles().exists(_.getName.contains("-compact-")))
   }
 
+  test("recovers a crashed swap: orphaned .compact-bak leaf is restored") {
+    val dir = Files.createTempDirectory("graft-compact3-").toString + "/docs"
+    val nRows = writeFragmented(dir)
+    val content = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+
+    // simulate a crash between rename-aside and rename-in: one leaf
+    // exists only as its backup; another has a stale backup alongside
+    // a live copy (crash after that leaf's swap completed)
+    val root = new java.io.File(dir)
+    val leaves = root.listFiles().filter(f => f.isDirectory &&
+      f.getName.contains("=")).sortBy(_.getName)
+    assert(leaves.length >= 2, "fixture needs >=2 lang partitions")
+    val orphan = leaves.head
+    val orphanBak = new java.io.File(root, s".${orphan.getName}.compact-bak")
+    assert(orphan.renameTo(orphanBak))
+    val stale = new java.io.File(root, s".${leaves(1).getName}.compact-bak")
+    assert(stale.mkdir())
+
+    val (swapped, _, after) =
+      Compaction.compactPartitioned(spark, dir, Seq("lang"))
+
+    assert(swapped == leaves.length) // orphan restored, then compacted
+    assert(after == leaves.length)
+    val afterDf = spark.read.parquet(dir)
+    assert(afterDf.count() == nRows)
+    assert(afterDf.orderBy("doc_id").collect().toSeq == content)
+    assert(!root.listFiles().exists(_.getName.endsWith(".compact-bak")))
+  }
+
   test("maxRecordsPerFile splits oversized partitions during compaction") {
     val dir = Files.createTempDirectory("graft-compact2-").toString + "/docs"
     writeFragmented(dir)

@@ -91,8 +91,11 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
 
   test("streaming sink commits per epoch; a replayed epoch is a no-op") {
     import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
     GraftGen.committed.remove("t_stream")
-    GraftGen.committedEpochs.remove("t_stream")
+    GraftGen.committedEpochs.keySet().asScala
+      .filter(_.startsWith("t_stream#")).toSet
+      .foreach((k: String) => GraftGen.committedEpochs.remove(k))
     val ck = Files.createTempDirectory("graftgen-sink-ck-").toString
     // end-to-end: custom source -> custom streaming sink, 2 data epochs
     val q = spark.readStream.format("graftgen")
@@ -105,16 +108,52 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
     try q.awaitTermination(120000) finally q.stop()
     val rows = GraftGen.committed.get("t_stream")
     assert(rows != null && rows.map(_._1).sorted == (0L until 400L))
-    assert(GraftGen.committedEpochs.get("t_stream").size() >= 2)
+    // the ledger is keyed (table, queryId): recover the query's key
+    val ledgerKey = GraftGen.committedEpochs.keySet().asScala
+      .find(_.startsWith("t_stream#")).get
+    assert(GraftGen.committedEpochs.get(ledgerKey).size() >= 2)
 
     // replay an already-committed epoch (failure between sink commit and
-    // checkpoint write): the ledger makes it a no-op
-    val sw = new GenStreamingWrite("t_stream")
-    val epoch = GraftGen.committedEpochs.get("t_stream").keys()
+    // checkpoint write): same queryId -> the ledger makes it a no-op
+    val queryId = ledgerKey.stripPrefix("t_stream#")
+    val sw = new GenStreamingWrite("t_stream", queryId)
+    val epoch = GraftGen.committedEpochs.get(ledgerKey).keys()
       .nextElement().longValue()
     sw.commit(epoch, Array(GenCommit(Seq((999L, "dup", 0.0)))))
     assert(GraftGen.committed.get("t_stream").size == 400,
       "replayed epoch appended rows — sink is not idempotent")
+  }
+
+  test("a NEW query reusing a table name is not swallowed as a replay") {
+    GraftGen.committed.remove("t_requeue")
+    GraftGen.committedEpochs.remove(GraftGen.ledgerKey("t_requeue", "qA"))
+    GraftGen.committedEpochs.remove(GraftGen.ledgerKey("t_requeue", "qB"))
+    // first query commits its epoch 0
+    new GenStreamingWrite("t_requeue", "qA")
+      .commit(0L, Array(GenCommit(Seq((1L, "a", 0.0)))))
+    // a different query (fresh checkpoint, epochs restart at 0) writes
+    // to the same table: must commit, not be dropped as a replay of qA
+    new GenStreamingWrite("t_requeue", "qB")
+      .commit(0L, Array(GenCommit(Seq((2L, "b", 0.0)))))
+    assert(GraftGen.committed.get("t_requeue").map(_._1).sorted ==
+      Vector(1L, 2L))
+    // while a true replay within qB is still a no-op
+    new GenStreamingWrite("t_requeue", "qB")
+      .commit(0L, Array(GenCommit(Seq((3L, "c", 0.0)))))
+    assert(GraftGen.committed.get("t_requeue").size == 2)
+  }
+
+  test("overwrite mode truncates previously committed table state") {
+    GraftGen.committed.remove("t_trunc")
+    gen(500, 4).filter(col("id") < 50)
+      .write.format("graftgen").option("table", "t_trunc")
+      .mode("append").save()
+    assert(GraftGen.committed.get("t_trunc").size == 50)
+    gen(500, 4).filter(col("id") < 20)
+      .write.format("graftgen").option("table", "t_trunc")
+      .mode("overwrite").save()
+    assert(GraftGen.committed.get("t_trunc").map(_._1).sorted ==
+      (0L until 20L), "overwrite must replace, not append")
   }
 
   test("micro-batch stream drains via offsets; restart is exactly-once") {
