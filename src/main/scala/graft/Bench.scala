@@ -79,14 +79,18 @@ object Bench {
     // to a file), then a COMPACT line LAST: the harness captures only the
     // final ~2000 chars of output, so the parseable line must be short
     // enough to survive that window — the full per-query line never did.
+    // spark.stop() runs BEFORE the compact println: Spark's shutdown
+    // logging would otherwise land after it and push it out of the
+    // tail window (r5: `parsed` came back null for exactly this
+    // reason).
     println(full)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // detail file is best-effort
-    println(compact)
     spark.stop()
+    println(compact)
   }
 
   type Res = (String, Either[String, Double], Either[String, Double], Double)
@@ -123,7 +127,7 @@ object Bench {
     val compactErrs = results.collect { case (n, Left(e), _, _) => jStr(n) + ":" + jStr(e.take(60)) }
       .take(3).mkString("{", ",", "}")
     val compact =
-      s"""{$head,"queries":$slowest,"queries_note":"10 slowest cold; totals are over succeeded queries only; full per-query detail in $outPath and the line above","errors":$compactErrs}"""
+      s"""{$head,"queries":$slowest,"queries_note":"10 slowest cold; full detail in $outPath","errors":$compactErrs}"""
     (full, compact)
   }
 }

@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
   * minhash / simhash metrics, so LSH bucket sizes and verify-join
   * fan-out grow quadratically with scale). Embedding replicas get a
   * deterministic per-replica perturbation, keeping ANN top-k
-  * non-degenerate.
+  * non-degenerate — and a per-replica LABEL suffix: the label column
+  * stands in for the IVF cell id in td_embed_neardup's blocking, and
+  * a production IVF re-trains its coarse quantizer as the corpus
+  * grows, holding CELL SIZE roughly constant while cell COUNT scales
+  * with n. Suffixing labels per replica models exactly that (cells ×
+  * scale, size constant); holding labels constant instead would grow
+  * each cell 50x and the in-cell pair volume 2500x — a fixture
+  * artifact no production index exhibits, not a design property.
   *
   * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.StressSmoke 50" }}}
   */
@@ -55,7 +62,7 @@ object StressSmoke {
         transform(col("embedding"),
           x => x + (col("rep") % 7).cast("float") * lit(0.001f))
           .as("embedding"),
-        col("label"))
+        concat(col("label"), lit("#"), col("rep")).as("label"))
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

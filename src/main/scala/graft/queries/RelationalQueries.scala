@@ -22,6 +22,123 @@ object RelationalQueries {
   /** Exact money arithmetic: 2-decimal double → integer cents. */
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Signature set for the frequency-ordered q-gram prefix filter
+    * (ED-Join, Xiao et al., VLDB 2008): one row per (name, signature
+    * gram). Stop grams — trigrams carried by more than 1/20th of the
+    * names — are removed first (standard practice in prefix-filter
+    * implementations; on low-entropy fixtures like "Customer#0000…"
+    * they are exactly the shared-prefix/padding grams whose blocks
+    * would otherwise hold every row). Each name's remaining distinct
+    * trigrams are ranked by global frequency ascending (ties by gram
+    * text — a total order both engines replay) and the q·k+1 = 7
+    * rarest kept: edit distance k=2 destroys at most q·k = 6 trigrams,
+    * so names within the threshold share a signature gram whenever
+    * their shared grams are not all stop grams (the documented recall
+    * bound of stop-gram removal — the price of bounded block sizes).
+    * Blocks therefore stay small and candidate volume near-linear
+    * (graft.tools.FuzzyStress measures the growth at 10x/50x). */
+  def fuzzySignatures(customers: DataFrame): DataFrame = {
+    val base = customers
+      .select(col("c_custkey").as("k"), col("c_name").as("n"))
+      .filter(length(col("n")) >= 3)
+    // scalar total for the integer stop-gram test tf*20 <= n_names
+    // (integer both sides: no float-threshold parity risk)
+    val nNames = base.count()
+    val grams = base
+      .select(col("k"), col("n"),
+        explode(expr("sequence(1, length(n) - 2)")).as("p"))
+      .select(col("k"), col("n"),
+        expr("substring(n, p, 3)").as("gram"))
+      .distinct()
+    // gram frequency table: ~|distinct trigrams| rows, broadcastable
+    // far beyond this scale (hash-join fallback is still one shuffle)
+    val tf = grams.groupBy("gram").agg(count(lit(1)).as("tf"))
+    grams.join(broadcast(tf), "gram")
+      .filter(col("tf") * 20 <= lit(nNames))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("tf"), col("gram"))))
+      .filter(col("rk") <= 7)
+      .select(col("k"), col("n"), col("gram"))
+  }
+
+  /** Deletion-neighborhood signatures (FastSS / SymSpell's SymDelete):
+    * every variant of `n` obtainable by deleting at most 2 characters
+    * (1 + L + L·(L−1)/2 strings — O(L²) per row, LINEAR in rows). Two
+    * strings within Levenshtein distance 2 ALWAYS share a variant
+    * (delete the edited positions from each side), so blocking on the
+    * variant is EXACT — recall 1.0, no tuning — while each variant
+    * block stays O(1) on data whose strings don't pack the edit space.
+    * This is the scale path where exactness matters more than the
+    * cheaper rare-gram prefix filter above; candidate volume tracks
+    * the true-pair volume, not n²/|gram space| (FuzzyStress contrasts
+    * all three blockings at 1x/10x/50x). */
+  def symDelSignatures(customers: DataFrame): DataFrame =
+    customers.select(col("c_custkey").as("k"), col("c_name").as("n"))
+      .select(col("k"), col("n"), explode(expr(
+        """array_distinct(concat(
+          |  array(n),
+          |  transform(sequence(1, length(n)), i ->
+          |    concat(substring(n, 1, i-1), substring(n, i+1, 10000))),
+          |  flatten(transform(sequence(1, length(n) - 1), i ->
+          |    transform(sequence(i + 1, length(n)), j ->
+          |      concat(substring(n, 1, i-1), substring(n, i+1, j-i-1),
+          |             substring(n, j+1, 10000)))))))""".stripMargin))
+        .as("variant"))
+
+  /** Exact fuzzy self-join via SymDelete blocking: equi-join on the
+    * deletion variant, dedupe, refine with banded levenshtein<=2. The
+    * result is IDENTICAL to the unblocked quadratic definition (the
+    * oracle runs exactly that), verified by the driver hash. */
+  def fuzzyJoinSymDel(customers: DataFrame): DataFrame = {
+    val sig = symDelSignatures(customers)
+    val a = sig.select(col("k").as("a_key"), col("n").as("a_name"),
+      col("variant"))
+    val b = sig.select(col("k").as("b_key"), col("n").as("b_name"),
+      col("variant").as("variant_b"))
+    a.join(b, col("variant") === col("variant_b") &&
+        col("a_key") < col("b_key"))
+      // close pairs share MANY deletion variants: dedupe before refine
+      .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"))
+      .distinct()
+      .withColumn("dist",
+        when(substring(col("a_name"), 1, 9) ===
+            substring(col("b_name"), 1, 9),
+          levenshtein(substring(col("a_name"), 10, 1000),
+            substring(col("b_name"), 10, 1000), 2))
+          .otherwise(levenshtein(col("a_name"), col("b_name"), 2)))
+      .filter(graft.functions.GraftFunctions.noPushdown(col("dist") >= 0))
+      .select(col("a_name"), col("b_name"), col("dist"))
+      .orderBy("a_name", "b_name")
+  }
+
+  /** Signature-blocked fuzzy self-join core (rel_fuzzy_join_sig; reused
+    * by graft.tools.FuzzyStress on scaled inputs). Candidate generation
+    * is an equi-join on the signature gram — block count grows with
+    * distinct name material, so pair volume stays near-linear in data
+    * size; refinement is the banded levenshtein<=2 with the common-
+    * prefix fast path (see rel_fuzzy_join's notes). */
+  def fuzzyJoinSig(customers: DataFrame): DataFrame = {
+    val sig = fuzzySignatures(customers)
+    val a = sig.select(col("k").as("a_key"), col("n").as("a_name"),
+      col("gram"))
+    val b = sig.select(col("k").as("b_key"), col("n").as("b_name"),
+      col("gram").as("gram_b"))
+    a.join(b, col("gram") === col("gram_b") && col("a_key") < col("b_key"))
+      // a pair sharing several signature grams appears once per gram
+      .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"))
+      .distinct()
+      .filter(abs(length(col("a_name")) - length(col("b_name"))) <= 2)
+      .withColumn("dist",
+        when(substring(col("a_name"), 1, 9) ===
+            substring(col("b_name"), 1, 9),
+          levenshtein(substring(col("a_name"), 10, 1000),
+            substring(col("b_name"), 10, 1000), 2))
+          .otherwise(levenshtein(col("a_name"), col("b_name"), 2)))
+      .filter(graft.functions.GraftFunctions.noPushdown(col("dist") >= 0))
+      .select(col("a_name"), col("b_name"), col("dist"))
+      .orderBy("a_name", "b_name")
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -967,6 +1084,72 @@ object RelationalQueries {
         .filter(graft.functions.GraftFunctions.noPushdown(col("dist") >= 0))
         .select(col("a_name"), col("b_name"), col("dist"))
         .orderBy("a_name", "b_name")
+    },
+
+    // ---- Fuzzy join, SIGNATURE-blocked (the 100 TB path; the nation-
+    // blocked variant above reuses a domain attribute, so its block
+    // COUNT is constant and per-block cost grows quadratically with
+    // data). Here the blocking key derives from the join attribute
+    // itself: ED-Join frequency-ordered q-gram prefix signatures with
+    // stop-gram removal — each name's 7 globally-rarest non-stop
+    // trigrams (q·k+1 with q=3, k=2). Candidates = pairs sharing a
+    // signature gram, deduped, then refined with the same banded
+    // levenshtein<=2 + prefix fast path as rel_fuzzy_join. The oracle
+    // replays the identical ranking and blocking (ties broken by gram
+    // text — a total order), so both engines see the same candidate
+    // set by construction. See fuzzySignatures/fuzzyJoinSig for the
+    // recall bound and the scale argument.
+    "rel_fuzzy_join_sig" -> QueryDef.sql(
+      "levenshtein<=2 fuzzy self-join, rare-qgram-signature-blocked")(
+      """WITH c AS (SELECT c_custkey AS k, c_name AS n FROM customer
+        |           WHERE length(c_name) >= 3),
+        |tot AS (SELECT count(*) AS ntot FROM c),
+        |g AS (SELECT DISTINCT k, n, substr(n, CAST(p AS INTEGER), 3) AS gram
+        |      FROM c, unnest(range(1, length(n) - 1)) AS t(p)),
+        |f AS (SELECT gram, count(*) AS tf FROM g GROUP BY 1),
+        |sig AS (SELECT k, n, gram FROM (
+        |          SELECT g.k, g.n, g.gram,
+        |                 row_number() OVER (PARTITION BY g.k
+        |                   ORDER BY f.tf, g.gram) AS rk
+        |          FROM g JOIN f USING (gram), tot
+        |          WHERE f.tf * 20 <= tot.ntot)
+        |        WHERE rk <= 7),
+        |cand AS (SELECT DISTINCT a.k AS ak, a.n AS an,
+        |                         b.k AS bk, b.n AS bn
+        |         FROM sig a JOIN sig b
+        |           ON a.gram = b.gram AND a.k < b.k)
+        |SELECT an AS a_name, bn AS b_name,
+        |       CAST(levenshtein(an, bn) AS INTEGER) AS dist
+        |FROM cand
+        |WHERE abs(length(an) - length(bn)) <= 2
+        |  AND levenshtein(an, bn) <= 2
+        |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
+      fuzzyJoinSig(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name")))
+    },
+
+    // ---- Fuzzy join, EXACT via deletion-neighborhood (SymDelete)
+    // blocking: the oracle is the NAIVE QUADRATIC definition (cross
+    // product + levenshtein<=2) with no blocking at all, so the green
+    // hash certifies recall 1.0 — the blocking provably lost nothing.
+    // Runs on a 10% key sample: the fixture's sequential padded ids
+    // pack the edit space so densely that the full table's TRUE pair
+    // set itself grows quadratically (no blocking can beat the
+    // output's own growth); the sample keeps the oracle's cross
+    // product and the bench cost bounded while exercising the
+    // identical plan. See symDelSignatures for the exactness argument.
+    "rel_fuzzy_join_exact" -> QueryDef.sql(
+      "exact levenshtein<=2 self-join via deletion-neighborhood blocking")(
+      """WITH c AS (SELECT c_custkey AS k, c_name AS n FROM customer
+        |           WHERE c_custkey % 10 = 0)
+        |SELECT a.n AS a_name, b.n AS b_name,
+        |       CAST(levenshtein(a.n, b.n) AS INTEGER) AS dist
+        |FROM c a JOIN c b ON a.k < b.k
+        |WHERE levenshtein(a.n, b.n) <= 2
+        |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
+      fuzzyJoinSymDel(t(s, dir, "customer")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), col("c_name")))
     },
 
     // ---- Unpivot/melt (the inverse of rel_pivot): wide per-flag

@@ -82,7 +82,67 @@ object StreamingQueries {
     sess.table(name)
   }
 
+  /** Run `df` to completion under AvailableNow through the GraftGen
+    * DSv2 STREAMING SINK (sources/GraftGen.scala: per-epoch task/driver
+    * commit protocol + (table, queryId, epochId) idempotency ledger)
+    * and return what the sink actually COMMITTED — not what a memory
+    * sink collected. This is the verification path for the write half
+    * of the connector: the driver's hash gate then certifies
+    * exactly-once-visible sink state against the batch oracle. The
+    * sink's row shape is its fixed (id BIGINT, text STRING, val DOUBLE)
+    * schema; callers project into it positionally. Same state-partition
+    * sizing discipline (and sequential-harness invariant) as
+    * runToMemory. */
+  private def runToGraftGen(df: DataFrame, table: String,
+      mode: String): DataFrame = {
+    val sess = df.sparkSession
+    graft.sources.GraftGen.committed.remove(table)
+    val prev = sess.conf.get("spark.sql.shuffle.partitions")
+    val stateParts = sess.conf.getOption("spark.graft.stream.statePartitions")
+      .getOrElse("8")
+    sess.conf.set("spark.sql.shuffle.partitions", stateParts)
+    try {
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-dsv2-sink-ck-").toString
+      val q = df.writeStream.format("graftgen").option("table", table)
+        .option("checkpointLocation", ck).outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prev)
+    val rows = graft.sources.GraftGen.committed
+      .getOrDefault(table, Vector.empty)
+    import sess.implicits._
+    sess.createDataset(rows).toDF("id", "text", "val")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ---- streaming agg written through the CUSTOM DSv2 SINK, result
+    // read back from the sink's committed store (write-half proof: the
+    // memory-sink queries above verify plans; this one verifies the
+    // connector commit protocol end-to-end — Complete mode exercises
+    // the SupportsTruncate path, each epoch atomically REPLACING the
+    // committed state, so the final store holds exactly the last
+    // epoch's full aggregate regardless of how AvailableNow batches
+    // the files; integer cents keep the sums bit-exact cross-engine).
+    "st_sink_exactly_once" -> QueryDef.sql(
+      "Complete-mode agg through the DSv2 sink commit protocol")(
+      """SELECT count(*) AS n_events, event_type,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |         AS value_cents
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+      val agg = stream.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("id"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .select(col("id"), col("event_type").as("text"),
+          col("cents").cast("double").as("val"))
+      runToGraftGen(agg, s"st_sink_${runSeq.incrementAndGet()}", "complete")
+        .select(col("id").as("n_events"), col("text").as("event_type"),
+          col("val").as("value_cents"))
+        .orderBy("event_type")
+    },
 
     // ---- streaming tumbling-window aggregation (the unbounded analogue
     // of the batch groupBy/agg): Complete mode + unbounded watermark so
