@@ -56,13 +56,16 @@ object StressSmoke {
 
     val emb = Tables.load(spark, src, "embeddings")
     val nVecs = emb.count()
+    val nLabels = emb.agg(max(col("label"))).head.getInt(0) + 1
     emb.crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("rep") * lit(nVecs)).as("vec_id"),
         transform(col("embedding"),
           x => x + (col("rep") % 7).cast("float") * lit(0.001f))
           .as("embedding"),
-        concat(col("label"), lit("#"), col("rep")).as("label"))
+        // numeric so label arithmetic (PQ's label % 10 code) still works
+        (col("label") + col("rep").cast("int") * lit(nLabels))
+          .cast("int").as("label"))
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 

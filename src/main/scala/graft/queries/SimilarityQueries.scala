@@ -37,12 +37,12 @@ object SimilarityQueries {
     """vm AS (SELECT vec_id, label, list_transform(vd,
       |         x -> CAST(CAST(round(x*1000000) AS BIGINT) AS DOUBLE)) AS vm
       |       FROM vd),
-      |cent AS (SELECT label, t.k AS pos,
+      |cent AS (SELECT label % 10 AS code, t.k AS pos,
       |           CAST(sum(CAST(round(vd[t.k+1]*1000000) AS BIGINT)) AS DOUBLE)
       |             / count(*) AS cm
       |         FROM vd, unnest(range(len(vd))) AS t(k) GROUP BY 1, 2),
-      |cb AS (SELECT label AS code, list(cm ORDER BY pos) AS cma
-      |       FROM cent GROUP BY label),
+      |cb AS (SELECT code, list(cm ORDER BY pos) AS cma
+      |       FROM cent GROUP BY code),
       |sub AS (SELECT unnest(range(4)) AS s),
       |enc0 AS (SELECT v.vec_id, sub.s, cb.code,
       |           list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -80,10 +80,17 @@ object SimilarityQueries {
     val vm = vd.select(col("vec_id"), col("label"),
       transform(col("vd"),
         x => round(x * 1000000).cast("long").cast("double")).as("vm"))
-    // codebook: per-label centroid (micro-unit double), as one 64-dim
-    // array per code, ordered by position
+    // codebook: per-code centroid (micro-unit double), as one 64-dim
+    // array per code, ordered by position. The code is label % 10: a
+    // PQ codebook's size is a FIXED design parameter (real PQ: 256
+    // codes/subspace) independent of corpus size — label cardinality
+    // may grow with the data (the stress fixture scales it with the
+    // corpus, as an IVF cell id must), and the modulus keeps the
+    // codebook, the 40-slot qdist lookup array, and the s*10+code
+    // indexing invariant. Identity on the base fixture (labels 0..9).
     val cb = vd
-      .select(col("label"), posexplode(col("vd")).as(Seq("pos", "x")))
+      .select(pmod(col("label"), lit(10)).as("label"),
+        posexplode(col("vd")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(round(col("x") * 1000000).cast("long")).cast("double") /
         count(lit(1))).as("cm"))
