@@ -1152,6 +1152,42 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name")))
     },
 
+    // ---- Z-order (Morton) clustering value — the multi-column data-
+    // layout primitive (Delta/Iceberg OPTIMIZE ZORDER BY), built from
+    // stock bit arithmetic (operators/ZOrder.scala: 4 shift/mask
+    // rounds per dimension, whole-stage-codegen'd; the layout side —
+    // repartitionByRange(zval) + sortWithinPartitions — is proven to
+    // prune parquet files on the SECOND dimension in ZOrderSpec). The
+    // oracle replays the identical spread rounds with DuckDB's integer
+    // bit ops, pinning the z-value math bit-for-bit.
+    "rel_zorder_cluster" -> QueryDef.sql(
+      "16-bit Morton z-value of (event_id, user_id) dims, exact bit math")(
+      """WITH e AS (SELECT event_id, event_id % 65536 AS a,
+        |                  user_id % 65536 AS b FROM events),
+        |t1 AS (SELECT event_id, a, b,
+        |        (a | (a << 8)) & 16711935 AS xa,
+        |        (b | (b << 8)) & 16711935 AS xb FROM e),
+        |t2 AS (SELECT event_id, a, b,
+        |        (xa | (xa << 4)) & 252645135 AS xa,
+        |        (xb | (xb << 4)) & 252645135 AS xb FROM t1),
+        |t3 AS (SELECT event_id, a, b,
+        |        (xa | (xa << 2)) & 858993459 AS xa,
+        |        (xb | (xb << 2)) & 858993459 AS xb FROM t2),
+        |t4 AS (SELECT event_id, a, b,
+        |        (xa | (xa << 1)) & 1431655765 AS xa,
+        |        (xb | (xb << 1)) & 1431655765 AS xb FROM t3)
+        |SELECT event_id, a, b, CAST(xa | (xb << 1) AS BIGINT) AS zval
+        |FROM t4 ORDER BY event_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          (col("event_id") % 65536).as("a"),
+          (col("user_id") % 65536).as("b"))
+        .withColumn("zval",
+          graft.operators.ZOrder.zValue(col("a"), col("b")))
+        .select(col("event_id"), col("a"), col("b"), col("zval"))
+        .orderBy("event_id")
+    },
+
     // ---- Unpivot/melt (the inverse of rel_pivot): wide per-flag
     // aggregate columns to long (flag, metric, value) rows. A narrow
     // Expand over the aggregate output — no extra shuffle.
