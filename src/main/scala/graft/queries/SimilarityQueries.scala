@@ -69,9 +69,9 @@ object SimilarityQueries {
       |            list(d ORDER BY s)), (a, b) -> a + b) AS adc_dist
       |        FROM ad0 GROUP BY q_id, n_id)""".stripMargin
 
-  /** PQ(4×16) encode + ADC top-3 per query (see td_ann_pq's doc for the
-    * plan-shape rationale); returns (q_id, n_id, adc_dist, rnk<=3). */
-  private def pqTop3(s: SparkSession, dir: String): DataFrame = {
+  /** PQ(4×16) encode + ADC top-k per query (see td_ann_pq's doc for the
+    * plan-shape rationale); returns (q_id, n_id, adc_dist, rnk<=k). */
+  private def pqTop3(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val subDim = 16
     // micro-unit vectors: exact integers in doubles
     val vd = Tables.load(s, dir, "embeddings")
@@ -144,7 +144,7 @@ object SimilarityQueries {
         (lit(0.0) + lk(0) + lk(1) + lk(2) + lk(3)).as("adc_dist"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_dist"), col("n_id"))
-    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+    adc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** 4-hyperplane random-projection bucket (16 buckets). Hyperplane j's
@@ -237,6 +237,54 @@ object SimilarityQueries {
         .filter(col("rnk") <= 3)
         .select(col("q_id"), col("rnk"), col("n_id"), col("cell"),
           col("cosine"))
+        .orderBy("q_id", "rnk")
+    },
+
+    // ---- Two-stage retrieval: PQ/ADC SHORTLIST (top-20 on 4-byte
+    // codes — the cheap first pass over the whole corpus) then EXACT
+    // cosine RE-RANK of only the shortlist (full vectors touched for
+    // 20 candidates/query instead of n). This is the production ANN
+    // serving pattern (FAISS IVF-PQ + refine, ScaNN reordering): at
+    // 100 TB the exact pass reads ~q·20 vectors — the expensive fetch
+    // is proportional to the answer size, not the corpus. Plan: the
+    // shortlist is a broadcastable (q × 20)-row frame; both joins
+    // back to the vector table broadcast the small side, so the only
+    // shuffle is the ADC top-k heap itself.
+    "td_ann_pq_rerank" -> QueryDef.sql(
+      "PQ/ADC top-20 shortlist re-ranked by exact cosine to top-3")(
+      s"""WITH vd AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+        |            FROM embeddings),
+        |$PqSqlChain,
+        |sl AS (SELECT q_id, n_id FROM (
+        |         SELECT q_id, n_id, row_number() OVER
+        |           (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rnk
+        |         FROM adc) WHERE rnk <= 20),
+        |nr AS (SELECT vec_id, vd,
+        |         sqrt(list_reduce(list_transform(range(len(vd)),
+        |           i -> vd[i+1]*vd[i+1]), (a,b) -> a+b)) AS nrm FROM vd),
+        |nn AS (SELECT vec_id, list_transform(vd, x -> x / nrm) AS an FROM nr),
+        |ex AS (SELECT sl.q_id, sl.n_id,
+        |         list_reduce(list_transform(range(len(q.an)),
+        |           i -> q.an[i+1]*c.an[i+1]), (a,b) -> a+b) AS cosine
+        |       FROM sl JOIN nn q ON q.vec_id = sl.q_id
+        |                JOIN nn c ON c.vec_id = sl.n_id)
+        |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, n_id, cosine FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM ex)
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      val short = pqTop3(s, dir, 20).select(col("q_id"), col("n_id"))
+      val n = DedupQueries.normalizedEmbeddings(s, dir)
+      val cv = n.select(col("vec_id").as("n_id"), col("an").as("ca"))
+      val qv = n.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("an").as("qa"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id"))
+      cv.join(broadcast(short), "n_id")
+        .join(broadcast(qv), "q_id")
+        .select(col("q_id"), col("n_id"), dot(col("qa"), col("ca")).as("cosine"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("n_id"), col("cosine"))
         .orderBy("q_id", "rnk")
     },
 

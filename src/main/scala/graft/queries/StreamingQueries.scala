@@ -144,6 +144,25 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // ---- APPEND-mode sibling of st_sink_exactly_once: a stateless
+    // per-row stream through the same DSv2 sink, committed epoch by
+    // epoch via the merge path of the ledger (no truncate). The
+    // committed store must hold EVERY event exactly once regardless of
+    // how AvailableNow slices the files into epochs — the hash against
+    // the batch oracle certifies no epoch was dropped or double-
+    // applied.
+    "st_sink_append" -> QueryDef.sql(
+      "append-mode row stream through the DSv2 sink, exactly-once union")(
+      """SELECT event_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val rows = Tables.loadStream(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      runToGraftGen(rows, s"st_sink_${runSeq.incrementAndGet()}", "append")
+        .select(col("id").as("event_id"), col("text").as("event_type"),
+          col("val").as("value"))
+        .orderBy("event_id")
+    },
+
     // ---- streaming tumbling-window aggregation (the unbounded analogue
     // of the batch groupBy/agg): Complete mode + unbounded watermark so
     // the result is independent of file batching.

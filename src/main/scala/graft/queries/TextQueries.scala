@@ -126,6 +126,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Context-window chunking: split each document into fixed-size
+    // overlapping character windows (500 chars, stride 400 — 100-char
+    // overlap so no token sequence is cut without a duplicate home),
+    // the preprocessing step that turns variable-length documents into
+    // training-window candidates. A narrow explode: output rows ∝
+    // total corpus characters / stride, each carrying its 60-bit
+    // window hash for downstream window-level dedup. No shuffle except
+    // the presentation sort.
+    "td_chunk_windows" -> QueryDef.sql(
+      "overlapping 500-char windows (stride 400) with window hashes")(
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) > 0),
+        |w AS (SELECT doc_id, CAST(t.i AS INTEGER) AS win_idx,
+        |        CAST(t.i*400 + 1 AS BIGINT) AS win_start,
+        |        substr(text, CAST(t.i*400 + 1 AS INTEGER), 500) AS wtext
+        |      FROM d, unnest(range((len-1)//400 + 1)) AS t(i))
+        |SELECT doc_id, win_idx, win_start,
+        |       CAST(length(wtext) AS BIGINT) AS win_len,
+        |       CAST(('0x'||substr(md5(wtext),1,15)) AS BIGINT) AS win_h60
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr(
+            "sequence(0, cast((length(text)-1) div 400 as int))"))
+            .as("win_idx"))
+        .withColumn("wtext", expr("substring(text, win_idx*400 + 1, 500)"))
+        .select(col("doc_id"), col("win_idx"),
+          (col("win_idx") * 400L + 1L).as("win_start"),
+          length(col("wtext")).cast("long").as("win_len"),
+          hash60(col("wtext")).as("win_h60"))
+        .orderBy("doc_id", "win_idx")
+    },
+
     // ---- Token counting: whitespace tokens, distinct tokens, and a
     // BPE-ish fixed-width regex chunking ([a-z]{1,4} greedy max-munch —
     // identical under Java regex and RE2).
