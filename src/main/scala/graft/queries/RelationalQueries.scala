@@ -1152,6 +1152,40 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name")))
     },
 
+    // ---- Recursive CTE (Spark 4's WITH RECURSIVE front door, new in
+    // 4.x): the hierarchy-walk pattern (org charts, category trees,
+    // BOM explosions) as an iterative fixpoint over a derived parent
+    // edge parent(n) = n div 2 — each nation key walks to the root
+    // with its depth. Both engines run their native recursive-CTE
+    // executors (Spark: UnionLoop; DuckDB: recursive pipeline); the
+    // registry build goes through spark.sql TEXT, exercising the
+    // parser path. Scale: each iteration is a distributed self-step on
+    // the frontier; depth is log2(maxKey), so the loop count is
+    // bounded and tiny regardless of row count.
+    "rel_recursive_cte" -> QueryDef.sql(
+      "WITH RECURSIVE hierarchy walk: depth of each nation key to root")(
+      """WITH RECURSIVE walk(start_key, cur, depth) AS (
+        |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+        |         CAST(0 AS BIGINT)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT start_key, cur // 2, depth + 1 FROM walk WHERE cur > 0
+        |)
+        |SELECT start_key, CAST(max(depth) AS BIGINT) AS depth_to_root
+        |FROM walk GROUP BY start_key ORDER BY start_key""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """WITH RECURSIVE walk(start_key, cur, depth) AS (
+          |  SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+          |         CAST(0 AS BIGINT)
+          |  FROM nation
+          |  UNION ALL
+          |  SELECT start_key, cur DIV 2, depth + 1 FROM walk WHERE cur > 0
+          |)
+          |SELECT start_key, CAST(max(depth) AS BIGINT) AS depth_to_root
+          |FROM walk GROUP BY start_key ORDER BY start_key""".stripMargin)
+    },
+
     // ---- Z-order (Morton) clustering value — the multi-column data-
     // layout primitive (Delta/Iceberg OPTIMIZE ZORDER BY), built from
     // stock bit arithmetic (operators/ZOrder.scala: 4 shift/mask

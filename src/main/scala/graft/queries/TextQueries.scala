@@ -126,6 +126,88 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- Histogram quantiles: p50/p95/p99 of the event value per
+    // event_type via FIXED 1-unit bins — the deterministic, mergeable,
+    // bounded-state percentile path at 100 TB (per-group state ≤ 1024
+    // counters; map-side partial aggregation does the heavy lifting;
+    // exact-rank quantiles need a full sort, and probabilistic sketches
+    // like t-digest/KLL are merge-order-dependent, so neither can be
+    // hash-gated cross-engine). Quantile = smallest bin whose
+    // cumulative count reaches ceil(q·total), tested in pure integer
+    // arithmetic (cum·100 >= q·total) — no float threshold to diverge.
+    "td_quantile_hist" -> QueryDef.sql(
+      "fixed-bin histogram p50/p95/p99 of value per event_type")(
+      """WITH b AS (SELECT event_type,
+        |             CAST(least(floor(value), 1023) AS BIGINT) AS bin,
+        |             count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, n,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |        sum(n) OVER (PARTITION BY event_type) AS total
+        |      FROM b)
+        |SELECT event_type,
+        |  CAST(min(CASE WHEN cum*100 >= 50*total THEN bin END) AS BIGINT)
+        |    AS p50_bin,
+        |  CAST(min(CASE WHEN cum*100 >= 95*total THEN bin END) AS BIGINT)
+        |    AS p95_bin,
+        |  CAST(min(CASE WHEN cum*100 >= 99*total THEN bin END) AS BIGINT)
+        |    AS p99_bin
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val b = t(s, dir, "events")
+        .select(col("event_type"),
+          least(floor(col("value")), lit(1023)).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val c = b
+        .withColumn("cum", sum(col("n")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+        .withColumn("total", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+      def q(p: Int): Column =
+        min(when(col("cum") * 100 >= lit(p) * col("total"), col("bin")))
+          .as(s"p${p}_bin")
+      c.groupBy(col("event_type"))
+        .agg(q(50), q(95), q(99))
+        .orderBy("event_type")
+    },
+
+    // ---- Funnel conversion: per user, the first 'signup' event and
+    // the first 'purchase' STRICTLY AFTER it — the ordered-sequence
+    // analytics primitive (conversion funnels, A→B paths). Two narrow
+    // filtered aggregations joined on the user key: no window over the
+    // full event stream, so it scales as two shuffles on user_id with
+    // map-side partial mins. Timestamp order is total per user within
+    // the fixture (event ids tie-break not needed for min()).
+    "td_funnel_convert" -> QueryDef.sql(
+      "first signup and first purchase-after-signup per user")(
+      """WITH e AS (SELECT user_id, lower(event_type) AS et,
+        |                  CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, min(ts) AS first_signup
+        |      FROM e WHERE et = 'signup' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase_after
+        |      FROM e JOIN s ON e.user_id = s.user_id
+        |      WHERE e.et = 'purchase' AND e.ts > s.first_signup
+        |      GROUP BY e.user_id)
+        |SELECT s.user_id, s.first_signup, p.first_purchase_after
+        |FROM s LEFT JOIN p ON s.user_id = p.user_id
+        |ORDER BY s.user_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), lower(col("event_type")).as("et"),
+          col("ts"))
+      val su = e.filter(col("et") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+      val pu = e.filter(col("et") === "purchase")
+        .join(su, "user_id")
+        .filter(col("ts") > col("first_signup"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_purchase_after"))
+      su.join(pu, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_signup"),
+          col("first_purchase_after"))
+        .orderBy("user_id")
+    },
+
     // ---- Context-window chunking: split each document into fixed-size
     // overlapping character windows (500 chars, stride 400 — 100-char
     // overlap so no token sequence is cut without a duplicate home),
