@@ -144,6 +144,52 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // ---- Streaming histogram quantiles: the fixed-bin counts run AS
+    // THE STREAMING STATE (a Complete-mode groupBy over (type, bin) —
+    // bounded at ≤1024 counters per type regardless of stream length,
+    // the same state-discipline argument as st_heavy_hitters), and the
+    // p50/p95/p99 extraction is a tiny batch window over the final
+    // sink table. Integer counts make the result independent of
+    // micro-batch slicing; the oracle is the batch histogram-quantile
+    // definition (same as td_quantile_hist).
+    "st_quantile_hist" -> QueryDef.sql(
+      "streaming fixed-bin histogram state -> p50/p95/p99 per type")(
+      """WITH b AS (SELECT event_type,
+        |             CAST(least(floor(value), 1023) AS BIGINT) AS bin,
+        |             count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |c AS (SELECT event_type, bin, n,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |        sum(n) OVER (PARTITION BY event_type) AS total
+        |      FROM b)
+        |SELECT event_type,
+        |  CAST(min(CASE WHEN cum*100 >= 50*total THEN bin END) AS BIGINT)
+        |    AS p50_bin,
+        |  CAST(min(CASE WHEN cum*100 >= 95*total THEN bin END) AS BIGINT)
+        |    AS p95_bin,
+        |  CAST(min(CASE WHEN cum*100 >= 99*total THEN bin END) AS BIGINT)
+        |    AS p99_bin
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bins = Tables.loadStream(s, dir, "events")
+        .select(col("event_type"),
+          least(floor(col("value")), lit(1023)).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val table = runToMemory(bins, "complete")
+      val c = table
+        .withColumn("cum", sum(col("n")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+        .withColumn("total", sum(col("n")).over(
+          Window.partitionBy(col("event_type"))))
+      def q(p: Int) =
+        min(when(col("cum") * 100 >= lit(p) * col("total"), col("bin")))
+          .as(s"p${p}_bin")
+      c.groupBy(col("event_type"))
+        .agg(q(50), q(95), q(99))
+        .orderBy("event_type")
+    },
+
     // ---- APPEND-mode sibling of st_sink_exactly_once: a stateless
     // per-row stream through the same DSv2 sink, committed epoch by
     // epoch via the merge path of the ledger (no truncate). The
