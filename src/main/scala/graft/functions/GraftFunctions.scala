@@ -69,7 +69,14 @@ object GraftFunctions {
     (FunctionIdentifier("graft_bottomk_sample"),
       info("graft_bottomk_sample", classOf[BottomKByKeyAgg]),
       (es: Seq[Expression]) => BottomKByKeyAgg(es(0), es(1),
-        intArg(es(2), "k")))
+        intArg(es(2), "k"))),
+    (FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg", classOf[BloomFilterAgg]),
+      (es: Seq[Expression]) => BloomFilterAgg(es(0),
+        intArg(es(1), "numBits"), intArg(es(2), "numHashes"))),
+    (FunctionIdentifier("graft_bloom_contains"),
+      info("graft_bloom_contains", classOf[BloomMightContain]),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1)))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -145,6 +152,16 @@ object GraftFunctions {
     * [[graft.functions.BottomKByKeyAgg]]). */
   def bottomKSample(key: Column, payload: Column, k: Int): Column =
     call_function("graft_bottomk_sample", key, payload, lit(k))
+
+  /** Mergeable Bloom-filter sketch of a bigint key column (see
+    * [[graft.functions.BloomFilterAgg]]). */
+  def bloomAgg(key: Column, numBits: Int, numHashes: Int): Column =
+    call_function("graft_bloom_agg", key, lit(numBits), lit(numHashes))
+
+  /** Codegen'd Bloom probe: false ⇒ key definitely not in the sketch's
+    * build set (see [[graft.functions.BloomMightContain]]). */
+  def bloomContains(sketch: Column, key: Column): Column =
+    call_function("graft_bloom_contains", sketch, key)
 
   // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
 

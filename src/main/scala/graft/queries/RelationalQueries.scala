@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -338,6 +339,158 @@ object RelationalQueries {
         .groupBy(col("event_type"))
         .agg(sum(col("pn")).as("n"), sum(col("pc")).as("value_cents"))
         .orderBy("event_type")
+    },
+
+    // ---- Bloom-filter semi-join pruning (runtime-filter pattern):
+    // aggregate the filtered dim's keys into a mergeable 64 Kbit Bloom
+    // sketch (one 8 KB row), broadcast it, and drop non-matching fact
+    // rows BEFORE the join — at 100 TB the sketch probe runs inside the
+    // fact scan's codegen stage and the exact join only sees the
+    // ~matching fraction (+ a bounded false-positive trickle). No false
+    // negatives ⇒ result is exactly the plain semi join, which is the
+    // oracle. Spark's own runtime bloom injection
+    // (spark.sql.optimizer.runtime.bloomFilter) does this implicitly
+    // for shuffle joins; the explicit aggregate also serves incremental
+    // pipelines that persist the sketch between runs.
+    "rel_bloom_join" -> QueryDef.sql(
+      "Bloom-pruned fact⋈dim semi join + aggregate")(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_cents
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      // The sketch rides a SCALAR SUBQUERY — the same shape Spark's own
+      // InjectRuntimeFilter emits — so the probe stays a Filter directly
+      // on the fact scan's codegen stage. (A crossJoin(broadcast(sketch))
+      // formulation gets re-ordered by PushDownLeftSemiAntiJoin: the
+      // exact semi join slides below the probe and the pruning runs
+      // last, backwards at scale.)
+      t(s, dir, "customer").createOrReplaceTempView("bloom_customer")
+      t(s, dir, "orders").createOrReplaceTempView("bloom_orders")
+      s.sql(
+        """SELECT o_orderpriority, count(*) AS n_orders,
+          |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+          |FROM bloom_orders
+          |WHERE graft_bloom_contains(
+          |        (SELECT graft_bloom_agg(c_custkey, 65536, 7)
+          |         FROM bloom_customer WHERE c_mktsegment = 'BUILDING'),
+          |        o_custkey)
+          |  AND o_custkey IN (SELECT c_custkey FROM bloom_customer
+          |                    WHERE c_mktsegment = 'BUILDING')
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // ---- Skew-safe JOIN: replicate-small/salt-big. The big side salts
+    // each row deterministically (pmod(event_id, 8)); the small side is
+    // exploded ×8 so every (key, salt) bucket finds its dim row. The
+    // hot key's rows now land on 8 reducers instead of one — the
+    // replicate-fragment-join from Xu et al. ("Handling data skew in
+    // parallel joins", SIGMOD'08) that AQE's skew-join split applies
+    // adaptively. Inner-join semantics are unchanged ⇒ plain-join
+    // oracle. (With a broadcastable dim Spark would broadcast and skew
+    // would be moot — the pattern matters when BOTH sides exceed the
+    // broadcast threshold, so the broadcast hint is deliberately
+    // absent here.)
+    "rel_skew_salted_join" -> QueryDef.sql(
+      "salted shuffle join over a skewed key")(
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val salts = 8
+      val big = t(s, dir, "events")
+        .withColumn("_salt", pmod(col("event_id"), lit(salts)))
+      val small = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      big.hint("shuffle_hash")
+        .join(small, big("user_id") === small("c_custkey") &&
+          big("_salt") === small("_salt"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_cents"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- MERGE INTO semantics (upsert): target = current snapshot,
+    // source = change batch; matched rows take the source's values,
+    // unmatched target rows persist, unmatched source rows insert —
+    // the Delta/Iceberg MERGE shape as a single full-outer join +
+    // COALESCE, which shuffles each side once on the merge key and
+    // scales like any equi-join (no row-at-a-time driver loop). The
+    // incremental-corpus-update primitive: yesterday's corpus ⊕
+    // today's crawl.
+    "rel_upsert_merge" -> QueryDef.sql(
+      "MERGE INTO upsert via full-outer join + COALESCE")(
+      """WITH target AS (SELECT o_orderkey,
+        |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |                FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (SELECT o_orderkey,
+        |          CAST(round(o_totalprice * 100) AS BIGINT) + 500 AS cents
+        |        FROM orders WHERE o_orderkey % 2 = 0)
+        |SELECT COALESCE(target.o_orderkey, src.o_orderkey) AS o_orderkey,
+        |       COALESCE(src.cents, target.cents) AS cents,
+        |       CASE WHEN target.o_orderkey IS NULL THEN 'insert'
+        |            WHEN src.o_orderkey IS NULL THEN 'keep'
+        |            ELSE 'update' END AS action
+        |FROM target FULL JOIN src ON target.o_orderkey = src.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val target = orders.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey").as("t_key"),
+          cents(col("o_totalprice")).as("t_cents"))
+      val src = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey").as("s_key"),
+          (cents(col("o_totalprice")) + 500).as("s_cents"))
+      target.join(src, col("t_key") === col("s_key"), "full_outer")
+        .select(
+          coalesce(col("t_key"), col("s_key")).as("o_orderkey"),
+          coalesce(col("s_cents"), col("t_cents")).as("cents"),
+          when(col("t_key").isNull, "insert")
+            .when(col("s_key").isNull, "keep")
+            .otherwise("update").as("action"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- SCD type-2 interval versioning: collapse each user's event
+    // stream into effective-dated versions of a tracked attribute
+    // (event_type), keeping only change points and deriving
+    // [valid_from, valid_to) from the NEXT change via lead() — the
+    // dimension-history primitive (Kimball SCD2) built from two window
+    // functions over one shuffle on the version key.
+    "rel_scd2_intervals" -> QueryDef.sql(
+      "SCD2 change-point intervals via lag/lead windows")(
+      """WITH o AS (SELECT user_id, event_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts,
+        |             lag(event_type) OVER
+        |               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |chg AS (SELECT * FROM o
+        |        WHERE prev IS NULL OR event_type <> prev)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         AS valid_to,
+        |       CAST(row_number() OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |         AS version
+        |FROM chg ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .select(col("user_id"), col("event_type"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))).as("valid_to"),
+          row_number().over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))).cast("long").as("version"))
+        .orderBy("user_id", "version")
     },
 
     // ---- J1/A1: first-row-per-key, the deterministic form of petl

@@ -62,6 +62,25 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("rel_bloom_join probes the sketch in a Filter on the fact scan") {
+    val p = plan("rel_bloom_join")
+    // the probe must be a scalar-subquery Filter directly over the
+    // orders scan (pruning BEFORE the exact join), not a condition on
+    // some join above it — the property that cuts the shuffled volume
+    // at scale. DataFilters on the FileScan proves the placement.
+    assert(p.contains("Filter graft_bloom_contains"), p)
+    assert(p.contains("DataFilters: [graft_bloom_contains"), p)
+  }
+
+  test("rel_skew_salted_join shuffles on (key, salt), no broadcast") {
+    val p = plan("rel_skew_salted_join")
+    // the pattern targets dims too big to broadcast: assert the salted
+    // equi-join actually shuffle-joins on the widened key
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
+    assert(p.contains("_salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup candidate generation is an equi-join, never a cross join") {
     for (name <- Seq("td_dedup_ngram_jaccard", "td_dedup_minhash_lsh",
         "td_dedup_simhash", "td_embed_neardup")) {
