@@ -76,7 +76,10 @@ object GraftFunctions {
         intArg(es(1), "numBits"), intArg(es(2), "numHashes"))),
     (FunctionIdentifier("graft_bloom_contains"),
       info("graft_bloom_contains", classOf[BloomMightContain]),
-      (es: Seq[Expression]) => BloomMightContain(es(0), es(1)))
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1))),
+    (FunctionIdentifier("graft_lev_le"),
+      info("graft_lev_le", classOf[LevenshteinLe]),
+      (es: Seq[Expression]) => LevenshteinLe(es(0), es(1), intArg(es(2), "k")))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -162,6 +165,12 @@ object GraftFunctions {
     * build set (see [[graft.functions.BloomMightContain]]). */
   def bloomContains(sketch: Column, key: Column): Column =
     call_function("graft_bloom_contains", sketch, key)
+
+  /** Threshold Levenshtein: exact distance when <= k, -1 otherwise —
+    * one fused codegen'd call with prefix/suffix trimming + banded DP
+    * (see [[graft.functions.LevenshteinLe]]). */
+  def levLe(a: Column, b: Column, k: Int): Column =
+    call_function("graft_lev_le", a, b, lit(k))
 
   // ---- Cross-engine deterministic hashing (Spark built-ins only) ----------
 

@@ -42,3 +42,114 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
+
+/** Runtime for [[LevenshteinLe]] — static so generated code can call it
+  * without holding an expression reference. */
+object LevRuntime {
+
+  private def codePoints(u: UTF8String): Array[Int] = {
+    val s = u.toString
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var n = 0
+    while (i < s.length) {
+      val c = s.codePointAt(i)
+      out(n) = c
+      n += 1
+      i += Character.charCount(c)
+    }
+    out
+  }
+
+  /** Exact Levenshtein distance when it is <= k, else -1. Exact for
+    * ARBITRARY inputs: common prefix/suffix trimming preserves edit
+    * distance (any optimal alignment matches equal prefixes/suffixes),
+    * the length gate |n-m| > k is a lower bound, and the banded DP
+    * (Ukkonen '85: cells with |i-j| > k cannot lie on a <=k-cost path)
+    * with row-min early abandon computes the rest. Cost per pair is
+    * O((trimmed len)·k) with zero string copies — the fused form of
+    * the when(substring...)/levenshtein(substring...) refine chain.
+    */
+  def levLe(a: UTF8String, b: UTF8String, k: Int): Int = {
+    if (a.equals(b)) return 0
+    val ca = codePoints(a)
+    val cb = codePoints(b)
+    var s = 0
+    var ae = ca.length
+    var be = cb.length
+    while (s < ae && s < be && ca(s) == cb(s)) s += 1
+    while (ae > s && be > s && ca(ae - 1) == cb(be - 1)) { ae -= 1; be -= 1 }
+    val n = ae - s
+    val m = be - s
+    if (math.abs(n - m) > k) return -1
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = k + 1
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      var rowMin = inf
+      if (i <= k) { cur(0) = i; rowMin = i }
+      var jj = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      while (jj <= hi) {
+        val cost = if (ca(s + i - 1) == cb(s + jj - 1)) 0 else 1
+        var v = prev(jj - 1) + cost
+        if (prev(jj) + 1 < v) v = prev(jj) + 1
+        if (cur(jj - 1) + 1 < v) v = cur(jj - 1) + 1
+        if (v > inf) v = inf
+        cur(jj) = v
+        if (v < rowMin) rowMin = v
+        jj += 1
+      }
+      if (rowMin > k) return -1
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    if (prev(m) <= k) prev(m) else -1
+  }
+}
+
+/** `graft_lev_le(a, b, k)` — threshold Levenshtein as ONE codegen'd
+  * call per candidate pair. The composable refine chain
+  * (`when(substring(a,1,9)=substring(b,1,9), levenshtein(substr,substr,k))
+  * .otherwise(levenshtein(a,b,k))`) evaluates up to four substring
+  * copies + two expression trees per pair; at 100 TB the refine stage
+  * runs per CANDIDATE, so per-pair constant factors are the query's
+  * cost. Returns the exact distance when <= k, -1 otherwise (same
+  * contract as Spark's 3-arg levenshtein, so oracles are unchanged).
+  */
+case class LevenshteinLe(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(k >= 0, s"k must be >= 0, got $k")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (string, string), got (${a.sql}, ${b.sql})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_lev_le"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LevRuntime.levLe(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.LevRuntime.levLe($a, $b, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevenshteinLe =
+    copy(left = newLeft, right = newRight)
+}

@@ -91,22 +91,33 @@ object RelationalQueries {
     * result is IDENTICAL to the unblocked quadratic definition (the
     * oracle runs exactly that), verified by the driver hash. */
   def fuzzyJoinSymDel(customers: DataFrame): DataFrame = {
+    val base = customers.select(col("c_custkey").as("k"), col("c_name").as("n"))
+    // NARROW candidate generation: the deletion-neighborhood explode
+    // multiplies rows ~L²/2 per name, so every byte carried through it
+    // is shuffled ~150×. Join on the 8-byte xxhash64 of the variant
+    // (equal variants ⇒ equal hashes, so recall is untouched; a hash
+    // collision only adds a candidate the exact refine kills) and keep
+    // only the two int keys until after dedup — names re-attach to the
+    // ~|result|-sized candidate set afterwards. The re-attach join is
+    // broadcast here and a narrow int-key shuffle join at scales past
+    // the broadcast threshold; either way it is ~150× less data motion
+    // than shuffling names through the variant join.
     val sig = symDelSignatures(customers)
-    val a = sig.select(col("k").as("a_key"), col("n").as("a_name"),
-      col("variant"))
-    val b = sig.select(col("k").as("b_key"), col("n").as("b_name"),
-      col("variant").as("variant_b"))
-    a.join(b, col("variant") === col("variant_b") &&
-        col("a_key") < col("b_key"))
+      .select(col("k"), xxhash64(col("variant")).as("vh"))
+    val a = sig.select(col("k").as("a_key"), col("vh"))
+    val b = sig.select(col("k").as("b_key"), col("vh").as("vh_b"))
+    a.join(b, col("vh") === col("vh_b") && col("a_key") < col("b_key"))
       // close pairs share MANY deletion variants: dedupe before refine
-      .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"))
+      .select(col("a_key"), col("b_key"))
       .distinct()
+      .join(broadcast(base.select(col("k").as("a_key"), col("n").as("a_name"))),
+        "a_key")
+      .join(broadcast(base.select(col("k").as("b_key"), col("n").as("b_name"))),
+        "b_key")
+      // fused threshold-lev kernel: prefix/suffix trim + banded DP in
+      // one codegen'd call (see LevenshteinLe)
       .withColumn("dist",
-        when(substring(col("a_name"), 1, 9) ===
-            substring(col("b_name"), 1, 9),
-          levenshtein(substring(col("a_name"), 10, 1000),
-            substring(col("b_name"), 10, 1000), 2))
-          .otherwise(levenshtein(col("a_name"), col("b_name"), 2)))
+        GraftFunctions.levLe(col("a_name"), col("b_name"), 2))
       .filter(graft.functions.GraftFunctions.noPushdown(col("dist") >= 0))
       .select(col("a_name"), col("b_name"), col("dist"))
       .orderBy("a_name", "b_name")
@@ -119,22 +130,26 @@ object RelationalQueries {
     * size; refinement is the banded levenshtein<=2 with the common-
     * prefix fast path (see rel_fuzzy_join's notes). */
   def fuzzyJoinSig(customers: DataFrame): DataFrame = {
+    val base = customers.select(col("c_custkey").as("k"), col("c_name").as("n"))
+    // same narrow-candidate discipline as fuzzyJoinSymDel: hash the
+    // signature gram to 8 bytes, carry int keys only through the join
+    // + dedup, re-attach names after (collisions only add candidates
+    // the exact refine removes)
     val sig = fuzzySignatures(customers)
-    val a = sig.select(col("k").as("a_key"), col("n").as("a_name"),
-      col("gram"))
-    val b = sig.select(col("k").as("b_key"), col("n").as("b_name"),
-      col("gram").as("gram_b"))
-    a.join(b, col("gram") === col("gram_b") && col("a_key") < col("b_key"))
+      .select(col("k"), xxhash64(col("gram")).as("gh"))
+    val a = sig.select(col("k").as("a_key"), col("gh"))
+    val b = sig.select(col("k").as("b_key"), col("gh").as("gh_b"))
+    a.join(b, col("gh") === col("gh_b") && col("a_key") < col("b_key"))
       // a pair sharing several signature grams appears once per gram
-      .select(col("a_key"), col("a_name"), col("b_key"), col("b_name"))
+      .select(col("a_key"), col("b_key"))
       .distinct()
+      .join(broadcast(base.select(col("k").as("a_key"), col("n").as("a_name"))),
+        "a_key")
+      .join(broadcast(base.select(col("k").as("b_key"), col("n").as("b_name"))),
+        "b_key")
       .filter(abs(length(col("a_name")) - length(col("b_name"))) <= 2)
       .withColumn("dist",
-        when(substring(col("a_name"), 1, 9) ===
-            substring(col("b_name"), 1, 9),
-          levenshtein(substring(col("a_name"), 10, 1000),
-            substring(col("b_name"), 10, 1000), 2))
-          .otherwise(levenshtein(col("a_name"), col("b_name"), 2)))
+        GraftFunctions.levLe(col("a_name"), col("b_name"), 2))
       .filter(graft.functions.GraftFunctions.noPushdown(col("dist") >= 0))
       .select(col("a_name"), col("b_name"), col("dist"))
       .orderBy("a_name", "b_name")
@@ -1216,24 +1231,18 @@ object RelationalQueries {
       val y = c.select(col("c_custkey").as("b_key"),
         col("c_name").as("b_name"), col("c_nationkey").as("nk_y"))
       x.join(y, col("nk") === col("nk_y") && col("a_key") < col("b_key"))
-        // threshold form: banded O(len·k) DP with early abandon, -1 when
-        // the distance exceeds 2 — ~20x cheaper per pair than the full
-        // O(len²) matrix on non-matches (the overwhelming majority).
-        // Common-prefix fast path: edit distance is invariant under
-        // removal of an identical prefix (any optimal alignment matches
-        // equal prefixes), so when the first 9 chars agree the DP runs
-        // on the 2x-shorter suffixes — exact for ARBITRARY inputs, since
-        // unequal prefixes fall through to the full comparison (~2x here,
-        // where every name shares "Customer#").
+        // fused threshold-lev kernel (LevenshteinLe): common prefix AND
+        // suffix trimmed by invariance (any optimal alignment matches
+        // equal affixes), then Ukkonen's banded O(len·k) DP with
+        // row-min early abandon, -1 past the threshold — one codegen'd
+        // call and zero string copies per pair, vs the previous
+        // when(substring…)/levenshtein chain's four copies + two
+        // expression trees.
         // noPushdown keeps the filter ABOVE this projection: pushed, it
         // lands in the join condition and the projection re-computes the
         // distance for every surviving row — two evals per pair
         .withColumn("dist",
-          when(substring(col("a_name"), 1, 9) ===
-              substring(col("b_name"), 1, 9),
-            levenshtein(substring(col("a_name"), 10, 1000),
-              substring(col("b_name"), 10, 1000), 2))
-            .otherwise(levenshtein(col("a_name"), col("b_name"), 2)))
+          GraftFunctions.levLe(col("a_name"), col("b_name"), 2))
         .filter(graft.functions.GraftFunctions.noPushdown(col("dist") >= 0))
         .select(col("a_name"), col("b_name"), col("dist"))
         .orderBy("a_name", "b_name")

@@ -169,4 +169,37 @@ object KernelProps extends Properties("graft.kernels") {
         else cps.sliding(n).map(_.mkString).toSeq
       Prop(got == want) :| s"got=$got want=$want"
     }
+
+  // ---- LevenshteinLe vs the textbook full-matrix DP ----------------------
+
+  /** Reference: full O(n·m) Wagner–Fischer over code points. */
+  private def levRef(a: String, b: String): Int = {
+    val ca = a.codePoints.toArray
+    val cb = b.codePoints.toArray
+    val dp = Array.tabulate(ca.length + 1)(i => Array.tabulate(cb.length + 1) {
+      j => if (i == 0) j else if (j == 0) i else 0
+    })
+    for (i <- 1 to ca.length; j <- 1 to cb.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (ca(i - 1) == cb(j - 1)) 0 else 1))
+    dp(ca.length)(cb.length)
+  }
+
+  // low-entropy alphabet + shared affixes force trimming/band edge cases;
+  // the unicode entries cover multi-byte and supplementary code points
+  private val levStr: Gen[String] = for {
+    core <- Gen.listOfN(6, Gen.oneOf(Gen.oneOf('a', 'b'), Gen.const('\u00e9'),
+      Gen.const('\uD83D'))).map(_.mkString.replace("\uD83D", "\uD83D\uDE00"))
+    pre <- Gen.oneOf("", "Customer#0000")
+    suf <- Gen.oneOf("", "000x")
+  } yield pre + core + suf
+
+  property("LevenshteinLe(k) = full-DP distance when <=k, else -1") =
+    forAll(levStr, levStr, Gen.choose(0, 4)) { (a, b, k) =>
+      val got = LevRuntime.levLe(
+        UTF8String.fromString(a), UTF8String.fromString(b), k)
+      val full = levRef(a, b)
+      val want = if (full <= k) full else -1
+      Prop(got == want) :| s"a=$a b=$b k=$k got=$got full=$full"
+    }
 }
