@@ -344,6 +344,52 @@ object StreamingQueries {
       runToMemory(joined, "append").orderBy("click_id", "purchase_id")
     },
 
+    // ---- stream-stream LEFT OUTER interval join: the other half of
+    // the stream-stream class (st_interval_join is inner). Matched
+    // pairs emit as both sides arrive; a click with NO purchase in its
+    // 30-min window emits null-extended only once the watermark passes
+    // the end of its match window (click_ts + 30min < final watermark =
+    // max_ts − 1h) and the post-data no-data micro-batch flushes the
+    // eviction — so the oracle is the batch LEFT JOIN with exactly that
+    // eviction predicate on the unmatched rows (same withheld-tail
+    // mirroring as st_window_append's HAVING). Clicks still inside the
+    // window stay in state, correctly unemitted.
+    "st_interval_join_left" -> QueryDef.sql(
+      "stream-stream left-outer interval join with watermark eviction")(
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |mx AS (SELECT epoch_us(max(ts)) AS mxus FROM e)
+        |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts,
+        |       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE, mx
+        |WHERE p.event_id IS NOT NULL
+        |   OR epoch_us(c.ts) + 1800000000 < mxus - 3600000000
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, dir) =>
+      val clicks = Tables.loadStream(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = Tables.loadStream(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+          col("value"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = clicks.join(buys, expr(
+        """user_id = p_user AND
+           purchase_ts >= click_ts AND
+           purchase_ts <= click_ts + INTERVAL 30 MINUTES"""), "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          col("click_ts"), col("purchase_ts"),
+          round(col("value") * 100).cast("long").as("purchase_cents"))
+      runToMemory(joined, "append").orderBy("click_id", "purchase_id")
+    },
+
     // ---- streaming ingest dedup: the arriving document stream is
     // anti-joined against the EXISTING corpus's digest set (stream-
     // static LEFT ANTI, static side broadcast — the remaining

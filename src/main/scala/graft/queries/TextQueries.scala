@@ -242,6 +242,99 @@ object TextQueries {
         .orderBy("doc_id", "win_idx")
     },
 
+    // ---- Repeated-passage detection: the exact-substring-dedup shape
+    // (Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better", ACL'22 — their suffix-array pass finds verbatim spans
+    // repeated across documents; the distributed equivalent blocks on
+    // fixed-width passage hashes). 12-word sliding windows per doc
+    // (fused ShingleHash60 kernel), distinct per doc, then one
+    // groupBy(hash) keeps passages appearing in >= 2 documents. Scales
+    // as explode + hash-agg: no joins, map-side partial agg does the
+    // counting, and rows ∝ total words.
+    "td_repeated_passages" -> QueryDef.sql(
+      "12-word passages repeated across >=2 documents")(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-11),
+        |         i -> CAST(('0x'||substr(md5(array_to_string(ws[i+1:i+12], ' ')),1,15))
+        |                AS BIGINT))) AS hs
+        |       FROM w WHERE len(ws) >= 12),
+        |e AS (SELECT doc_id, unnest(hs) AS h FROM hs)
+        |SELECT h AS passage_h60, count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM e GROUP BY h HAVING count(*) >= 2
+        |ORDER BY passage_h60""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 12)
+        .select(col("doc_id"),
+          explode(array_distinct(
+            shingleHash60(col("ws"), 12, modP = false))).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .select(col("h").as("passage_h60"), col("n_docs"), col("first_doc"))
+        .orderBy("passage_h60")
+    },
+
+    // ---- Quality-decile stratification: exact ntile(10) over the
+    // composite quality score (same formula as td_quality_score;
+    // per-row double arithmetic on exact integer inputs, bit-identical
+    // cross-engine, doc_id tie-break for a total order) + per-decile
+    // corpus stats — the curriculum/filtering view. The oracle uses
+    // DuckDB's ntile; the Spark side does NOT use a global ntile window
+    // (a single-reducer sort funnel at 100 TB) — it reuses
+    // `operators.SequentialIds` for a distributed exact global rank
+    // (range exchange + per-partition offsets) and derives the ntile
+    // bucket from (rank, n) with ntile's own integer arithmetic: the
+    // first n%10 buckets get ceil(n/10) rows, the rest floor(n/10).
+    "td_quality_buckets" -> QueryDef.sql(
+      "quality-score deciles with per-decile corpus statistics")(
+      """WITH w AS (SELECT doc_id, length(text) AS n_char,
+        |             string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, n_char, len(ws) AS n_tok,
+        |        len(list_distinct(ws)) AS n_distinct FROM w),
+        |q AS (SELECT doc_id, n_tok,
+        |        least(CAST(n_tok AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+        |          + (CAST(n_distinct AS DOUBLE) / n_tok) * CAST(0.4 AS DOUBLE)
+        |          + least((CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+        |          AS score FROM c),
+        |d AS (SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS decile
+        |      FROM q)
+        |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |       min(score) AS min_score, max(score) AS max_score
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
+      val ws = words(col("text"))
+      val c = t(s, dir, "documents")
+        .select(col("doc_id"), length(col("text")).as("n_char"), ws.as("ws"))
+        .select(col("doc_id"), col("n_char"), size(col("ws")).as("n_tok"),
+          size(array_distinct(col("ws"))).as("n_distinct"))
+      val score =
+        least(col("n_tok").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+          (col("n_distinct").cast("double") / col("n_tok")) * lit(0.4) +
+          least(((col("n_char") - (col("n_tok") - 1)).cast("double") /
+            col("n_tok")) / lit(8.0), lit(1.0)) * lit(0.2)
+      val scored = c.select(col("doc_id"), col("n_tok"), score.as("score"))
+        .withColumn("ord", struct(col("score"), col("doc_id")))
+      val n = scored.count()
+      val q = n / 10
+      val r = n % 10
+      val boundary = r * (q + 1)
+      graft.operators.SequentialIds.assign(scored, "ord", "rk", 1L)
+        .withColumn("decile",
+          when(col("rk") <= boundary,
+            floor((col("rk") - 1) / lit(q + 1)).cast("int") + 1)
+            .otherwise(lit(r.toInt) +
+              floor((col("rk") - boundary - 1) / lit(math.max(q, 1L)))
+                .cast("int") + 1))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("total_tokens"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy("decile")
+    },
+
     // ---- Token counting: whitespace tokens, distinct tokens, and a
     // BPE-ish fixed-width regex chunking ([a-z]{1,4} greedy max-munch —
     // identical under Java regex and RE2).
