@@ -344,6 +344,35 @@ object StreamingQueries {
       runToMemory(joined, "append").orderBy("click_id", "purchase_id")
     },
 
+    // ---- arbitrary stateful processing v2 (Spark 4's
+    // transformWithState + StatefulProcessor + typed ValueState over
+    // RocksDB — the successor API to flatMapGroupsWithState; see
+    // graft.streaming.StateV2): first-arrival key emission, whose
+    // emitted SET is the distinct key set whatever the batching. The
+    // provider conf is set/restored around the run (transformWithState
+    // supports only the RocksDB provider; same sequential-harness
+    // invariant as the state-partition sizing in runToMemory).
+    "st_state_v2_dedup" -> QueryDef.sql(
+      "transformWithState first-arrival dedup (state API v2, RocksDB)")(
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val out = graft.streaming.StateV2
+          .firstArrivals(Tables.loadStream(s, dir, "events"))
+          .toDF()
+        runToMemory(out, "append").orderBy("user_id", "event_type")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    },
+
     // ---- stream-stream LEFT OUTER interval join: the other half of
     // the stream-stream class (st_interval_join is inner). Matched
     // pairs emit as both sides arrive; a click with NO purchase in its

@@ -187,4 +187,39 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
     assert(got == (0L until 150L), s"expected 0..149 exactly once, got " +
       s"${got.size} rows (${got.diff((0L until 150L)).take(5)} dups/extras)")
   }
+
+  test("transformWithState first-arrival set over 3 batches = DISTINCT") {
+    // st_state_v2_dedup's batching-independence claim, actually
+    // multi-batched: each key must be emitted EXACTLY once across the
+    // three file batches (ValueState guard), and the emitted set must
+    // equal the batch DISTINCT whatever batch first carried each key.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = events0001
+      val srcDir = stageChunks(events)
+      val stream = spark.readStream
+        .schema(events.select("user_id", "ts", "event_type", "value").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = graft.streaming.StateV2.firstArrivals(stream).toDF()
+        .writeStream.format("memory").queryName("det_state_v2")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(180000) finally q.stop()
+      val got = spark.table("det_state_v2")
+      val expected = events.select("user_id", "event_type").distinct()
+      assert(got.count() == expected.count(),
+        "first-arrival emitted a key more or less than once")
+      assert(expected.exceptAll(got).count() == 0 &&
+        got.exceptAll(expected).count() == 0,
+        "first-arrival set diverges from batch DISTINCT")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
