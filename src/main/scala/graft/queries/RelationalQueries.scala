@@ -722,6 +722,54 @@ object RelationalQueries {
         .orderBy("event_id")
     },
 
+    // ---- Time-series resample + forward fill (gap filling): per user,
+    // an hourly grid spanning [trunc(min ts), trunc(max ts)], each grid
+    // point carrying the LAST event at-or-before it (LOCF). Composed
+    // from sequence()+explode for the grid (rows ∝ users × hours, a
+    // narrow generator) and the AsOfJoin operator for the carry (one
+    // shuffle, no range explosion) — resampling IS an as-of join
+    // against a generated grid. Events are first made unique per
+    // (user, ts) with max_by on event_id (both engines), since as-of
+    // carry needs a unique build row per instant. Grid points before a
+    // user's first event stay null-payloaded.
+    "rel_resample_ffill" -> QueryDef.sql(
+      "hourly resample with last-observation-carried-forward per user")(
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, ts, max(event_id) AS event_id,
+        |        max_by(cents, event_id) AS cents FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0,
+        |           date_trunc('hour', max(ts)) AS t1 FROM e GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(generate_series(t0, t1,
+        |           INTERVAL 1 HOUR)) AS grid_ts FROM span)
+        |SELECT g.user_id AS user_id, g.grid_ts, d.event_id AS last_event_id,
+        |       d.cents AS last_cents
+        |FROM grid g ASOF LEFT JOIN d
+        |  ON g.user_id = d.user_id AND g.grid_ts >= d.ts
+        |ORDER BY g.user_id, g.grid_ts""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          cents(col("value")).as("cents"))
+      val d = e.groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"),
+          max_by(col("cents"), col("event_id")).as("cents"))
+        .select(col("user_id").as("d_user"), col("ts"),
+          col("event_id").as("last_event_id"), col("cents").as("last_cents"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("t0"),
+          date_trunc("hour", max(col("ts"))).as("t1"))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"),
+            expr("INTERVAL 1 HOUR"))).as("grid_ts"))
+      graft.operators.AsOfJoin.asofJoin(
+        grid, col("user_id"), unix_micros(col("grid_ts")),
+        d, col("d_user"), unix_micros(col("ts")),
+        Seq("last_event_id", "last_cents"))
+        .select(col("user_id"), col("grid_ts"),
+          col("last_event_id"), col("last_cents"))
+        .orderBy("user_id", "grid_ts")
+    },
+
     // ---- Range (interval) join: purchases within 24h after each signup,
     // per user — graft.operators.RangeJoin (bucket-blocked equi-join +
     // exact refine; never a per-key cross join). Oracle: plain range
