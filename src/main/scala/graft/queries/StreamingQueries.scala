@@ -373,6 +373,63 @@ object StreamingQueries {
       }
     },
 
+    // ---- gap sessionization driven by EXPLICIT EVENT-TIME TIMERS
+    // (state API v2): same session algebra as st_sessionize, but the
+    // session close is a registered timer the watermark expires
+    // (registerTimer/handleExpiredTimer + a ValueState-tracked timer
+    // handle; see graft.streaming.TimerSessionProcessor) instead of
+    // GroupStateTimeout. Shares st_sessionize's oracle and its
+    // last-session exclusion (that emission is timing-driven on both
+    // implementations).
+    "st_timer_sessions" -> QueryDef.sql(
+      "6h-gap sessions closed by state-v2 event-time timers")(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT *, lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL
+        |                       OR epoch_us(ts) - prev_us > 21600000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM g),
+        |sid AS (SELECT *, sum(new_sess) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+        |sess AS (SELECT user_id, count(*) AS n_events,
+        |           min(ts) AS session_start, max(ts) AS session_end,
+        |           CAST(sum(cents) AS BIGINT) AS value_cents
+        |         FROM sid GROUP BY user_id, session_id),
+        |mx AS (SELECT user_id, max(ts) AS mx FROM e GROUP BY user_id)
+        |SELECT user_id, session_start, session_end,
+        |       CAST(n_events AS BIGINT) AS n_events, value_cents
+        |FROM sess JOIN mx USING (user_id) WHERE session_end < mx
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = Tables.loadStream(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[EventStreams.Event]
+        val out = runToMemory(
+          graft.streaming.StateV2.timerSessions(stream,
+            gapSeconds = 21600L, watermark = "0 seconds").toDF(),
+          "append")
+        val lastTs = t(s, dir, "events")
+          .groupBy(col("user_id")).agg(max(col("ts")).as("_mx"))
+        out.join(broadcast(lastTs), "user_id")
+          .filter(col("session_end") < col("_mx"))
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("n_events"), col("value_cents"))
+          .orderBy("user_id", "session_start")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    },
+
     // ---- stream-stream LEFT OUTER interval join: the other half of
     // the stream-stream class (st_interval_join is inner). Matched
     // pairs emit as both sides arrive; a click with NO purchase in its

@@ -44,6 +44,90 @@ class FirstArrivalProcessor
     }
 }
 
+/** Gap sessionization on the v2 API: the same algorithm as
+  * [[EventStreams.sessionize]] (per-batch sort, gap split, cross-batch
+  * merge through the session ValueState) with the GroupStateTimeout
+  * replaced by EXPLICIT event-time timers — register at
+  * last_ts + gap on every update (deleting the stale timer, tracked in
+  * its own ValueState), emit-and-clear in [[handleExpiredTimer]] when
+  * the watermark passes it. Semantics match the v1 sessionizer
+  * batch-for-batch, so st_timer_sessions shares st_sessionize's oracle
+  * and its last-session exclusion discipline.
+  */
+class TimerSessionProcessor(gapSeconds: Long)
+    extends StatefulProcessor[Long, EventStreams.Event, EventStreams.Session] {
+
+  private val gapUs = gapSeconds * 1000000L
+  @transient private var sess: ValueState[SessionState] = _
+  @transient private var timer: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sess = getHandle.getValueState[SessionState](
+      "session", Encoders.product[SessionState], TTLConfig.NONE)
+    timer = getHandle.getValueState[Long](
+      "timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def us(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  // µs-precise Timestamp reconstruction (same rationale as sessionize)
+  private def tsOf(usv: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(usv, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(usv, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def emit(userId: Long, s: SessionState): EventStreams.Session =
+    EventStreams.Session(userId, tsOf(s.startUs), tsOf(s.lastUs), s.n, s.cents)
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[EventStreams.Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[EventStreams.Session] = {
+    val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_type))
+    var current = Option(sess.get())
+    val closed = Seq.newBuilder[EventStreams.Session]
+    sorted.foreach { e =>
+      val t = us(e.ts)
+      val cents = EventStreams.centsOf(e.value)
+      current match {
+        case Some(s) if t >= s.startUs - gapUs && t - s.lastUs <= gapUs =>
+          current = Some(SessionState(math.min(s.startUs, t),
+            math.max(s.lastUs, t), s.n + 1, s.cents + cents))
+        case Some(s) if t < s.startUs - gapUs =>
+          closed += emit(userId, SessionState(t, t, 1, cents))
+        case Some(s) =>
+          closed += emit(userId, s)
+          current = Some(SessionState(t, t, 1, cents))
+        case None =>
+          current = Some(SessionState(t, t, 1, cents))
+      }
+    }
+    current.foreach { s =>
+      sess.update(s)
+      val expiryMs = s.lastUs / 1000L + gapSeconds * 1000L
+      if (timer.exists() && timer.get() != expiryMs)
+        getHandle.deleteTimer(timer.get())
+      getHandle.registerTimer(expiryMs)
+      timer.update(expiryMs)
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      userId: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[EventStreams.Session] = {
+    val out = Option(sess.get()).map(emit(userId, _)).toSeq
+    sess.clear()
+    timer.clear()
+    out.iterator
+  }
+}
+
 object StateV2 {
 
   /** Distinct (user_id, event_type) pairs via first-arrival emission —
@@ -54,5 +138,19 @@ object StateV2 {
       .groupByKey(identity)
       .transformWithState(
         new FirstArrivalProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Gap sessions via event-time TIMERS — see [[TimerSessionProcessor]].
+    * Input must carry a watermark on `ts`. */
+  def timerSessions(events: Dataset[EventStreams.Event], gapSeconds: Long,
+      watermark: String): Dataset[EventStreams.Session] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val enc = Encoders.product[EventStreams.Session]
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new TimerSessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

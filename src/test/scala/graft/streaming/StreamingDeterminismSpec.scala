@@ -222,4 +222,69 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
         "spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("timer-based sessions over 3 batches equal batch sessionization") {
+    // the state-v2 timer path of the same algebra (st_timer_sessions):
+    // mid-stream session closes must fire from REGISTERED TIMERS as the
+    // watermark advances between file batches, and the closed-session
+    // set must still match batch sessionization.
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = events0001
+      val srcDir = stageChunks(events)
+      val stream = spark.readStream
+        .schema(events.select("user_id", "ts", "event_type", "value").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+        .as[EventStreams.Event]
+      val q = graft.streaming.StateV2.timerSessions(stream,
+          gapSeconds = 21600L, watermark = "0 seconds").toDF()
+        .writeStream.format("memory").queryName("det_timer_sessions")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(180000) finally q.stop()
+
+      events.createOrReplaceTempView("det_events")
+      val expected = spark.sql(
+        """WITH g AS (SELECT user_id, ts, event_id,
+          |             CAST(round(value * 100) AS BIGINT) AS cents,
+          |             lag(ts) OVER (PARTITION BY user_id
+          |                           ORDER BY ts, event_id) AS prev
+          |           FROM det_events),
+          |s AS (SELECT *, CASE WHEN prev IS NULL OR
+          |        unix_micros(ts) - unix_micros(prev) > 21600000000
+          |        THEN 1 ELSE 0 END AS new_sess FROM g),
+          |sid AS (SELECT *, sum(new_sess) OVER
+          |          (PARTITION BY user_id ORDER BY ts, event_id
+          |           ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+          |sess AS (SELECT user_id, min(ts) AS session_start,
+          |           max(ts) AS session_end, count(*) AS n_events,
+          |           sum(cents) AS value_cents
+          |         FROM sid GROUP BY user_id, session_id),
+          |mx AS (SELECT user_id, max(ts) AS mx FROM det_events GROUP BY user_id)
+          |SELECT sess.user_id, session_start, session_end, n_events, value_cents
+          |FROM sess JOIN mx ON sess.user_id = mx.user_id
+          |WHERE session_end < mx""".stripMargin)
+
+      val lastTs = events.groupBy(col("user_id")).agg(max(col("ts")).as("_mx"))
+      val got = spark.table("det_timer_sessions").join(lastTs, "user_id")
+        .filter(col("session_end") < col("_mx"))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("value_cents"))
+
+      val missing = expected.exceptAll(got).count()
+      val extra = got.exceptAll(expected).count()
+      assert(expected.count() > 0, "oracle produced no closed sessions")
+      assert(missing == 0 && extra == 0,
+        s"timer-session sets diverge: missing=$missing extra=$extra")
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
