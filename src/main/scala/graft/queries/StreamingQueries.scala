@@ -600,6 +600,29 @@ object StreamingQueries {
         .orderBy(col("event_type"), col("cnt").desc, col("term"))
     },
 
+    // ---- streaming distinct-cardinality sketch state: the
+    // BitmapDistinctAgg bitmap (OR-mergeable, FIXED 128-byte state per
+    // group) runs as the Complete-mode streaming aggregate — the
+    // bounded-state replacement for streaming count(DISTINCT), which
+    // Spark rejects outright in streaming (state would be O(distinct
+    // keys)). Deterministic given the cross-engine hash, so the oracle
+    // replays the exact bucket count; same state-discipline family as
+    // st_heavy_hitters / st_quantile_hist.
+    "st_distinct_sketch" -> QueryDef.sql(
+      "streaming bitmap distinct-bucket sketch per event type")(
+      """SELECT event_type,
+        |  count(DISTINCT (CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))
+        |    AS BIGINT) % 1024 + 1024) % 1024) AS sketch_buckets
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(graft.functions.GraftFunctions
+          .bitmapDistinct(graft.functions.GraftFunctions
+            .hash60(col("user_id").cast("string")), 1024)
+          .cast("long").as("sketch_buckets"))
+      runToMemory(stream, "complete").orderBy("event_type")
+    },
+
     // ---- streaming gap sessionization via flatMapGroupsWithState (the
     // custom-state operator class): same 6h gap as rel_sessionize. Both
     // sides drop each user's final session — its emission depends on a
