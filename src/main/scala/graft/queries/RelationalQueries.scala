@@ -1257,6 +1257,22 @@ object RelationalQueries {
         .orderBy("id")
     },
 
+    // ---- DSv2 COMPLETE aggregate pushdown: count/min/max over the
+    // connector answer from the scan itself (one metadata row, zero
+    // generated rows — GraftGenSpec pins the physical count), composed
+    // with the exact id-range filter pushdown. The 100 TB story:
+    // catalog/footer-stats aggregates shouldn't touch data.
+    "rel_source_agg_pushdown" -> QueryDef.sql(
+      "custom DSv2 source: complete count/min/max pushdown to the scan")(
+      """SELECT count(*) AS n, min(t.id) AS min_id, max(t.id) AS max_id
+        |FROM range(1000, 60000) t(id)""".stripMargin) { (s, dir) =>
+      s.read.format("graftgen")
+        .option("rows", "100000").option("slices", "16").load()
+        .filter(col("id") >= 1000 && col("id") < 60000)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+    },
+
     // ---- Fuzzy join (approximate string match): levenshtein <= 2
     // pairs, blocked on the nation key so candidate generation is an
     // equi-join — the edit distance only runs inside blocks, never on

@@ -5,7 +5,10 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -185,12 +188,14 @@ private[sources] class GenDataWriter extends DataWriter[InternalRow] {
 
 private class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
   extends ScanBuilder
-  with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GraftGen.Schema
+  private var aggFuncs: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ours, residual) = filters.partition {
@@ -221,8 +226,84 @@ private class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GenScan(lo, math.max(lo, hi), rows, slices, required, rowsPerBatch)
+  // ---- COMPLETE aggregate pushdown (SupportsPushDownAggregates): the
+  // generator knows its (filter-narrowed) id interval in closed form,
+  // so global count(*)/min(id)/max(id) are metadata answers — count =
+  // hi-lo, min = lo, max = hi-1 — the same trick real sources play
+  // with footer stats / catalog counts. Complete (not partial): the
+  // scan returns the FINAL one-row answer and Spark plans no
+  // re-aggregation; sound because the pushed id-range filters were
+  // accepted exactly (no residual — Spark only offers aggregates to a
+  // source whose remaining filters it fully consumed). Physically
+  // ZERO rows are generated (GraftGenSpec pins via rowsGenerated).
+  private def translate(agg: Aggregation): Option[Seq[String]] =
+    if (agg.groupByExpressions.nonEmpty) None
+    else {
+      def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+        e match {
+          case nr: NamedReference => nr.fieldNames.sameElements(Array("id"))
+          case _ => false
+        }
+      val fs = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("count")
+        case m: Min if isId(m.column) => Some("min")
+        case m: Max if isId(m.column) => Some("max")
+        case _ => None
+      }
+      if (fs.nonEmpty && fs.forall(_.isDefined)) Some(fs.map(_.get)) else None
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    aggFuncs = translate(agg)
+    aggFuncs.isDefined
+  }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(fs) => new GenAggScan(lo, math.max(lo, hi), fs)
+    case None =>
+      new GenScan(lo, math.max(lo, hi), rows, slices, required, rowsPerBatch)
+  }
+}
+
+private case class GenAggPartition(funcs: Seq[String], lo: Long, hi: Long)
+  extends InputPartition
+
+/** One-row scan carrying a completely-pushed aggregation's answer. */
+private class GenAggScan(lo: Long, hi: Long, funcs: Seq[String])
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(funcs.zipWithIndex.map {
+    case (f, i) => StructField(s"agg_$i", LongType, nullable = f != "count")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftgen agg-pushdown [$lo, $hi) funcs=${funcs.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenAggPartition(funcs, lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val gp = p.asInstanceOf[GenAggPartition]
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = if (done) false else { done = true; true }
+          override def get(): InternalRow = {
+            val vals: Array[Any] = gp.funcs.map {
+              case "count" => gp.hi - gp.lo
+              case "min" => if (gp.hi > gp.lo) gp.lo else null
+              case _ => if (gp.hi > gp.lo) gp.hi - 1 else null
+            }.toArray
+            new GenericInternalRow(vals)
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 private class GenScan(lo: Long, hi: Long, rows: Long, slices: Int,

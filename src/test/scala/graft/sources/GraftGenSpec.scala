@@ -21,9 +21,11 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
 
   test("id-range filters push down and prune physically generated rows") {
     GraftGen.rowsGenerated.set(0)
+    // collect (not count: count(*) now rides the COMPLETE aggregate
+    // pushdown and generates zero rows) so readers physically run
     val n = gen(1000000, 32)
       .filter(col("id") >= 10000 && col("id") < 12000)
-      .count()
+      .collect().length
     assert(n == 2000)
     // exactly the pushed range is generated: whole slices outside it are
     // never planned and the reader clamps within its slice
@@ -34,6 +36,35 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
       .filter(col("id") >= 10000 && col("id") < 12000)
       .queryExecution.executedPlan.toString
     assert(plan.contains("[10000, 12000)"), plan)
+  }
+
+  test("complete aggregate pushdown answers from metadata, zero rows") {
+    GraftGen.rowsGenerated.set(0)
+    val row = gen(1000000, 32)
+      .filter(col("id") >= 500 && col("id") < 99500)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+      .head()
+    assert(row.getLong(0) == 99000 && row.getLong(1) == 500 &&
+      row.getLong(2) == 99499, row.toString)
+    // the answer came from the interval arithmetic, not from data
+    assert(GraftGen.rowsGenerated.get() == 0,
+      s"generated ${GraftGen.rowsGenerated.get()} rows for a pushed agg")
+    val plan = gen(1000000, 32)
+      .filter(col("id") >= 500 && col("id") < 99500)
+      .agg(count(lit(1)), min(col("id")), max(col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("agg-pushdown"), plan)
+  }
+
+  test("aggregates the source cannot answer fall back to the row path") {
+    GraftGen.rowsGenerated.set(0)
+    // sum(val) is not translatable -> normal scan + Spark-side agg
+    val s = gen(1000, 4).agg(sum(col("val"))).head().getDouble(0)
+    assert(GraftGen.rowsGenerated.get() == 1000,
+      "fallback should generate the full range")
+    assert(math.abs(s - (0L until 1000L).map(i => ((i * 7) % 100) / 10.0).sum)
+      < 1e-9)
   }
 
   test("column pruning reaches the reader") {
