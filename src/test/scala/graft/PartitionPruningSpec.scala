@@ -69,4 +69,36 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestSession {
     assert(after.filter(col("lang") === "en")
       .agg(min(col("n_chars"))).head.getLong(0) >= 1000000)
   }
+
+  test("dynamic partition pruning fires on a dim-filtered join") {
+    // the 100-TB join-pruning path: the fact is partitioned on the join
+    // key, the dim filter is NOT a literal on the fact, yet the scan
+    // must still skip fact partitions — Spark inserts a runtime
+    // dynamicpruning subquery fed by the (broadcast) dim. Static
+    // pruning can't do this; without DPP the scan reads every
+    // partition and the join discards them after IO.
+    val dir = Files.createTempDirectory("graft-dpp-").toString + "/docs"
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    docs.write.partitionBy("lang").parquet(dir)
+
+    val fact = spark.read.parquet(dir)
+    // dim filter on a NON-key attribute (per-lang doc count), so the
+    // predicate cannot be constant-propagated onto the join key as a
+    // static partition filter — only a runtime subquery can prune
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val cutoff = counts.agg(max(col("n_docs"))).head.getLong(0)
+    val dim = counts.filter(col("n_docs") === cutoff)
+    assert(dim.count() < counts.count(),
+      "fixture needs the cutoff to select a strict subset of langs")
+    val joined = fact.join(dim.hint("broadcast"), "lang")
+      .agg(count(lit(1)).as("n"))
+    // collect() then read the SAME QueryExecution: head()/count() plan
+    // separate limited queries, and DPP subquery wiring only shows on
+    // the executed adaptive plan
+    val rows = joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan)
+    val expected = docs.join(dim.select("lang"), "lang").count()
+    assert(rows.head.getLong(0) == expected && expected > 0)
+  }
 }
