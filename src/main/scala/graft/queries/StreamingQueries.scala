@@ -430,6 +430,63 @@ object StreamingQueries {
       }
     },
 
+    // ---- MAPSTATE leg of the v2 surface: per-session event-type
+    // histograms (MapState[event_type -> count] per user — point
+    // get/put per row against the state store, the access pattern
+    // MapState exists for), drained one row per type when the session
+    // closes in-batch or by timer (see SessionTypeCountsProcessor).
+    // Same last-session exclusion as the other session queries.
+    "st_session_type_counts" -> QueryDef.sql(
+      "per-session event-type histograms via MapState + timers")(
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT *, lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL
+        |                       OR epoch_us(ts) - prev_us > 21600000000
+        |                     THEN 1 ELSE 0 END AS new_sess FROM g),
+        |sid AS (SELECT *, sum(new_sess) OVER
+        |          (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_id FROM s),
+        |sess AS (SELECT user_id, session_id, min(ts) AS session_start,
+        |           max(ts) AS session_end FROM sid GROUP BY 1, 2),
+        |tc AS (SELECT user_id, session_id, event_type, count(*) AS n
+        |       FROM sid GROUP BY 1, 2, 3),
+        |mx AS (SELECT user_id, max(ts) AS mx FROM e GROUP BY user_id)
+        |SELECT tc.user_id AS user_id, session_start, session_end,
+        |       event_type, CAST(n AS BIGINT) AS n
+        |FROM tc JOIN sess USING (user_id, session_id)
+        |        JOIN mx USING (user_id)
+        |WHERE session_end < mx
+        |ORDER BY user_id, session_start, event_type""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val stream = Tables.loadStream(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+          .as[EventStreams.Event]
+        val out = runToMemory(
+          graft.streaming.StateV2.sessionTypeCounts(stream,
+            gapSeconds = 21600L, watermark = "0 seconds").toDF(),
+          "append")
+        val lastTs = t(s, dir, "events")
+          .groupBy(col("user_id")).agg(max(col("ts")).as("_mx"))
+        out.join(broadcast(lastTs), "user_id")
+          .filter(col("session_end") < col("_mx"))
+          .select(col("user_id"), col("session_start"), col("session_end"),
+            col("event_type"), col("n"))
+          .orderBy("user_id", "session_start", "event_type")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    },
+
     // ---- stream-stream LEFT OUTER interval join: the other half of
     // the stream-stream class (st_interval_join is inner). Matched
     // pairs emit as both sides arrive; a click with NO purchase in its

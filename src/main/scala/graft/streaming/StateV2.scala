@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, ValueState}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, ValueState}
 
 /** Spark 4's arbitrary-stateful-processing v2 surface
   * (`transformWithState` + [[StatefulProcessor]]): typed per-key state
@@ -128,6 +128,113 @@ class TimerSessionProcessor(gapSeconds: Long)
   }
 }
 
+/** Per-session event-type breakdown row emitted at session close. */
+final case class SessionTypeCount(
+    user_id: Long,
+    session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp,
+    event_type: String,
+    n: Long)
+
+/** The MAPSTATE leg of the v2 surface: the session algebra of
+  * [[TimerSessionProcessor]] with a per-key `MapState[event_type →
+  * count]` accumulating the OPEN session's type histogram — per-type
+  * counts live as individual state-store entries (point get/put per
+  * input row, no read-modify-write of a whole map blob), which is the
+  * reason MapState exists over a ValueState[Map]. On close (in-batch
+  * gap or timer expiry) the histogram drains as one row per type and
+  * the map clears for the next session.
+  */
+class SessionTypeCountsProcessor(gapSeconds: Long)
+    extends StatefulProcessor[Long, EventStreams.Event, SessionTypeCount] {
+
+  private val gapUs = gapSeconds * 1000000L
+  @transient private var sess: ValueState[SessionState] = _
+  @transient private var counts: MapState[String, Long] = _
+  @transient private var timer: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    sess = getHandle.getValueState[SessionState](
+      "session", Encoders.product[SessionState], TTLConfig.NONE)
+    counts = getHandle.getMapState[String, Long](
+      "type_counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    timer = getHandle.getValueState[Long](
+      "timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  private def us(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private def tsOf(usv: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(usv, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(usv, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  private def bump(tpe: String): Unit =
+    counts.updateValue(tpe,
+      (if (counts.containsKey(tpe)) counts.getValue(tpe) else 0L) + 1L)
+
+  private def drain(userId: Long, s: SessionState): Seq[SessionTypeCount] = {
+    val out = counts.iterator().map { case (tpe, n) =>
+      SessionTypeCount(userId, tsOf(s.startUs), tsOf(s.lastUs), tpe, n)
+    }.toSeq
+    counts.clear()
+    out
+  }
+
+  override def handleInputRows(
+      userId: Long,
+      rows: Iterator[EventStreams.Event],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[SessionTypeCount] = {
+    val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_type))
+    var current = Option(sess.get())
+    val closed = Seq.newBuilder[SessionTypeCount]
+    sorted.foreach { e =>
+      val t = us(e.ts)
+      current match {
+        case Some(s) if t >= s.startUs - gapUs && t - s.lastUs <= gapUs =>
+          current = Some(SessionState(math.min(s.startUs, t),
+            math.max(s.lastUs, t), s.n + 1, 0L))
+          bump(e.event_type)
+        case Some(s) if t < s.startUs - gapUs =>
+          // pre-session straggler: its own singleton session (cannot
+          // touch the open session's map)
+          closed += SessionTypeCount(userId, tsOf(t), tsOf(t), e.event_type, 1L)
+        case Some(s) =>
+          closed ++= drain(userId, s)
+          current = Some(SessionState(t, t, 1, 0L))
+          bump(e.event_type)
+        case None =>
+          current = Some(SessionState(t, t, 1, 0L))
+          bump(e.event_type)
+      }
+    }
+    current.foreach { s =>
+      sess.update(s)
+      val expiryMs = s.lastUs / 1000L + gapSeconds * 1000L
+      if (timer.exists() && timer.get() != expiryMs)
+        getHandle.deleteTimer(timer.get())
+      getHandle.registerTimer(expiryMs)
+      timer.update(expiryMs)
+    }
+    closed.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      userId: Long,
+      timerValues: org.apache.spark.sql.streaming.TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+      : Iterator[SessionTypeCount] = {
+    val out = Option(sess.get()).map(drain(userId, _)).getOrElse(Seq.empty)
+    sess.clear()
+    counts.clear()
+    timer.clear()
+    out.iterator
+  }
+}
+
 object StateV2 {
 
   /** Distinct (user_id, event_type) pairs via first-arrival emission —
@@ -151,6 +258,20 @@ object StateV2 {
       .groupByKey(_.user_id)
       .transformWithState(
         new TimerSessionProcessor(gapSeconds),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Per-session event-type histograms via MapState — see
+    * [[SessionTypeCountsProcessor]]. */
+  def sessionTypeCounts(events: Dataset[EventStreams.Event],
+      gapSeconds: Long, watermark: String): Dataset[SessionTypeCount] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val enc = Encoders.product[SessionTypeCount]
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new SessionTypeCountsProcessor(gapSeconds),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }
