@@ -228,6 +228,66 @@ object StreamingQueries {
         .orderBy("window_start", "event_type")
     },
 
+    // ---- SLIDING (hopping) windows: 2h length / 1h slide, so every
+    // event lands in exactly two overlapping windows — the other
+    // window mode (st_window_agg is tumbling). State is O(active
+    // windows × types); the oracle replays the window assignment by
+    // exploding each event into its two covering slide-grid starts.
+    "st_window_sliding" -> QueryDef.sql(
+      "streaming sliding 2h/1h window counts per event type")(
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        |w AS (SELECT make_timestamp((epoch_us(ts) // 3600000000 - t.i)
+        |               * 3600000000) AS window_start,
+        |        event_type, value
+        |      FROM e, unnest([0, 1]) AS t(i))
+        |SELECT window_start, event_type, count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM w GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+        .withWatermark("ts", "36500 days")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("value_cents"))
+      runToMemory(stream, "complete").orderBy("window_start", "event_type")
+    },
+
+    // ---- CHAINED STATEFUL OPERATORS in one stream (Spark supports
+    // multiple stateful ops per query with aligned watermarks since
+    // 3.5): watermark-bounded ingest dedup on event_id feeding a
+    // watermarked append-mode window aggregation — the exactly-once-
+    // ingest → aggregate pipeline as ONE streaming query (two state
+    // stores, watermark propagated through the dedup). The fixture's
+    // event_ids are unique, so dedup is semantically identity (its
+    // state machinery still runs) and the oracle is the append-mode
+    // window oracle: windows closed by the final watermark.
+    "st_chained_state" -> QueryDef.sql(
+      "dedup-then-window-agg: two chained stateful operators")(
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |           FROM events),
+        |mx AS (SELECT epoch_us(max(ts)) AS mxus FROM e)
+        |SELECT make_timestamp((epoch_us(ts) // 3600000000)
+        |         * 3600000000) AS window_start,
+        |       event_type, count(*) AS n
+        |FROM e, mx
+        |GROUP BY 1, 2, mxus
+        |HAVING epoch_us(window_start) + 7200000000 <= mxus
+        |ORDER BY window_start, event_type""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"))
+      runToMemory(stream, "append").orderBy("window_start", "event_type")
+    },
+
     // ---- streaming APPEND-mode watermarked window agg — the production
     // unbounded path (Complete mode above re-emits everything; append
     // emits each window once, when the watermark passes its end, and
