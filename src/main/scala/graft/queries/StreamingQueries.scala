@@ -551,17 +551,27 @@ object StreamingQueries {
     // the stream-stream class (st_interval_join is inner). Matched
     // pairs emit as both sides arrive; a click with NO purchase in its
     // 30-min window emits null-extended only once the watermark passes
-    // the end of its match window (click_ts + 30min < final watermark =
-    // max_ts − 1h) and the post-data no-data micro-batch flushes the
-    // eviction — so the oracle is the batch LEFT JOIN with exactly that
-    // eviction predicate on the unmatched rows (same withheld-tail
-    // mirroring as st_window_append's HAVING). Clicks still inside the
-    // window stay in state, correctly unemitted.
+    // the end of its match window (click_ts + 30min < final watermark)
+    // and the post-data no-data micro-batch flushes the eviction — so
+    // the oracle is the batch LEFT JOIN with exactly that eviction
+    // predicate on the unmatched rows (same withheld-tail mirroring as
+    // st_window_append's HAVING). The final watermark is
+    // min(max click ts, max purchase ts) − 1h, NOT max(all events) −
+    // 1h: each side's withWatermark sits ABOVE its event-type filter,
+    // so it tracks the FILTERED substream's max event time, and the
+    // join's global watermark is the min of the two
+    // (multipleWatermarkPolicy default). At sf0.1 the definitions
+    // differ by 57 s and one boundary click flips — sf0.1
+    // verification pinned this. Clicks still inside the window stay
+    // in state, correctly unemitted.
     "st_interval_join_left" -> QueryDef.sql(
       "stream-stream left-outer interval join with watermark eviction")(
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             CAST(ts AS TIMESTAMP) AS ts, value FROM events),
-        |mx AS (SELECT epoch_us(max(ts)) AS mxus FROM e)
+        |mx AS (SELECT least(
+        |         epoch_us(max(ts) FILTER (event_type = 'click')),
+        |         epoch_us(max(ts) FILTER (event_type = 'purchase')))
+        |         AS mxus FROM e)
         |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
         |       c.user_id AS user_id, c.ts AS click_ts, p.ts AS purchase_ts,
         |       CAST(round(p.value * 100) AS BIGINT) AS purchase_cents
