@@ -85,4 +85,28 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(mismatches == 0)
     assert(both.count() > 0)
   }
+
+  test("bloom and threshold-lev functions work from SQL, fail typed") {
+    spark.range(0, 100).selectExpr("id AS k").createOrReplaceTempView("bl_t")
+    val hit = spark.sql(
+      """SELECT graft_bloom_contains(
+        |  (SELECT graft_bloom_agg(k, 4096, 7) FROM bl_t), CAST(42 AS BIGINT))
+        |  AS hit""".stripMargin).collect().head.getBoolean(0)
+    assert(hit)
+    val d = spark.sql(
+      "SELECT graft_lev_le('kitten', 'sitten', 2) AS d").collect().head.getInt(0)
+    assert(d == 1)
+    val far = spark.sql(
+      "SELECT graft_lev_le('kitten', 'abcdef', 2) AS d").collect().head.getInt(0)
+    assert(far == -1)
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_bloom_agg(CAST(k AS INT), 4096, 7) FROM bl_t")
+        .collect()
+    }
+    assert(e1.getMessage.contains("bigint"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_lev_le(1, 2, 2)").collect()
+    }
+    assert(e2.getMessage.contains("string"), e2.getMessage)
+  }
 }
