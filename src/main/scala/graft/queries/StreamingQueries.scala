@@ -490,6 +490,31 @@ object StreamingQueries {
       }
     },
 
+    // ---- foreachBatch sink: the API production pipelines use to MERGE
+    // each micro-batch into a warehouse table (Delta/Iceberg MERGE,
+    // JDBC upsert) — the batch DataFrame surface inside a streaming
+    // query. Last-writer-wins upsert keyed by user_id with the writer
+    // ordered by (ts, event_id): each batch first reduces itself with
+    // max_by, then merges into the store keeping the larger (ts,
+    // event_id) — an idempotent, commutative-across-batches merge, so
+    // the final table equals the batch max_by whatever the file
+    // batching. The oracle is exactly that batch reduction.
+    "st_foreachbatch_upsert" -> QueryDef.sql(
+      "foreachBatch last-writer-wins upsert keyed by user")(
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        |      FROM e)
+        |SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+        |       cents AS last_cents
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val stream = Tables.loadStream(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("cents"))
+      graft.streaming.ForeachBatchUpsert.run(stream).orderBy("user_id")
+    },
+
     // ---- MAPSTATE leg of the v2 surface: per-session event-type
     // histograms (MapState[event_type -> count] per user — point
     // get/put per row against the state store, the access pattern

@@ -235,6 +235,58 @@ class SessionTypeCountsProcessor(gapSeconds: Long)
   }
 }
 
+/** foreachBatch last-writer-wins upsert — the streaming-MERGE-into-
+  * warehouse pattern as a testable unit. Each micro-batch is reduced
+  * to one row per key (max_by over (ts, event_id)) BEFORE leaving the
+  * executors, then merged into the keyed store keeping the larger
+  * (ts, event_id) — idempotent and commutative across batches, so the
+  * final table equals the batch reduction whatever the file batching
+  * (StreamingDeterminismSpec runs it over 3 file batches).
+  */
+object ForeachBatchUpsert {
+
+  /** Run `stream` (user_id, event_id, ts, cents) to completion under
+    * AvailableNow, upserting into a fresh store; returns the final
+    * table as (user_id, last_event_id, last_ts, last_cents). */
+  def run(stream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val store = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Long, java.sql.Timestamp, Long)]()
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-feb-ck-").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // reduce the batch BEFORE collecting: the driver sees one row
+        // per key per batch, not the raw stream (the same discipline a
+        // real MERGE pushes into the warehouse engine)
+        batch.groupBy(col("user_id"))
+          .agg(max_by(col("event_id"),
+              struct(col("ts"), col("event_id"))).as("eid"),
+            max(col("ts")).as("ts"),
+            max_by(col("cents"),
+              struct(col("ts"), col("event_id"))).as("cents"))
+          .collect().foreach { r =>
+            val k = r.getLong(0)
+            val v = (r.getLong(1), r.getTimestamp(2), r.getLong(3))
+            store.merge(k, v, (a, b) => {
+              val cmp = a._2.compareTo(b._2) // µs-precise Timestamp order
+              if (cmp > 0 || (cmp == 0 && a._1 >= b._1)) a else b
+            })
+          }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    store.asScala.toSeq
+      .map { case (k, (eid, ts, c)) => (k, eid, ts, c) }
+      .toDF("user_id", "last_event_id", "last_ts", "last_cents")
+  }
+}
+
 object StateV2 {
 
   /** Distinct (user_id, event_type) pairs via first-arrival emission —

@@ -56,6 +56,23 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
     srcDir
   }
 
+  /** Like stageChunks but keeps the input frame's columns as-is
+    * (requires ts + event_id for the chunk order). */
+  private def stageChunksKeep(events: org.apache.spark.sql.DataFrame): Path = {
+    val srcDir = Files.createTempDirectory("stream-det-src-")
+    val chunked = events.withColumn("_chunk",
+      ntile(3).over(Window.orderBy(col("ts"), col("event_id"))))
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"stream-det-keep$i-")
+      chunked.filter(col("_chunk") === i).drop("_chunk")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val dst = srcDir.resolve(f"chunk_$i%02d.parquet")
+      Files.move(onePartFile(tmp), dst)
+      Files.setLastModifiedTime(dst, FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    srcDir
+  }
+
   test("sessionize over 3 time-ordered file batches equals batch sessionization") {
     import spark.implicits._
     val events = events0001
@@ -286,5 +303,32 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
       case None => spark.conf.unset(
         "spark.sql.streaming.stateStore.providerClass")
     }
+  }
+
+  test("foreachBatch upsert over 3 batches equals the batch max_by") {
+    // the cross-batch MERGE leg: keys recur across the 3 time-ordered
+    // file batches, so the store.merge comparator (not just insert)
+    // decides the final rows; the result must equal the batch
+    // last-row-per-key reduction regardless of batching.
+    import spark.implicits._
+    val events = events0001
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val srcDir = stageChunksKeep(events)
+    val stream = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val got = graft.streaming.ForeachBatchUpsert.run(stream)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val expected = events
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("cents").as("last_cents"))
+    assert(expected.count() > 0)
+    assert(expected.exceptAll(got).count() == 0 &&
+      got.exceptAll(expected).count() == 0,
+      "foreachBatch upsert table diverges from batch max_by")
   }
 }
