@@ -52,8 +52,11 @@ object BloomRuntime {
   }
 
   /** Probe a serialized sketch (4-byte header + bit array). Hot path:
-    * called once per probe-side row from generated code. */
+    * called once per probe-side row from generated code. A malformed
+    * value (shorter than header + one byte of bits) rejects everything
+    * rather than throwing — SQL users can feed arbitrary binary. */
   def mightContain(sketch: Array[Byte], key: Long): Boolean = {
+    if (sketch.length < 5) return false
     val numHashes = ((sketch(0) & 0xff) << 24) | ((sketch(1) & 0xff) << 16) |
       ((sketch(2) & 0xff) << 8) | (sketch(3) & 0xff)
     val nbits = (sketch.length - 4).toLong << 3

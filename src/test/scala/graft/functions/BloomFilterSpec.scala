@@ -68,6 +68,12 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(fp < 100, s"fpp too high: $fp/10000")
   }
 
+  test("malformed sketches reject instead of throwing") {
+    // SQL users can feed arbitrary binary to graft_bloom_contains
+    assert(!BloomRuntime.mightContain(Array.emptyByteArray, 1L))
+    assert(!BloomRuntime.mightContain(Array[Byte](0, 0, 0, 7), 1L))
+  }
+
   test("probe expression evals through the interpreted path too") {
     val a = agg(1 << 12, 5)
     val s = sketch(a, Seq(7L, 8L, 9L))
