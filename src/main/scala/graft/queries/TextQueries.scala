@@ -17,6 +17,14 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Private-use placeholder symbols for the BPE trainer's merged
+    * tokens (constructed from code points, NOT Spark's chr() — which is
+    * mod-256 ASCII — and embedded into the oracle SQL as literal
+    * characters so both engines replace the same strings). */
+  private val BpeP1 = 0xE001.toChar.toString
+  private val BpeP2 = 0xE002.toChar.toString
+  private val BpeP3 = 0xE003.toChar.toString
+
   /** Character-bigram profiles for the language-ID heuristic (tiny
     * stand-ins for full trigram frequency tables; the operator shape —
     * overlapping n-gram extraction, per-language profile score,
@@ -38,6 +46,56 @@ object TextQueries {
   /** Count of bigrams that appear in the given profile. */
   private def profileScore(bigrams: Column, profile: Seq[String]): Column =
     size(filter(bigrams, b => b.isin(profile: _*)))
+
+  /** The BPE training loop behind td_bpe_train (exposed so BpeTrainSpec
+    * can run it on crafted corpora that exercise merged-symbol merges):
+    * 3 iterations of pair-count → argmax → replace over the (distinct
+    * word, freq) table. Returns (step, merge_pair, cnt) with
+    * placeholders expanded back to raw character sequences. */
+  private[queries] def bpeTrain(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wordFreq = docs
+      .select(explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word").as("repr"), col("freq"))
+      .cache()
+    def bestPair(repr: DataFrame): Option[(String, Long)] =
+      repr
+        .filter(length(col("repr")) >= 2)
+        .select(explode(charNGrams(col("repr"), 2)).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("total"))
+        .orderBy(col("total").desc, col("pair"))
+        .limit(1).collect().headOption
+        .map(r => (r.getString(0), r.getLong(1)))
+    val placeholders = Seq(BpeP1, BpeP2, BpeP3)
+    var repr: DataFrame = wordFreq
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    val expand = scala.collection.mutable.LinkedHashMap[String, String]()
+    var step = 1
+    var exhausted = false
+    while (step <= 3 && !exhausted) {
+      bestPair(repr) match {
+        case None => exhausted = true // vocabulary fully merged
+        case Some((pair, total)) =>
+          // expansions are registered fully raw, so replacement order
+          // across distinct placeholder chars does not matter
+          val expanded = expand.toSeq.reverse.foldLeft(pair) {
+            case (p, (ph, ex)) => p.replace(ph, ex)
+          }
+          merges += ((step, expanded, total))
+          expand(placeholders(step - 1)) = expanded
+          repr = repr.select(
+            call_function("replace", col("repr"), lit(pair),
+              lit(placeholders(step - 1))).as("repr"),
+            col("freq"))
+          step += 1
+      }
+    }
+    wordFreq.unpersist()
+    merges.result().toDF("step", "merge_pair", "cnt")
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -333,6 +391,63 @@ object TextQueries {
           min(col("score")).as("min_score"),
           max(col("score")).as("max_score"))
         .orderBy("decile")
+    },
+
+    // ---- Distributed BPE TRAINING (Sennrich et al., "Neural machine
+    // translation of rare words with subword units", ACL'16): learn the
+    // first 3 merge rules over the corpus vocabulary. Each iteration is
+    // one distributed job — adjacent-symbol pair counts (the CharNGrams
+    // kernel over the current representation, weighted by word
+    // frequency, map-side combined) — plus a 1-row argmax collect; the
+    // merge applies as replace() with a private-use placeholder
+    // (..), whose left-to-right non-overlapping semantics
+    // are exactly BPE's leftmost-greedy application AND identical in
+    // Spark/Java and DuckDB, so the oracle replays the whole training
+    // loop unrolled. Symbol vocabulary stays per-word (standard BPE);
+    // the per-iteration state is the (distinct word, freq) table —
+    // O(vocab), not O(corpus) — which is what makes the trainer scale:
+    // at 100 TB the pair-count job reduces over the vocabulary, and
+    // iterations only re-map that table. Placeholders assume the
+    // corpus has no private-use code points (true of the fixtures).
+    // The driver-side argmax-per-iteration is inherent to the
+    // algorithm (each merge depends on the previous), not a shortcut.
+    "td_bpe_train" -> QueryDef.sql(
+      "first 3 BPE merges over the corpus vocabulary")(
+      """WITH w AS (SELECT t.w AS word, count(*) AS freq
+        |       FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |       WHERE length(t.w) >= 1 GROUP BY 1),
+        |r0 AS (SELECT word AS repr, freq FROM w),
+        |p1 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
+        |         sum(freq) AS total
+        |       FROM r0, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
+        |b1 AS (SELECT pair, total FROM p1 ORDER BY total DESC, pair LIMIT 1),
+        |r1 AS (SELECT replace(repr, (SELECT pair FROM b1), '') AS repr,
+        |         freq FROM r0),
+        |p2 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
+        |         sum(freq) AS total
+        |       FROM r1, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
+        |b2 AS (SELECT pair, total FROM p2 ORDER BY total DESC, pair LIMIT 1),
+        |r2 AS (SELECT replace(repr, (SELECT pair FROM b2), '') AS repr,
+        |         freq FROM r1),
+        |p3 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
+        |         sum(freq) AS total
+        |       FROM r2, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
+        |b3 AS (SELECT pair, total FROM p3 ORDER BY total DESC, pair LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, (SELECT pair FROM b1) AS merge_pair,
+        |         CAST((SELECT total FROM b1) AS BIGINT) AS cnt
+        |  UNION ALL
+        |  SELECT 2, replace((SELECT pair FROM b2), '',
+        |              (SELECT pair FROM b1)),
+        |         CAST((SELECT total FROM b2) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 3, replace(replace((SELECT pair FROM b3), '',
+        |              replace((SELECT pair FROM b2), '',
+        |                (SELECT pair FROM b1))),
+        |              '', (SELECT pair FROM b1)),
+        |         CAST((SELECT total FROM b3) AS BIGINT)
+        |) ORDER BY step""".stripMargin) { (s, dir) =>
+      bpeTrain(t(s, dir, "documents")).orderBy("step")
     },
 
     // ---- Token counting: whitespace tokens, distinct tokens, and a
