@@ -52,7 +52,14 @@ object TextQueries {
     * 3 iterations of pair-count → argmax → replace over the (distinct
     * word, freq) table. Returns (step, merge_pair, cnt) with
     * placeholders expanded back to raw character sequences. */
-  private[queries] def bpeTrain(docs: DataFrame): DataFrame = {
+  private[queries] def bpeTrain(docs: DataFrame): DataFrame =
+    bpeTrainRaw(docs)._1
+
+  /** As [[bpeTrain]], but also returns the raw per-step
+    * (placeholder-form pair, placeholder) list — what [[td_bpe_encode]]
+    * replays over the corpus text. */
+  private[queries] def bpeTrainRaw(docs: DataFrame)
+      : (DataFrame, Seq[(String, String)]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val wordFreq = docs
@@ -72,6 +79,7 @@ object TextQueries {
     val placeholders = Seq(BpeP1, BpeP2, BpeP3)
     var repr: DataFrame = wordFreq
     val merges = Seq.newBuilder[(Int, String, Long)]
+    val rawPairs = Seq.newBuilder[(String, String)]
     val expand = scala.collection.mutable.LinkedHashMap[String, String]()
     var step = 1
     var exhausted = false
@@ -85,6 +93,7 @@ object TextQueries {
             case (p, (ph, ex)) => p.replace(ph, ex)
           }
           merges += ((step, expanded, total))
+          rawPairs += ((pair, placeholders(step - 1)))
           expand(placeholders(step - 1)) = expanded
           repr = repr.select(
             call_function("replace", col("repr"), lit(pair),
@@ -94,7 +103,7 @@ object TextQueries {
       }
     }
     wordFreq.unpersist()
-    merges.result().toDF("step", "merge_pair", "cnt")
+    (merges.result().toDF("step", "merge_pair", "cnt"), rawPairs.result())
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -448,6 +457,60 @@ object TextQueries {
         |         CAST((SELECT total FROM b3) AS BIGINT)
         |) ORDER BY step""".stripMargin) { (s, dir) =>
       bpeTrain(t(s, dir, "documents")).orderBy("step")
+    },
+
+    // ---- BPE ENCODING: apply the 3 learned merges to the WHOLE corpus
+    // and report per-doc symbol counts — the tokenize-the-corpus step
+    // after td_bpe_train's learn step, as one query (train on the
+    // vocabulary table, then 3 chained narrow replace() maps over the
+    // text — merges never contain a space, so whole-text replace ==
+    // per-word application). n_bpe_symbols counts non-space symbols
+    // after merging (each placeholder = one token); the oracle replays
+    // the full train+encode pipeline unrolled.
+    "td_bpe_encode" -> QueryDef.sql(
+      "per-doc BPE symbol counts after applying the 3 learned merges")(
+      s"""WITH w AS (SELECT t.w AS word, count(*) AS freq
+        |       FROM documents, unnest(string_split(text, ' ')) AS t(w)
+        |       WHERE length(t.w) >= 1 GROUP BY 1),
+        |r0 AS (SELECT word AS repr, freq FROM w),
+        |p1 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
+        |         sum(freq) AS total
+        |       FROM r0, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
+        |b1 AS (SELECT pair FROM p1 ORDER BY total DESC, pair LIMIT 1),
+        |r1 AS (SELECT replace(repr, (SELECT pair FROM b1), '$BpeP1') AS repr,
+        |         freq FROM r0),
+        |p2 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
+        |         sum(freq) AS total
+        |       FROM r1, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
+        |b2 AS (SELECT pair FROM p2 ORDER BY total DESC, pair LIMIT 1),
+        |r2 AS (SELECT replace(repr, (SELECT pair FROM b2), '$BpeP2') AS repr,
+        |         freq FROM r1),
+        |p3 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
+        |         sum(freq) AS total
+        |       FROM r2, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
+        |b3 AS (SELECT pair FROM p3 ORDER BY total DESC, pair LIMIT 1),
+        |enc AS (SELECT doc_id, text,
+        |          replace(replace(replace(text,
+        |            (SELECT pair FROM b1), '$BpeP1'),
+        |            (SELECT pair FROM b2), '$BpeP2'),
+        |            (SELECT pair FROM b3), '$BpeP3') AS t3
+        |        FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(replace(t3, ' ', '')) AS BIGINT) AS n_bpe_symbols,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_base_chars
+        |FROM enc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val (_, rawPairs) = bpeTrainRaw(docs)
+      val encoded = rawPairs.foldLeft(col("text")) {
+        case (c, (pair, ph)) => call_function("replace", c, lit(pair), lit(ph))
+      }
+      docs.select(
+        col("doc_id"),
+        length(call_function("replace", encoded, lit(" "), lit("")))
+          .cast("long").as("n_bpe_symbols"),
+        length(call_function("replace", col("text"), lit(" "), lit("")))
+          .cast("long").as("n_base_chars"))
+        .orderBy("doc_id")
     },
 
     // ---- Token counting: whitespace tokens, distinct tokens, and a
