@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, StreamingQueries, TextQueries}
+import graft.queries.{DedupQueries, GraphQueries, MultimodalQueries, RelationalQueries, SimilarityQueries, StreamingQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
   /** The full registry, merged from the per-layer modules. */
   lazy val registry: Map[String, QueryDef] =
     RelationalQueries.defs ++ DedupQueries.defs ++ SimilarityQueries.defs ++
-      TextQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs
+      TextQueries.defs ++ MultimodalQueries.defs ++ StreamingQueries.defs ++
+      GraphQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

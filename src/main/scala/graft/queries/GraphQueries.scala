@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.PageRank
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the customer–supplier interaction graph derived
+  * from the star schema (who bought from whom, via orders⋈lineitem).
+  * Complements the dedup pipeline's connected components
+  * (graft.operators.ConnectedComponents) with the two other staple
+  * distributed graph workloads: iterative rank propagation and bipartite
+  * motif counting.
+  *
+  * Both queries are exact integer computations (see PageRank's
+  * determinism note) so the DuckDB oracle replays them bit-identically —
+  * the PageRank oracle unrolls the iteration loop as chained CTEs, the
+  * same cross-engine pattern as td_bpe_train's unrolled merge loop.
+  */
+object GraphQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val Iters = 3
+
+  /** Bipartite customer→supplier edge set; node ids disambiguated by
+    * parity (customer c ↦ 2c, supplier s ↦ 2s+1) so both sides live in
+    * one Long id space. */
+  private def bipartiteEdges(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
+  /** The oracle's unrolled PageRank iteration: rK → rK+1. Kept in exact
+    * lockstep with PageRank.run's loop body (share = tokens // deg,
+    * refresh = 150000 + 85·received // 100; DuckDB's `//` and Spark's
+    * `div` both floor, and everything here is non-negative). The sum of
+    * BIGINT shares is HUGEINT in DuckDB — the final projection casts
+    * back down. */
+  private def oracleIter(k: Int): String = {
+    val (prev, cur) = (s"r${k - 1}", s"r$k")
+    s"""s$k AS (SELECT e.dst AS id, sum(r.tokens // d.deg) AS rec
+       |  FROM edges e JOIN $prev r ON e.src = r.id
+       |  JOIN deg d ON d.src = e.src GROUP BY 1),
+       |$cur AS (SELECT n.id,
+       |    CAST(150000 + (85 * COALESCE(s.rec, 0)) // 100 AS BIGINT)
+       |      AS tokens
+       |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id)""".stripMargin
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- PAGERANK: 3 rounds of integer token passing over the
+    // undirected (both-direction) customer–supplier graph. Customers
+    // with broad supplier reach and suppliers serving many customers
+    // accumulate tokens; the bipartite structure means rank flows
+    // strictly across sides each round.
+    "rel_graph_pagerank" -> QueryDef.sql(
+      s"$Iters-round integer-token PageRank over the customer–supplier graph")(
+      s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |         l.l_suppkey * 2 + 1 AS dst
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL SELECT dst, src FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS tokens FROM nodes),
+        |${(1 to Iters).map(oracleIter).mkString(",\n")}
+        |SELECT id AS node_id,
+        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  tokens
+        |FROM r$Iters ORDER BY node_id""".stripMargin) { (s, dir) =>
+      val e0 = bipartiteEdges(s, dir)
+      val undirected = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.run(undirected, Iters)
+        .select(col("id").as("node_id"),
+          when(col("id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("tokens"))
+        .orderBy("node_id")
+    },
+
+    // ---- BUTTERFLY COUNTING: 2×2 bicliques per supplier pair — the
+    // bipartite analogue of triangle counting (cohesion of the
+    // purchasing graph). Wedge generation is the classic self-join on
+    // the shared customer with s1 < s2 dedup; wedge volume is
+    // Σ_c deg(c)², the known hot spot at scale — production would cap
+    // hub degrees or process vertices by degree priority (vertex-
+    // priority butterfly counting, Wang et al., VLDB'19); here the
+    // equi-join on c shuffles once and AQE's skew split handles hub
+    // customers. All-integer: count and C(shared,2) are exact.
+    "rel_graph_butterfly" -> QueryDef.sql(
+      "per-supplier butterfly (2×2 biclique) counts in the purchase graph")(
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |w AS (SELECT a.s AS s1, b.s AS s2,
+        |        (count(*) * (count(*) - 1)) // 2 AS bf
+        |      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+        |      GROUP BY 1, 2),
+        |v AS (SELECT s1 AS s, bf FROM w UNION ALL SELECT s2 AS s, bf FROM w)
+        |SELECT s AS suppkey, CAST(sum(bf) AS BIGINT) AS butterflies,
+        |  count(*) AS n_partners
+        |FROM v WHERE bf > 0 GROUP BY 1 ORDER BY suppkey""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      val w = e.as("a").join(e.as("b"),
+          col("a.c") === col("b.c") && col("a.s") < col("b.s"))
+        .select(col("a.s").as("s1"), col("b.s").as("s2"))
+        .groupBy("s1", "s2").agg(
+          expr("(count(1) * (count(1) - 1)) div 2").as("bf"))
+      w.select(col("s1").as("s"), col("bf"))
+        .union(w.select(col("s2").as("s"), col("bf")))
+        .filter(col("bf") > 0)
+        .groupBy("s").agg(sum("bf").as("butterflies"),
+          count(lit(1)).as("n_partners"))
+        .select(col("s").as("suppkey"), col("butterflies"),
+          col("n_partners"))
+        .orderBy("suppkey")
+    }
+  )
+}
