@@ -1208,6 +1208,37 @@ object RelationalQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // ---- MARKOV TRANSITION MATRIX: next-event transition counts per
+    // ordered user stream — the sequence-analytics primitive behind
+    // next-action datasets and funnel diagnostics. One lag window per
+    // user (shuffle by user_id; (user_id, ts) is unique in the fixture
+    // and event_id breaks any tie deterministically), then a K²-row
+    // aggregate (K = |event_type|) that map-side partial aggregation
+    // collapses before the shuffle — output size is independent of
+    // corpus size, so the plan holds at any scale.
+    "rel_event_transitions" -> QueryDef.sql(
+      "event-type transition counts + distinct users per ordered user stream")(
+      """WITH s AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type AS src_type, event_type AS dst_type,
+        |  count(*) AS transitions, count(DISTINCT user_id) AS n_users
+        |FROM s WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type").as("src_type"),
+          col("event_type").as("dst_type"), col("user_id"))
+        .groupBy("src_type", "dst_type")
+        .agg(count(lit(1)).as("transitions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("src_type", "dst_type")
+    },
+
     // ---- C12/C13-shape: ternary classification with a genuine null
     // branch (parse_covid_symptoms yes/no/None, prepare_calls.py:239-246).
     // ---- LATERAL correlated join (the per-row-subquery operator

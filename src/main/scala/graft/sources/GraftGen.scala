@@ -6,13 +6,13 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,7 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    outside it are never planned, and the accepted filters are
   *    consumed (no residual re-filter in the Spark plan);
   *  - **column pruning** (`SupportsPushDownRequiredColumns`): readers
-  *    materialize only the requested columns.
+  *    materialize only the requested columns;
+  *  - **runtime filtering** (`SupportsRuntimeFiltering`): when the scan
+  *    feeds a join whose other side is selectively filtered, Spark's
+  *    dynamic pruning hands the build side's id set to the scan between
+  *    planning and execution; the scan narrows to the set's [min, max]
+  *    envelope and drops whole slices — the DSv2 analogue of dynamic
+  *    partition pruning on a partitioned file source.
   *
   * Row formula (replayed by the DuckDB oracle over `range()`):
   * `id BIGINT, text = 'w' || (id % 97), val = ((id*7) % 100) / 10.0`.
@@ -59,6 +65,11 @@ object GraftGen {
   /** Rows physically generated across all readers (test observability;
     * local-mode executors share the JVM). */
   val rowsGenerated = new AtomicLong
+
+  /** Input partitions dropped by RUNTIME filtering (dynamic pruning from
+    * a join's build side) — observability for GraftGenSpec. Static
+    * pushdown pruning does not count here. */
+  val runtimePrunedPartitions = new AtomicLong
 
   /** The write half's in-memory store, keyed by the `table` option:
     * only rows from COMMITTED jobs appear — the driver-side
@@ -307,7 +318,30 @@ private class GenAggScan(lo: Long, hi: Long, funcs: Seq[String])
 }
 
 private class GenScan(lo: Long, hi: Long, rows: Long, slices: Int,
-    required: StructType, rowsPerBatch: Long) extends Scan with Batch {
+    required: StructType, rowsPerBatch: Long) extends Scan with Batch
+  with SupportsRuntimeFiltering {
+
+  // [rlo, rhi): the id range after RUNTIME narrowing. Runtime filters
+  // arrive between planning and execution (BatchScanExec re-plans its
+  // partitions through filter()), are semantically redundant — the join
+  // that produced them still applies — so the scan may over-return:
+  // narrowing an IN set to its [min, max] envelope is sound, and
+  // ignoring an untranslatable filter is too.
+  private var rlo: Long = lo
+  private var rhi: Long = hi
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Long]) =>
+      val longs = vs.map(_.asInstanceOf[java.lang.Long].longValue())
+      rlo = math.max(rlo, longs.min)
+      rhi = math.min(rhi, longs.max + 1)
+    case EqualTo("id", v: java.lang.Long) =>
+      rlo = math.max(rlo, v); rhi = math.min(rhi, v + 1)
+    case _ => () // advisory: unhandled runtime filters are safe to skip
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -321,11 +355,15 @@ private class GenScan(lo: Long, hi: Long, rows: Long, slices: Int,
     // fixed slice boundaries over the FULL id space (like file splits),
     // keeping only slices intersecting the pushed range
     val per = math.max(1L, (rows + slices - 1) / slices)
-    (0L until rows by per)
-      .map(s => (math.max(s, lo), math.min(s + per, hi)))
-      .filter { case (a, b) => a < b }
-      .map { case (a, b) => GenPartition(a, b): InputPartition }
-      .toArray
+    def slicesIn(a0: Long, b0: Long) =
+      (0L until rows by per)
+        .map(s => (math.max(s, a0), math.min(s + per, b0)))
+        .filter { case (a, b) => a < b }
+    val statically = slicesIn(lo, hi)
+    val planned = slicesIn(rlo, rhi)
+    GraftGen.runtimePrunedPartitions.addAndGet(
+      (statically.size - planned.size).toLong)
+    planned.map { case (a, b) => GenPartition(a, b): InputPartition }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -38,6 +38,41 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("[10000, 12000)"), plan)
   }
 
+  test("runtime filtering prunes slices from a join's build side") {
+    // fact: 1M ids in 32 slices. dim: 20 ids inside one narrow band,
+    // selectively filtered on a NON-key attribute (a key filter would
+    // constant-propagate into a static pushdown and bypass the runtime
+    // path). The broadcast join's build side hands its id set to the
+    // scan via SupportsRuntimeFiltering; the scan narrows to the set's
+    // envelope and drops the other slices.
+    import spark.implicits._
+    GraftGen.rowsGenerated.set(0)
+    GraftGen.runtimePrunedPartitions.set(0)
+    // the dim must be a real source, not a LocalRelation:
+    // ConvertToLocalRelation folds a filter over in-memory rows into
+    // the relation itself, and with no Filter node left the DPP rule
+    // sees no selective predicate and declines
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_rtf_dim").toString
+    (0 until 40)
+      .map(i => (500000L + i, if (i < 20) "keep" else "drop"))
+      .toDF("fid", "category")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val fact = gen(1000000, 32)
+    val out = fact.join(broadcast(dim.filter($"category" === "keep")),
+        $"id" === $"fid")
+      .select($"id", $"text")
+      .collect()
+    assert(out.length == 20)
+    assert(GraftGen.runtimePrunedPartitions.get() > 0,
+      "no partitions were runtime-pruned")
+    // the scan physically generated only the envelope band's slice
+    // (31250 ids per slice), not the 1M-row id space
+    assert(GraftGen.rowsGenerated.get() <= 1000000 / 32,
+      s"generated ${GraftGen.rowsGenerated.get()} rows")
+  }
+
   test("complete aggregate pushdown answers from metadata, zero rows") {
     GraftGen.rowsGenerated.set(0)
     val row = gen(1000000, 32)
