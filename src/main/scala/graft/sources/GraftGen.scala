@@ -13,7 +13,9 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -31,6 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    consumed (no residual re-filter in the Spark plan);
   *  - **column pruning** (`SupportsPushDownRequiredColumns`): readers
   *    materialize only the requested columns;
+  *  - **vectorized (columnar) reads**: the batch path generates
+  *    straight into on-heap column vectors (4096-row `ColumnarBatch`es,
+  *    plan shows `ColumnarToRow`) like a vectorized parquet reader;
+  *    `option("columnar", "false")` falls back to the row reader;
   *  - **runtime filtering** (`SupportsRuntimeFiltering`): when the scan
   *    feeds a join whose other side is selectively filtered, Spark's
   *    dynamic pruning hands the build side's id set to the scan between
@@ -107,7 +113,8 @@ private class GenTable extends Table with SupportsRead with SupportsWrite {
     new GenScanBuilder(
       options.getLong("rows", 1000L),
       options.getInt("slices", 8),
-      options.getLong("rowsPerBatch", 0L))
+      options.getLong("rowsPerBatch", 0L),
+      options.getBoolean("columnar", true))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GenWriteBuilder(info.options.get("table"), info.queryId())
 }
@@ -197,7 +204,8 @@ private[sources] class GenDataWriter extends DataWriter[InternalRow] {
   override def close(): Unit = ()
 }
 
-private class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
+private class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long,
+    columnar: Boolean)
   extends ScanBuilder
   with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
@@ -275,7 +283,8 @@ private class GenScanBuilder(rows: Long, slices: Int, rowsPerBatch: Long)
   override def build(): Scan = aggFuncs match {
     case Some(fs) => new GenAggScan(lo, math.max(lo, hi), fs)
     case None =>
-      new GenScan(lo, math.max(lo, hi), rows, slices, required, rowsPerBatch)
+      new GenScan(lo, math.max(lo, hi), rows, slices, required, rowsPerBatch,
+        columnar)
   }
 }
 
@@ -318,7 +327,8 @@ private class GenAggScan(lo: Long, hi: Long, funcs: Seq[String])
 }
 
 private class GenScan(lo: Long, hi: Long, rows: Long, slices: Int,
-    required: StructType, rowsPerBatch: Long) extends Scan with Batch
+    required: StructType, rowsPerBatch: Long, columnar: Boolean = false)
+  extends Scan with Batch
   with SupportsRuntimeFiltering {
 
   // [rlo, rhi): the id range after RUNTIME narrowing. Runtime filters
@@ -367,7 +377,9 @@ private class GenScan(lo: Long, hi: Long, rows: Long, slices: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GenReaderFactory(required)
+    // columnar applies to the BATCH path only; the micro-batch stream
+    // below constructs its own row-based factory
+    new GenReaderFactory(required, columnar)
 }
 
 private case class GenPartition(start: Long, end: Long) extends InputPartition
@@ -424,8 +436,61 @@ private class GenMicroBatchStream(lo: Long, hi: Long, slices: Int,
   override def stop(): Unit = ()
 }
 
-private class GenReaderFactory(required: StructType)
+private class GenReaderFactory(required: StructType,
+    columnar: Boolean = false)
   extends PartitionReaderFactory {
+
+  /** Vectorized read path: rows are generated straight into on-heap
+    * column vectors in 4096-row batches, so downstream whole-stage
+    * codegen consumes the scan through the columnar fast path (the plan
+    * shows `ColumnarToRow`, like a vectorized parquet scan) instead of
+    * one virtual call per row. Row formula and [[GraftGen.rowsGenerated]]
+    * accounting are identical to the row path. */
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val gp = p.asInstanceOf[GenPartition]
+    new PartitionReader[ColumnarBatch] {
+      private var pos = gp.start
+      private var batch: ColumnarBatch = null
+      override def next(): Boolean = {
+        if (batch != null) { batch.close(); batch = null }
+        if (pos >= gp.end) false
+        else {
+          val n = math.min(4096L, gp.end - pos).toInt
+          val vecs = OnHeapColumnVector.allocateColumns(n, required)
+          required.fields.zipWithIndex.foreach { case (f, c) =>
+            var i = 0
+            f.name match {
+              case "id" =>
+                while (i < n) { vecs(c).putLong(i, pos + i); i += 1 }
+              case "text" =>
+                while (i < n) {
+                  val b = ("w" + ((pos + i) % 97))
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                  vecs(c).putByteArray(i, b, 0, b.length); i += 1
+                }
+              case _ =>
+                while (i < n) {
+                  vecs(c).putDouble(i, (((pos + i) * 7) % 100).toDouble / 10.0)
+                  i += 1
+                }
+            }
+          }
+          GraftGen.rowsGenerated.addAndGet(n.toLong)
+          batch = new ColumnarBatch(
+            vecs.map(v => v: ColumnVector).toArray, n)
+          pos += n
+          true
+        }
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit =
+        if (batch != null) { batch.close(); batch = null }
+    }
+  }
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GenPartition]
     new PartitionReader[InternalRow] {

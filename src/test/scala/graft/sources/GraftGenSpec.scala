@@ -38,6 +38,26 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
     assert(plan.contains("[10000, 12000)"), plan)
   }
 
+  test("columnar batch reads match the row path and plan ColumnarToRow") {
+    val columnar = gen(100000, 8).filter(col("id") < 50000)
+    assert(columnar.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    val rowPath = spark.read.format("graftgen")
+      .option("rows", "100000").option("slices", "8")
+      .option("columnar", "false").load()
+      .filter(col("id") < 50000)
+    assert(!rowPath.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    // identical content and identical physical-rows accounting
+    GraftGen.rowsGenerated.set(0)
+    val a = columnar.orderBy("id").collect()
+    val colGenerated = GraftGen.rowsGenerated.get()
+    GraftGen.rowsGenerated.set(0)
+    val b = rowPath.orderBy("id").collect()
+    assert(colGenerated == GraftGen.rowsGenerated.get())
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("runtime filtering prunes slices from a join's build side") {
     // fact: 1M ids in 32 slices. dim: 20 ids inside one narrow band,
     // selectively filtered on a NON-key attribute (a key filter would
