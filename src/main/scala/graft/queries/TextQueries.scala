@@ -943,6 +943,75 @@ object TextQueries {
           .as("fp_rolling"),
         hash60(col("text")).as("fp_md5"))
         .orderBy("doc_id")
+    },
+
+    // ---- Collocation extraction: adjacent word-bigram association by
+    // PMI lift. PMI itself is log(lift); log is libm-dependent across
+    // engines, and log is monotone — so the score IS the rational lift
+    // c12·N² / (c1·c2·B) (N = unigram total, B = bigram total),
+    // evaluated in one fixed-association double expression over exact
+    // integer counts (c12·N² ≤ 7.4e14 at sf0.1 — inside 2^53, so even
+    // the products are exact). Bigrams via zip_with over two array
+    // slices (no self-join); counts are two map-side-partial groupBys;
+    // totals ride one broadcast scalar row. The final global row_number
+    // window is single-partition BY DESIGN: its input is the distinct-
+    // bigram table, bounded by |vocab|² — not corpus-sized — so it stays
+    // tiny at 100 TB while every corpus-sized stage above it is a
+    // map-side-partial shuffle.
+    "td_pmi_collocations" -> QueryDef.sql(
+      "top-50 adjacent-bigram collocations by rational PMI lift")(
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |            FROM documents),
+        |uni AS (SELECT w, count(*) AS c FROM (
+        |          SELECT unnest(toks) AS w FROM tk) GROUP BY 1),
+        |bg AS (SELECT toks[t.k+1] AS w1, toks[t.k+2] AS w2
+        |       FROM tk, unnest(range(len(toks)-1)) AS t(k)
+        |       WHERE len(toks) >= 2),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |st AS (SELECT (SELECT sum(c) FROM uni) AS n_tok,
+        |              (SELECT sum(c12) FROM big) AS n_big),
+        |sc AS (SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+        |         CAST(b.c12 AS DOUBLE) * st.n_tok * st.n_tok /
+        |           (CAST(u1.c AS DOUBLE) * u2.c * st.n_big) AS lift
+        |       FROM big b JOIN uni u1 ON b.w1 = u1.w
+        |                  JOIN uni u2 ON b.w2 = u2.w
+        |       CROSS JOIN st)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, CAST(c1 AS BIGINT)
+        |         AS c1, CAST(c2 AS BIGINT) AS c2, lift,
+        |       CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rnk
+        |  FROM sc)
+        |WHERE rnk <= 50 ORDER BY rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tk = t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("toks"))
+      val uni = tk.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val big = tk.filter(size(col("toks")) >= 2)
+        .select(explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val st = uni.agg(sum(col("c")).as("n_tok"))
+        .crossJoin(big.agg(sum(col("c12")).as("n_big")))
+      val u1 = uni.select(col("w").as("uw1"), col("c").as("c1"))
+      val u2 = uni.select(col("w").as("uw2"), col("c").as("c2"))
+      // op order mirrors the oracle SQL exactly (see BM25 note above)
+      val lift = col("c12").cast("double") * col("n_tok") * col("n_tok") /
+        (col("c1").cast("double") * col("c2") * col("n_big"))
+      val win = Window.orderBy(col("lift").desc, col("w1"), col("w2"))
+      big.join(broadcast(u1), col("w1") === col("uw1"))
+        .join(broadcast(u2), col("w2") === col("uw2"))
+        .crossJoin(broadcast(st))
+        .withColumn("lift", lift)
+        .withColumn("rnk", row_number().over(win))
+        .filter(col("rnk") <= 50)
+        .select(col("w1"), col("w2"), col("c12").cast("long").as("c12"),
+          col("c1").cast("long").as("c1"), col("c2").cast("long").as("c2"),
+          col("lift"), col("rnk").cast("int").as("rnk"))
+        .orderBy("rnk")
     }
   )
 }
