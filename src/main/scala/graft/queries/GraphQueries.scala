@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.operators.PageRank
+import graft.operators.{LabelPropagation, PageRank}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,7 +52,52 @@ object GraphQueries {
        |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id)""".stripMargin
   }
 
+  /** The oracle's unrolled LPA iteration: l(K-1) → lK. Mode-with-ties-
+    * to-smallest replayed as a count + row_number window (deterministic,
+    * so it matches LabelPropagation.run's max(struct(cnt, -lbl)) exactly
+    * even though the plans differ). Every node appears as a src in the
+    * both-direction edge list, so the per-src mode covers all nodes. */
+  private def lpaOracleIter(k: Int): String = {
+    val (prev, cur) = (s"l${k - 1}", s"l$k")
+    s"""$cur AS (SELECT src AS id, lbl FROM (
+       |  SELECT e.src, r.lbl, row_number() OVER (
+       |      PARTITION BY e.src ORDER BY count(*) DESC, r.lbl) AS rn
+       |  FROM edges e JOIN $prev r ON e.dst = r.id
+       |  GROUP BY e.src, r.lbl) WHERE rn = 1)""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ---- LABEL PROPAGATION: synchronous LPA community detection over
+    // the same undirected customer–supplier graph as PageRank —
+    // deterministic (smallest-label ties), so the communities are a
+    // pure function of the graph and hash-compare cross-engine. See
+    // operators.LabelPropagation for the per-iteration plan.
+    "rel_graph_labelprop" -> QueryDef.sql(
+      s"$Iters-round synchronous label propagation communities")(
+      s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |         l.l_suppkey * 2 + 1 AS dst
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL SELECT dst, src FROM e0),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |l0 AS (SELECT id, id AS lbl FROM nodes),
+        |${(1 to Iters).map(lpaOracleIter).mkString(",\n")}
+        |SELECT id AS node_id,
+        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  lbl AS community
+        |FROM l$Iters ORDER BY node_id""".stripMargin) { (s, dir) =>
+      val e0 = bipartiteEdges(s, dir)
+      val undirected = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      LabelPropagation.run(undirected, Iters)
+        .select(col("id").as("node_id"),
+          when(col("id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("lbl").as("community"))
+        .orderBy("node_id")
+    },
 
     // ---- PAGERANK: 3 rounds of integer token passing over the
     // undirected (both-direction) customer–supplier graph. Customers

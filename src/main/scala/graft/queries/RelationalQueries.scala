@@ -237,6 +237,27 @@ object RelationalQueries {
         .orderBy("vec_id", "pos")
     },
 
+    // ---- XML source + sink (built into Spark 4): round-trips customer
+    // rows through the text-based format against the parquet original.
+    // The interesting claim is the DOUBLE column: Java's double→string→
+    // double is round-trip-exact, so c_acctbal must come back bit-
+    // identical through the textual representation — the oracle reads
+    // the parquet original, so any precision loss in the XML leg is a
+    // hash mismatch. Schema is pinned on read (no inference pass).
+    "rel_xml_roundtrip" -> QueryDef.sql(
+      "XML sink + XML scan round trip of customer rows vs parquet")(
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val src = t(s, dir, "customer")
+      val tmp = System.getProperty("java.io.tmpdir") +
+        s"/graft_xml_roundtrip_${s.sparkContext.applicationId}"
+      src.write.mode("overwrite").option("rowTag", "row")
+        .format("xml").save(tmp)
+      s.read.schema(src.schema).option("rowTag", "row")
+        .format("xml").load(tmp)
+        .orderBy("c_custkey")
+    },
+
     // ---- P1/P2/P3/P4: rename, project-with-reorder, constant + computed
     // columns (ref: petl rename/cut/addfield, prepare_calls.py:35,51;
     // SURVEY §2.2). Narrow ops only: no shuffle, whole-stage codegen,
@@ -1041,6 +1062,55 @@ object RelationalQueries {
         col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("n_24h"),
         sum(cents(col("value"))).over(w).as("cents_24h"))
+        .orderBy("event_id")
+    },
+
+    // ---- Rolling z-score outlier detection per user stream — the
+    // time-series anomaly flag, in EXACT integer arithmetic: a float
+    // z-score needs sqrt and a division, both order/libm-hazards, so
+    // the test |x-μ| > 2σ is algebraically cleared of denominators:
+    // (n·x − S)² > 4·(n·Q − S²) with S=Σv, Q=Σv² over the trailing
+    // 10-row window, all BIGINT cents (≤1e16 « 2^63 at these value
+    // ranges). One window exchange partitioned by user; every derived
+    // column is per-row integer math on the window sums.
+    "rel_rolling_outlier" -> QueryDef.sql(
+      "trailing-10-row integer z-score outlier flag per user stream")(
+      """WITH b AS (SELECT event_id, user_id,
+        |             CAST(round(value*100) AS BIGINT) AS v,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+        |w AS (SELECT event_id, user_id, v,
+        |        count(*) OVER win AS n_win,
+        |        CAST(sum(v) OVER win AS BIGINT) AS s_cents,
+        |        CAST(sum(v*v) OVER win AS BIGINT) AS q
+        |      FROM b WINDOW win AS (PARTITION BY user_id
+        |        ORDER BY tu, event_id
+        |        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, v AS v_cents, n_win, s_cents,
+        |  (n_win*v - s_cents)*(n_win*v - s_cents) AS dev2,
+        |  4*(n_win*q - s_cents*s_cents) AS var4,
+        |  (n_win >= 5 AND (n_win*v - s_cents)*(n_win*v - s_cents)
+        |     > 4*(n_win*q - s_cents*s_cents)) AS is_outlier
+        |FROM w ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val win = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          cents(col("value")).as("v"))
+        .select(col("event_id"), col("user_id"), col("v"),
+          count(lit(1)).over(win).as("n_win"),
+          sum(col("v")).over(win).as("s_cents"),
+          sum(col("v") * col("v")).over(win).as("q"))
+        .withColumn("dev2",
+          (col("n_win") * col("v") - col("s_cents")) *
+            (col("n_win") * col("v") - col("s_cents")))
+        .withColumn("var4",
+          lit(4L) * (col("n_win") * col("q") -
+            col("s_cents") * col("s_cents")))
+        .select(col("event_id"), col("user_id"), col("v").as("v_cents"),
+          col("n_win"), col("s_cents"), col("dev2"), col("var4"),
+          (col("n_win") >= 5 && col("dev2") > col("var4"))
+            .as("is_outlier"))
         .orderBy("event_id")
     },
 

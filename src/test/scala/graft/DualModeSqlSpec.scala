@@ -36,7 +36,7 @@ class DualModeSqlSpec extends AnyFunSuite with SparkTestSession {
     "rel_cube", "rel_topk_per_key", "rel_lateral_topk",
     "td_quantile_hist", "td_funnel_convert",
     "rel_skew_salted_join", "rel_upsert_merge", "rel_scd2_intervals",
-    "rel_bloom_join")
+    "rel_bloom_join", "rel_graph_labelprop")
   // rel_scalar_subquery and rel_lateral_topk already BUILD via
   // spark.sql text in the registry; rel_window_range_frame and
   // rel_scalar_subquery oracles use DuckDB-only epoch_us / `//`, so
