@@ -53,12 +53,18 @@ object BloomRuntime {
 
   /** Probe a serialized sketch (4-byte header + bit array). Hot path:
     * called once per probe-side row from generated code. A malformed
-    * value (shorter than header + one byte of bits) rejects everything
-    * rather than throwing — SQL users can feed arbitrary binary. */
+    * value rejects everything rather than throwing — SQL users can feed
+    * arbitrary binary, so BOTH malformed shapes are guarded: shorter
+    * than header + one byte of bits, and a numHashes header outside the
+    * [1, 16] range [[BloomFilterAgg]] enforces at build time (a zero or
+    * negative header would vacuously accept every key — the filter
+    * silently stops pruning — and a huge one, e.g. 2^31, would spin the
+    * probe loop per row on a mostly-set sketch). */
   def mightContain(sketch: Array[Byte], key: Long): Boolean = {
     if (sketch.length < 5) return false
     val numHashes = ((sketch(0) & 0xff) << 24) | ((sketch(1) & 0xff) << 16) |
       ((sketch(2) & 0xff) << 8) | (sketch(3) & 0xff)
+    if (numHashes < 1 || numHashes > 16) return false
     val nbits = (sketch.length - 4).toLong << 3
     val h1 = mix(key)
     val h2 = mix(key ^ Gold) | 1L

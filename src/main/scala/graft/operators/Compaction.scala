@@ -64,23 +64,8 @@ object Compaction {
       n
     }
 
-    // recover from a previous crashed swap: a `.‹leaf›.compact-bak`
-    // whose live leaf is missing is that partition's only copy —
-    // restore it before reading; a stale backup with a live leaf is
-    // left over from a crash after its swap completed — drop it.
-    def recoverBackups(p: Path, depth: Int): Unit =
-      if (depth < partitionCols.length && fs.exists(p))
-        fs.listStatus(p).foreach { s =>
-          val n = s.getPath.getName
-          if (s.isDirectory && n.startsWith(".") && n.endsWith(bakSuffix)) {
-            val live = new Path(p, n.drop(1).dropRight(bakSuffix.length))
-            if (!fs.exists(live))
-              require(fs.rename(s.getPath, live), s"restore $live failed")
-            else fs.delete(s.getPath, true)
-          } else if (s.isDirectory && n.contains("="))
-            recoverBackups(s.getPath, depth + 1)
-        }
-    recoverBackups(root, 0)
+    // recover from a previous crashed swap before reading
+    recoverBackups(fs, root, 0, partitionCols.length)
 
     val before = dataFiles(root)
     spark.read.parquet(root.toString)
@@ -116,6 +101,46 @@ object Compaction {
     backups.result().foreach(b => fs.delete(b, true))
     fs.delete(staging, true)
     (swapped.size, before, dataFiles(root))
+  }
+
+  /** Standalone repair entry point: heal a crashed swap WITHOUT
+    * re-running the full rewrite. A `.‹leaf›.compact-bak` whose live
+    * leaf is missing is that partition's only copy — restore it; a
+    * stale backup whose live leaf exists is left over from a crash
+    * after its swap completed — drop it. Returns
+    * (backups restored, stale backups dropped). Idempotent; also runs
+    * automatically at the start of every [[compactPartitioned]].
+    */
+  def repair(spark: SparkSession, dir: String,
+      partitionCols: Seq[String]): (Int, Int) = {
+    require(partitionCols.nonEmpty, "partitionCols must be non-empty")
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverBackups(fs, fs.makeQualified(new Path(dir)), 0,
+      partitionCols.length)
+  }
+
+  /** Walk partition levels above the leaves restoring/dropping
+    * `.compact-bak` dirs (see [[repair]] for the contract). */
+  private def recoverBackups(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      depth: Int, leafDepth: Int): (Int, Int) = {
+    var restored = 0
+    var dropped = 0
+    if (depth < leafDepth && fs.exists(p))
+      fs.listStatus(p).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.startsWith(".") && n.endsWith(bakSuffix)) {
+          val live = new Path(p, n.drop(1).dropRight(bakSuffix.length))
+          if (!fs.exists(live)) {
+            require(fs.rename(s.getPath, live), s"restore $live failed")
+            restored += 1
+          } else { fs.delete(s.getPath, true); dropped += 1 }
+        } else if (s.isDirectory && n.contains("=")) {
+          val (r, d) = recoverBackups(fs, s.getPath, depth + 1, leafDepth)
+          restored += r; dropped += d
+        }
+      }
+    (restored, dropped)
   }
 
   private val bakSuffix = ".compact-bak"

@@ -29,8 +29,15 @@ import org.apache.spark.storage.StorageLevel
   *    distinct neighbour-label volume;
   *  - the mode-with-tie-break is a single `max(struct(cnt, -lbl))`
   *    aggregate — no per-node window, no sort;
-  *  - `localCheckpoint` every [[PageRank.CheckpointInterval]] rounds
-  *    (and eagerly at the end) keeps lineage flat, same as PageRank.
+  *  - the label table is `localCheckpoint`ed EVERY round (lazily;
+  *    eagerly on the last), not at [[PageRank.CheckpointInterval]]:
+  *    unlike PageRank's single-reference loop, each LPA update
+  *    references the previous label table twice (once inside the
+  *    neighbour-mode aggregate, once as the keep-current fallback), so
+  *    an interval-k checkpoint would let the logical plan double every
+  *    round and grow 2^k between truncations. The checkpoint replaces
+  *    the plan with a constant-size leaf immediately, and the table it
+  *    snapshots is only O(nodes) — one cheap job per round.
   */
 object LabelPropagation {
 
@@ -74,14 +81,14 @@ object LabelPropagation {
         .select(col("src").as("id"), (-col("m.nl")).as("newLbl"))
       labels = labels.join(bcast(mode), Seq("id"), "left")
         .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
-      if (i == iterations || i % PageRank.CheckpointInterval == 0)
-        labels = labels.localCheckpoint(eager = i == iterations)
+        .localCheckpoint(eager = i == iterations)
     }
-    if (iterations > 0) {
-      base.unpersist(); nodes.unpersist()
-    } else {
-      base.unpersist() // labels still reads nodes lazily
+    if (iterations == 0) {
+      // materialize the trivial identity labelling so the caches below
+      // can be released without the returned frame recomputing them
+      labels = labels.localCheckpoint(eager = true)
     }
+    base.unpersist(); nodes.unpersist()
     labels
   }
 }

@@ -124,11 +124,12 @@ object PageRank {
       if (i == iterations || i % CheckpointInterval == 0)
         ranks = ranks.localCheckpoint(eager = i == iterations)
     }
-    if (iterations > 0) {
-      e.unpersist(); deg.unpersist(); nodes.unpersist()
-    } else {
-      e.unpersist(); deg.unpersist() // ranks still reads nodes lazily
+    if (iterations == 0) {
+      // materialize the init ranks so the caches below can be released
+      // without the returned frame recomputing them
+      ranks = ranks.localCheckpoint(eager = true)
     }
+    e.unpersist(); deg.unpersist(); nodes.unpersist()
     ranks
   }
 }

@@ -48,9 +48,26 @@ object ZOrder {
     * the other's, its high bits dominate the z-order and the layout
     * degenerates to a single-column sort (each file then spans the
     * whole other dimension — no pruning). `maxVal` is the dimension's
-    * observed maximum (one cheap agg). */
-  def normalize16(c: Column, maxVal: Long): Column =
-    (c * lit(65536L) / lit(maxVal + 1)).cast("long")
+    * observed maximum (one cheap agg).
+    *
+    * The multiply is widened through decimal(38,0): `c * 65536` in
+    * Long arithmetic silently wraps for values above ~2^47, corrupting
+    * the z-order with no error. Decimal keeps the product exact over
+    * the full Long domain; this runs once per row at LAYOUT time (not
+    * in a scan hot path), so the decimal cost is irrelevant. For
+    * `0 <= c <= maxVal` the floored quotient is provably in
+    * [0, 65535], satisfying [[spread16]]'s precondition. */
+  def normalize16(c: Column, maxVal: Long): Column = {
+    require(maxVal >= 0 && maxVal < Long.MaxValue,
+      s"maxVal must be in [0, ${Long.MaxValue - 1}], got $maxVal")
+    // exact floor-div: decimal DIVISION rounds at its result scale
+    // (65535.999… would round UP to 65536), but decimal `%` is exact,
+    // so divide only after subtracting the remainder — the quotient is
+    // then integral and rounding is the identity
+    val a = c.cast("decimal(38,0)") * lit(65536L)
+    val b = lit(maxVal + 1L).cast("decimal(38,0)")
+    ((a - a % b) / b).cast("long")
+  }
 
   /** Cluster `df` for (a, b) pruning: compute the z-value of the two
     * 16-bit-normalized dimensions, range-partition on it into
@@ -58,10 +75,18 @@ object ZOrder {
     * contiguous z-interval ⇒ one small (a, b) rectangle) and sort
     * within partitions so row groups inside a file are tight too.
     * Returns the frame with its `zval` column; callers write it out
-    * with the layout preserved. */
+    * with the layout preserved.
+    *
+    * Inputs are masked to [[spread16]]'s [0, 65535] domain with `pmod`
+    * (identity for already-normalized inputs, two codegen'd ops): an
+    * out-of-range dimension would otherwise corrupt the interleave
+    * silently. Callers should still [[normalize16]] first — a raw
+    * modulus wraps rather than scales, which scrambles locality even
+    * though the z-math stays well-defined. */
   def cluster(df: DataFrame, a: Column, b: Column,
       numFiles: Int): DataFrame =
-    df.withColumn("zval", zValue(a, b))
+    df.withColumn("zval",
+        zValue(pmod(a, lit(65536L)), pmod(b, lit(65536L))))
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions(col("zval"))
 }

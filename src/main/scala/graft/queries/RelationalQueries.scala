@@ -131,15 +131,19 @@ object RelationalQueries {
     * prefix fast path (see rel_fuzzy_join's notes). */
   def fuzzyJoinSig(customers: DataFrame): DataFrame = {
     val base = customers.select(col("c_custkey").as("k"), col("c_name").as("n"))
-    // same narrow-candidate discipline as fuzzyJoinSymDel: hash the
-    // signature gram to 8 bytes, carry int keys only through the join
-    // + dedup, re-attach names after (collisions only add candidates
-    // the exact refine removes)
-    val sig = fuzzySignatures(customers)
-      .select(col("k"), xxhash64(col("gram")).as("gh"))
-    val a = sig.select(col("k").as("a_key"), col("gh"))
-    val b = sig.select(col("k").as("b_key"), col("gh").as("gh_b"))
-    a.join(b, col("gh") === col("gh_b") && col("a_key") < col("b_key"))
+    // same narrow-candidate discipline as fuzzyJoinSymDel: carry int
+    // keys + the 3-char gram only through the join + dedup, re-attach
+    // names after. The join key is the LITERAL gram, not a hash of it:
+    // signature blocking is not recall-1.0, so a hash collision could
+    // admit a genuine lev<=2 pair the oracle's gram-blocked candidate
+    // set lacks — a cross-engine divergence, not merely extra work for
+    // the refine. (SymDelete CAN hash its variants: its blocking is
+    // exact, so collisions there only add candidates the refine kills.)
+    // A trigram is also narrower than an 8-byte hash would be.
+    val sig = fuzzySignatures(customers).select(col("k"), col("gram"))
+    val a = sig.select(col("k").as("a_key"), col("gram"))
+    val b = sig.select(col("k").as("b_key"), col("gram").as("gram_b"))
+    a.join(b, col("gram") === col("gram_b") && col("a_key") < col("b_key"))
       // a pair sharing several signature grams appears once per gram
       .select(col("a_key"), col("b_key"))
       .distinct()

@@ -74,6 +74,25 @@ class BloomFilterSpec extends AnyFunSuite {
     assert(!BloomRuntime.mightContain(Array[Byte](0, 0, 0, 7), 1L))
   }
 
+  test("out-of-range numHashes header rejects instead of degrading") {
+    // a zero/negative header would make the probe loop vacuous (every
+    // key accepted — filter silently stops pruning); a huge header
+    // (e.g. 2^31-1) would spin the loop per probe row on a mostly-set
+    // sketch. Both must reject, matching the [1,16] build-time range.
+    val allSet = Array.fill[Byte](4 + 16)(-1)
+    def withHeader(h: Int): Array[Byte] = {
+      val s = allSet.clone()
+      s(0) = (h >>> 24).toByte; s(1) = (h >>> 16).toByte
+      s(2) = (h >>> 8).toByte; s(3) = h.toByte
+      s
+    }
+    assert(!BloomRuntime.mightContain(withHeader(0), 1L))
+    assert(!BloomRuntime.mightContain(withHeader(-3), 1L))
+    assert(!BloomRuntime.mightContain(withHeader(Int.MaxValue), 1L))
+    assert(!BloomRuntime.mightContain(withHeader(17), 1L))
+    assert(BloomRuntime.mightContain(withHeader(16), 1L)) // boundary ok
+  }
+
   test("probe expression evals through the interpreted path too") {
     val a = agg(1 << 12, 5)
     val s = sketch(a, Seq(7L, 8L, 9L))

@@ -79,6 +79,32 @@ class CompactionSpec extends AnyFunSuite with SparkTestSession {
     assert(!root.listFiles().exists(_.getName.endsWith(".compact-bak")))
   }
 
+  test("standalone repair heals a crashed swap without a rewrite") {
+    val dir = Files.createTempDirectory("graft-compact4-").toString + "/docs"
+    val nRows = writeFragmented(dir)
+    val content = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+
+    val root = new java.io.File(dir)
+    val leaves = root.listFiles().filter(f => f.isDirectory &&
+      f.getName.contains("=")).sortBy(_.getName)
+    assert(leaves.length >= 2, "fixture needs >=2 lang partitions")
+    val orphan = leaves.head
+    val orphanBak = new java.io.File(root, s".${orphan.getName}.compact-bak")
+    assert(orphan.renameTo(orphanBak))
+    val stale = new java.io.File(root, s".${leaves(1).getName}.compact-bak")
+    assert(stale.mkdir())
+
+    val (restored, dropped) = Compaction.repair(spark, dir, Seq("lang"))
+    assert(restored == 1 && dropped == 1)
+    // table is whole again, file layout untouched (no rewrite ran)
+    val afterDf = spark.read.parquet(dir)
+    assert(afterDf.count() == nRows)
+    assert(afterDf.orderBy("doc_id").collect().toSeq == content)
+    assert(!root.listFiles().exists(_.getName.endsWith(".compact-bak")))
+    // idempotent on a healthy table
+    assert(Compaction.repair(spark, dir, Seq("lang")) == ((0, 0)))
+  }
+
   test("maxRecordsPerFile splits oversized partitions during compaction") {
     val dir = Files.createTempDirectory("graft-compact2-").toString + "/docs"
     writeFragmented(dir)

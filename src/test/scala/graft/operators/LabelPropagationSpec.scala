@@ -59,6 +59,20 @@ class LabelPropagationSpec extends AnyFunSuite with SparkTestSession {
     assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("12 iterations complete in bounded time (per-round checkpoint)") {
+    // Each LPA update references the previous label table twice, so
+    // without the per-round localCheckpoint the logical plan doubles
+    // every round — 2^12 subtrees here — and the driver spends minutes
+    // in analysis alone. With the checkpoint, 12 rounds on a 60-node
+    // ring are a dozen O(nodes) jobs; assert it stays interactive.
+    val ring = undirected((0L until 60L).map(i => i -> ((i + 1) % 60)): _*)
+    val start = System.nanoTime()
+    val out = labelsOf(LabelPropagation.run(ring, 12))
+    val secs = (System.nanoTime() - start) / 1e9
+    assert(out.size == 60)
+    assert(secs < 120.0, s"12 LPA rounds took ${secs}s — plan growth?")
+  }
+
   test("disjoint cliques converge to their own min-id communities") {
     val k3a = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L)
     val k3b = Seq(10L -> 11L, 11L -> 12L, 10L -> 12L)

@@ -35,6 +35,24 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
     assert(rows.getLong(4) == 0x5555L) // 8 ones spread to even positions
   }
 
+  test("normalize16 is exact past 2^47 (no Long-multiply wraparound)") {
+    // c * 65536 wraps Long for c >= 2^47; the decimal-widened form must
+    // keep scaling monotonically all the way to Long.MaxValue-1
+    val big = Long.MaxValue - 1
+    val r = spark.range(1).select(
+      ZOrder.normalize16(lit(0L), big).as("lo"),
+      ZOrder.normalize16(lit(big / 2), big).as("mid"),
+      ZOrder.normalize16(lit(big), big).as("hi"),
+      ZOrder.normalize16(lit(1L << 50), big).as("past47")).head
+    assert(r.getLong(0) == 0L)
+    assert(r.getLong(1) == 32767L || r.getLong(1) == 32768L)
+    assert(r.getLong(2) == 65535L)
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 65535L)
+    assertThrows[IllegalArgumentException] {
+      ZOrder.normalize16(lit(1L), Long.MaxValue)
+    }
+  }
+
   test("z-layout prunes files on the SECOND dimension; a-sort does not") {
     val zDir = Files.createTempDirectory("graft-zorder-").toString
     val aDir = Files.createTempDirectory("graft-asort-").toString
