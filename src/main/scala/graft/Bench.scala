@@ -67,14 +67,36 @@ object Bench {
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
       }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Contention canary: a fixed CPU+shuffle probe timed at the start,
+    // middle, and end of the sweep. A bench sharing the box with other
+    // load records inflated per-query times that look like plan
+    // regressions (round 6 recorded a 2.3×-wrong total this way); the
+    // canary makes a contaminated run self-identifying — `canary_drift`
+    // (max/min of the three probes) near 1.0 means the box was steady,
+    // and consumers must disregard a record with drift >~1.5.
+    def canaryProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(4000000L)
+        .selectExpr("id % 997 AS k", "id * 2654435761 AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .selectExpr("sum(`sum(v)`)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryProbe() // JIT warm-up run, untimed
+    val canaryStart = canaryProbe()
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    var canaryMid = 0.0
+    val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == sorted.size / 2) canaryMid = canaryProbe()
       val cold = timed(fn)
       val before = settledShuffleBytes()
       val warm = if (cold.isRight) timed(fn) else cold
       val warmShuffleMb = (settledShuffleBytes() - before) / 1e6
       (name, cold, warm, warmShuffleMb)
     }
-    val (full, compact) = renderLines(results, sfDir)
+    val canaryEnd = canaryProbe()
+    val (full, compact) =
+      renderLines(results, sfDir, Seq(canaryStart, canaryMid, canaryEnd))
     // Full detail first (useful when reading the whole log, and persisted
     // to a file), then a COMPACT line LAST: the harness captures only the
     // final ~2000 chars of output, so the parseable line must be short
@@ -101,8 +123,15 @@ object Bench {
     * compared FASTER than a working one. Consumers comparing `value`
     * across rounds must gate on `n_errors == 0` (both lines carry it);
     * per-query error detail is in `errors`. Factored out of main so
-    * BenchSpec can pin the JSON shape without running queries. */
-  private[graft] def renderLines(results: Seq[Res], sfDir: String): (String, String) = {
+    * BenchSpec can pin the JSON shape without running queries.
+    *
+    * `canaries` are the start/mid/end contention-probe times; both lines
+    * carry `canary` (the raw triple) and `canary_drift` (max/min — 1.0
+    * on a steady box). A record with drift >~1.5 was measured on a
+    * contended box and must not be used for round-over-round
+    * comparison. */
+  private[graft] def renderLines(results: Seq[Res], sfDir: String,
+      canaries: Seq[Double] = Nil): (String, String) = {
     def jStr(s: String) = Json.str(s)
     def secs(sel: Res => Either[String, Double]) =
       results.map(r => jStr(r._1) + ":" + sel(r).fold(_ => "-1", _.toString))
@@ -118,7 +147,11 @@ object Bench {
     val warmTotal = ok.flatMap(_._3.toOption).sum
     val errCount = results.count(_._2.isLeft)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    val head = s""""metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"n_queries":${results.size},"n_succeeded":${ok.size},"n_errors":$errCount,"sf":"$sfDir""""
+    val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
+    val canaryDrift =
+      if (canaries.nonEmpty && canaries.min > 0) f"${canaries.max / canaries.min}%.3f"
+      else "-1"
+    val head = s""""metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"n_queries":${results.size},"n_succeeded":${ok.size},"n_errors":$errCount,"canary":$canaryJson,"canary_drift":$canaryDrift,"sf":"$sfDir""""
     val full =
       s"""{$head,"queries":$qs,"warm":$warmQs,"warm_shuffle_mb":$shuffleQs,"errors":$errs}"""
     val slowest = ok.sortBy(-_._2.getOrElse(0.0)).take(10)

@@ -18,7 +18,8 @@ class BenchSpec extends AnyFunSuite {
     ("q_broken", Left("StreamingQueryException: boom \"quoted\"\nline2"),
       Left("StreamingQueryException: boom \"quoted\"\nline2"), 0.0))
 
-  private val (full, compact) = Bench.renderLines(results, "/tmp/sf0.001")
+  private val (full, compact) =
+    Bench.renderLines(results, "/tmp/sf0.001", Seq(0.50, 0.55, 1.00))
 
   test("both lines parse as JSON") {
     mapper.readTree(full)
@@ -44,6 +45,18 @@ class BenchSpec extends AnyFunSuite {
     assert(n.get("warm").get("q_broken").asDouble() === -1.0)
     assert(n.get("queries").get("q_ok_fast").asDouble() === 1.5)
     assert(n.get("warm_shuffle_mb").get("q_ok_fast").asDouble() === 2.25)
+  }
+
+  test("both lines carry the contention canary and its drift ratio") {
+    for (line <- Seq(full, compact)) {
+      val n = mapper.readTree(line)
+      assert(n.get("canary").size() === 3)
+      assert(n.get("canary").get(0).asDouble() === 0.50)
+      assert(n.get("canary_drift").asDouble() === 2.0) // 1.00 / 0.50
+    }
+    // no canaries recorded -> sentinel, never a fake 1.0
+    val (f2, _) = Bench.renderLines(results, "/tmp/sf0.001")
+    assert(mapper.readTree(f2).get("canary_drift").asDouble() === -1.0)
   }
 
   test("compact line bounds error text and lists only succeeded in slowest map") {
