@@ -135,11 +135,14 @@ object GraphQueries {
     // bipartite analogue of triangle counting (cohesion of the
     // purchasing graph). Wedge generation is the classic self-join on
     // the shared customer with s1 < s2 dedup; wedge volume is
-    // Σ_c deg(c)², the known hot spot at scale — production would cap
-    // hub degrees or process vertices by degree priority (vertex-
-    // priority butterfly counting, Wang et al., VLDB'19); here the
-    // equi-join on c shuffles once and AQE's skew split handles hub
-    // customers. All-integer: count and C(shared,2) are exact.
+    // Σ_c deg(c)², the known hot spot at scale. This naive shape is
+    // kept BECAUSE its per-pair output (bf per (s1,s2), n_partners) is
+    // only expressible by materializing every pair; the SCALE path is
+    // rel_graph_butterfly_vp below (vertex-priority enumeration,
+    // operators/Butterfly.scala — hub wedges never materialized), with
+    // the 1×/10×/50× wedge-volume table in BASELINE.md from
+    // graft.tools.GraphStress. All-integer: count and C(shared,2) are
+    // exact.
     "rel_graph_butterfly" -> QueryDef.sql(
       "per-supplier butterfly (2×2 biclique) counts in the purchase graph")(
       """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
@@ -169,6 +172,34 @@ object GraphQueries {
           count(lit(1)).as("n_partners"))
         .select(col("s").as("suppkey"), col("butterflies"),
           col("n_partners"))
+        .orderBy("suppkey")
+    },
+
+    // ---- BUTTERFLY COUNTING, VERTEX-PRIORITY: the same per-supplier
+    // butterfly totals computed by the scale-safe enumeration
+    // (operators/Butterfly.scala — each wedge generated only from its
+    // priority-max endpoint, so hub-degree² wedge volume never
+    // materializes; see the operator Scaladoc for the exactness
+    // argument). The DuckDB oracle is the INDEPENDENT naive pair
+    // computation — at sf scale the quadratic oracle is cheap, and a
+    // hash match proves the priority attribution is exact, not
+    // approximate. Output drops n_partners: per-pair structure is
+    // precisely what the priority enumeration avoids materializing.
+    "rel_graph_butterfly_vp" -> QueryDef.sql(
+      "per-supplier butterfly counts via vertex-priority wedge enumeration")(
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |w AS (SELECT a.s AS s1, b.s AS s2, count(*) AS k
+        |      FROM e a JOIN e b ON a.c = b.c AND a.s < b.s
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |v AS (SELECT s1 AS s, (k * (k - 1)) // 2 AS bf FROM w
+        |      UNION ALL SELECT s2 AS s, (k * (k - 1)) // 2 AS bf FROM w)
+        |SELECT s AS suppkey, CAST(sum(bf) AS BIGINT) AS butterflies
+        |FROM v GROUP BY 1 ORDER BY suppkey""".stripMargin) { (s, dir) =>
+      graft.operators.Butterfly.perVertexCounts(
+          bipartiteEdges(s, dir), "src", "dst")
+        .filter(col("id") % 2 === 1) // supplier side of the id encoding
+        .select(expr("(id - 1) div 2").as("suppkey"), col("butterflies"))
         .orderBy("suppkey")
     }
   )

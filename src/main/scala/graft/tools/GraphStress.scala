@@ -1,0 +1,112 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.{Butterfly, LabelPropagation, PageRank}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scaling probe for the three graph operators (sibling of
+  * [[FuzzyStress]]): grows the customer–supplier purchase graph
+  * 1×/10×/50× and records, per scale,
+  *
+  *  - naive butterfly WEDGE volume Σ_c C(deg(c), 2) — the rows the
+  *    self-join plan of rel_graph_butterfly would materialize, computed
+  *    analytically from the degree distribution, never materialized
+  *    (at 50× it is ~10^10 rows, which is precisely the point);
+  *  - vertex-priority wedge volume (operators/Butterfly.scala) — the
+  *    rows the priority rule actually enumerates, counted by executing
+  *    the pruned plan — plus the end-to-end per-vertex counting time;
+  *  - 3-iteration PageRank and LabelPropagation times (their per-round
+  *    cost is O(edges)+O(nodes); the stress point is wall-time growing
+  *    LINEARLY with the replica factor, LPA's per-round checkpoint
+  *    keeping plan size flat included).
+  *
+  * Fixture design — the hub regime, not the uniform-dense one: the raw
+  * sf graph is near-uniformly dense on the supplier side (every
+  * supplier ~deg 500), where wedge volume is intrinsically large on
+  * EVERY enumeration order and priority buys only the asymptote. Real
+  * purchase/interaction graphs are power-law: most vertices light, a
+  * few hubs carrying orders of magnitude more edges — and the naive
+  * self-join dies on exactly those hubs. So the fixture (a) hash-thins
+  * the base edge set 10× to a sparse graph, (b) replicates the
+  * SUPPLIER side k× (customer degrees — the naive plan's wedge
+  * centers — grow ×k), and (c) injects 10 hub customers connected to
+  * every supplier replica. Naive wedge volume then grows ~k² (hub
+  * degree squared); the priority rule walks each hub's wedges from the
+  * hub itself — Σ_{s∈N(hub)} deg(s), linear in k — and stays ~k
+  * overall. The exactness of the pruned count is pinned separately
+  * (ButterflySpec's naive-oracle cross-check, and
+  * rel_graph_butterfly_vp's DuckDB hash in the correctness gate).
+  *
+  * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.GraphStress 1,10,50" }}}
+  */
+object GraphStress {
+
+  def main(args: Array[String]): Unit = {
+    val scales = args.headOption.getOrElse("1,10,50").split(",").map(_.toInt)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.pinDialect(Tables.localSession("graft-graphstress", cpus))
+
+    // sparse base: keep ~1/10 of the distinct purchase edges so the
+    // non-hub bulk is light, as in a power-law graph's tail
+    val base = Tables.load(spark, src, "lineitem")
+      .join(Tables.load(spark, src, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+      .filter(pmod(xxhash64(col("c"), col("s")), lit(10)) === 0)
+    val mx = base.agg(max(col("s")), max(col("c"))).head
+    val (sStride, hubBase) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
+    val nHubs = 10
+
+    // supplier-replicated tail + hub head: replica r maps s -> s+r*stride
+    // (customer degree x k, supplier degree flat); hubs attach to EVERY
+    // supplier replica
+    def scaled(k: Int): DataFrame = {
+      val tail = base.crossJoin(broadcast(spark.range(k).toDF("rep")))
+        .select(col("c"), (col("s") + col("rep") * lit(sStride)).as("s"))
+      val suppliers = tail.select(col("s")).distinct()
+      val hubs = suppliers.crossJoin(
+          broadcast(spark.range(nHubs).toDF("h")))
+        .select((col("h") + lit(hubBase)).as("c"), col("s"))
+      tail.union(hubs)
+    }
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val lines = scales.map { k =>
+      val e = scaled(k).cache()
+      val nEdges = e.count()
+      // what the naive self-join on the shared customer would emit,
+      // from the degree distribution — never materialized
+      val naiveWedges = e.groupBy("c").agg(count(lit(1)).as("d"))
+        .agg(sum(expr("d * (d - 1) div 2"))).head.getLong(0)
+      // bipartite one-id-space encoding, as rel_graph_butterfly_vp
+      val enc = e.select((col("c") * 2).as("src"),
+        (col("s") * 2 + 1).as("dst"))
+      val (vpWedges, wedgeSec) =
+        timed(Butterfly.wedges(enc, "src", "dst").count())
+      val (nVerts, vpSec) =
+        timed(Butterfly.perVertexCounts(enc, "src", "dst").count())
+      val und = enc.union(enc.select(col("dst").as("src"),
+        col("src").as("dst")))
+      val (_, prSec) = timed(PageRank.run(und, 3).count())
+      val (_, lpaSec) = timed(LabelPropagation.run(und, 3).count())
+      e.unpersist()
+      println(f"[graphstress] scale=$k edges=$nEdges " +
+        f"naive_wedges=$naiveWedges vp_wedges=$vpWedges " +
+        f"wedge_sec=$wedgeSec%.1f vp_sec=$vpSec%.1f " +
+        f"bf_verts=$nVerts pagerank_sec=$prSec%.1f lpa_sec=$lpaSec%.1f")
+      s"""{"scale":$k,"edges":$nEdges,"naive_wedges":$naiveWedges,""" +
+        s""""vp_wedges":$vpWedges,"vp_sec":$vpSec,"bf_verts":$nVerts,""" +
+        s""""pagerank_sec":$prSec,"lpa_sec":$lpaSec}"""
+    }
+    println(s"""{"metric":"graphstress","scales":[${lines.mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Butterfly.perVertexCounts' vertex-priority counting against a
+  * naive per-pair C(shared, 2) oracle: hand-computed bicliques, the
+  * no-butterfly degenerate shapes, a seeded random bipartite graph, and
+  * the wedge-volume reduction that is the operator's reason to exist.
+  * Fixtures keep the two sides in disjoint id ranges (A < 100 <= B) —
+  * the operator folds both directions into one vertex space, so an id
+  * shared across sides would alias.
+  */
+class ButterflySpec extends AnyFunSuite with SparkTestSession {
+
+  private def counts(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Butterfly.perVertexCounts(edges.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Naive oracle: for every same-side pair, C(|common neighbours|, 2)
+    * butterflies attributed to both pair members. */
+  private def naive(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val es = edges.distinct
+    def sideCounts(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val nbrs = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val ids = nbrs.keys.toSeq.sorted
+      val out = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for (i <- ids.indices; j <- i + 1 until ids.size) {
+        val shared = (nbrs(ids(i)) & nbrs(ids(j))).size.toLong
+        val bf = shared * (shared - 1) / 2
+        if (bf > 0) { out(ids(i)) += bf; out(ids(j)) += bf }
+      }
+      out.toMap
+    }
+    sideCounts(es) ++ sideCounts(es.map(_.swap)) // disjoint id ranges
+  }
+
+  test("K2,2 is one butterfly, credited to all four vertices") {
+    val k22 = Seq(1L -> 101L, 1L -> 102L, 2L -> 101L, 2L -> 102L)
+    assert(counts(k22) == Map(1L -> 1L, 2L -> 1L, 101L -> 1L, 102L -> 1L))
+  }
+
+  test("K2,3: three butterflies; A-side in all 3, B-side in 2 each") {
+    val k23 = for (a <- Seq(1L, 2L); b <- Seq(101L, 102L, 103L)) yield a -> b
+    assert(counts(k23) ==
+      Map(1L -> 3L, 2L -> 3L, 101L -> 2L, 102L -> 2L, 103L -> 2L))
+  }
+
+  test("paths and stars contain no butterflies") {
+    assert(counts(Seq(1L -> 101L, 2L -> 101L, 2L -> 102L)).isEmpty)
+    assert(counts((101L to 160L).map(1L -> _)).isEmpty)
+  }
+
+  test("duplicate edge rows do not inflate counts") {
+    val k22 = Seq(1L -> 101L, 1L -> 102L, 2L -> 101L, 2L -> 102L)
+    assert(counts(k22 ++ k22) == counts(k22))
+  }
+
+  test("matches the naive per-pair oracle on a random bipartite graph") {
+    val rnd = new scala.util.Random(42)
+    val edges = for {
+      a <- 1L to 40L; b <- 101L to 130L if rnd.nextDouble() < 0.15
+    } yield a -> b
+    val expected = naive(edges)
+    assert(expected.nonEmpty, "fixture should contain butterflies")
+    assert(counts(edges) == expected)
+  }
+
+  test("hub wedges are walked from the hub, not squared through it") {
+    // hub customer 1 with 60 suppliers; customer 2 shares two of them.
+    // Naive wedge volume through shared suppliers is sum_b C(deg_b, 2)
+    // = C(60,2) + ... no — through shared CUSTOMERS for supplier pairs:
+    // sum_c C(deg_c, 2) = C(60,2) + C(2,2) = 1771. Vertex priority
+    // enumerates only the 2 wedges (1, 2, b101) and (1, 2, b102):
+    // the hub dominates every center it starts through, and nothing
+    // out-ranks the hub to use IT as a center.
+    import spark.implicits._
+    val edges = (101L to 160L).map(1L -> _) ++ Seq(2L -> 101L, 2L -> 102L)
+    val wedgeRows = Butterfly.wedges(edges.toDF("a", "b")).collect()
+    assert(wedgeRows.length == 2, s"expected 2 wedges, got ${wedgeRows.length}")
+    assert(counts(edges) == Map(1L -> 1L, 2L -> 1L, 101L -> 1L, 102L -> 1L))
+  }
+}
