@@ -494,11 +494,15 @@ object StreamingQueries {
     // each micro-batch into a warehouse table (Delta/Iceberg MERGE,
     // JDBC upsert) — the batch DataFrame surface inside a streaming
     // query. Last-writer-wins upsert keyed by user_id with the writer
-    // ordered by (ts, event_id): each batch first reduces itself with
-    // max_by, then merges into the store keeping the larger (ts,
-    // event_id) — an idempotent, commutative-across-batches merge, so
-    // the final table equals the batch max_by whatever the file
-    // batching. The oracle is exactly that batch reduction.
+    // ordered by (ts, event_id): each batch reduces itself with max_by
+    // on the executors, bulk-stages the reduced rows, and folds them in
+    // with one set-based MERGE INTO executed by the warehouse (embedded
+    // Derby standing in for Postgres — see ForeachBatchUpsert) keeping
+    // the larger (ts, event_id) — idempotent and commutative across
+    // batches, so the COMMITTED table read back here equals the batch
+    // max_by whatever the file batching. No data row transits the
+    // driver inside the batch loop. The oracle is exactly that batch
+    // reduction.
     "st_foreachbatch_upsert" -> QueryDef.sql(
       "foreachBatch last-writer-wins upsert keyed by user")(
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -237,53 +237,87 @@ class SessionTypeCountsProcessor(gapSeconds: Long)
 
 /** foreachBatch last-writer-wins upsert — the streaming-MERGE-into-
   * warehouse pattern as a testable unit. Each micro-batch is reduced
-  * to one row per key (max_by over (ts, event_id)) BEFORE leaving the
-  * executors, then merged into the keyed store keeping the larger
-  * (ts, event_id) — idempotent and commutative across batches, so the
-  * final table equals the batch reduction whatever the file batching
-  * (StreamingDeterminismSpec runs it over 3 file batches).
+  * to one row per key (max_by over (ts, event_id)) on the EXECUTORS,
+  * bulk-written to a staging table, and folded into the keyed target
+  * with ONE set-based `MERGE INTO` executed inside the warehouse —
+  * the driver issues a single DDL-sized statement per batch and never
+  * sees a data row (no per-key collect, no driver-resident store: at
+  * 100 TB with wide key sets the driver holds nothing). The merge
+  * keeps the larger (ts, event_id) — idempotent and commutative
+  * across batches, so the final table equals the batch reduction
+  * whatever the file batching (StreamingDeterminismSpec runs it over
+  * 3 file batches).
+  *
+  * The warehouse is embedded Derby (this sandbox's stand-in for
+  * Postgres, as in [[graft.beacon.JdbcStaging]]); in production the
+  * same three steps target the real endpoint — reduce, bulk-stage,
+  * MERGE — which is exactly the Delta/Iceberg/JDBC upsert discipline.
   */
 object ForeachBatchUpsert {
 
   /** Run `stream` (user_id, event_id, ts, cents) to completion under
-    * AvailableNow, upserting into a fresh store; returns the final
-    * table as (user_id, last_event_id, last_ts, last_cents). */
+    * AvailableNow, MERGEing each micro-batch into a fresh warehouse
+    * table; returns the final committed table as
+    * (user_id, last_event_id, last_ts, last_cents). */
   def run(stream: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = stream.sparkSession
-    import spark.implicits._
-    val store = new java.util.concurrent.ConcurrentHashMap[
-      Long, (Long, java.sql.Timestamp, Long)]()
+    val db = "graftfeb" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    def exec(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { c.createStatement().executeUpdate(sql); () } finally c.close()
+    }
+    // identifiers quoted: Derby uppercases bare names, and the
+    // read-back column names must match the oracle's lower-case schema
+    exec("""CREATE TABLE target (
+           |  "user_id" BIGINT PRIMARY KEY,
+           |  "last_event_id" BIGINT,
+           |  "last_ts" TIMESTAMP,
+           |  "last_cents" BIGINT)""".stripMargin)
     val ck = java.nio.file.Files
       .createTempDirectory("graft-feb-ck-").toString
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        // reduce the batch BEFORE collecting: the driver sees one row
-        // per key per batch, not the raw stream (the same discipline a
-        // real MERGE pushes into the warehouse engine)
+        // executor-side per-key reduction, then a distributed bulk
+        // write of the reduced rows into the staging table
         batch.groupBy(col("user_id"))
           .agg(max_by(col("event_id"),
-              struct(col("ts"), col("event_id"))).as("eid"),
-            max(col("ts")).as("ts"),
+              struct(col("ts"), col("event_id"))).as("last_event_id"),
+            max(col("ts")).as("last_ts"),
             max_by(col("cents"),
-              struct(col("ts"), col("event_id"))).as("cents"))
-          .collect().foreach { r =>
-            val k = r.getLong(0)
-            val v = (r.getLong(1), r.getTimestamp(2), r.getLong(3))
-            store.merge(k, v, (a, b) => {
-              val cmp = a._2.compareTo(b._2) // µs-precise Timestamp order
-              if (cmp > 0 || (cmp == 0 && a._1 >= b._1)) a else b
-            })
-          }
+              struct(col("ts"), col("event_id"))).as("last_cents"))
+          .write.mode("overwrite")
+          .jdbc(url, "stage", new java.util.Properties)
+        // one set-based MERGE per batch, evaluated by the warehouse;
+        // last-writer-wins on (ts, event_id), ties keep the target
+        exec("""MERGE INTO target t USING stage s
+               |ON t."user_id" = s."user_id"
+               |WHEN MATCHED AND (s."last_ts" > t."last_ts"
+               |  OR (s."last_ts" = t."last_ts"
+               |      AND s."last_event_id" > t."last_event_id")) THEN
+               |  UPDATE SET "last_event_id" = s."last_event_id",
+               |    "last_ts" = s."last_ts", "last_cents" = s."last_cents"
+               |WHEN NOT MATCHED THEN
+               |  INSERT ("user_id", "last_event_id", "last_ts", "last_cents")
+               |  VALUES (s."user_id", s."last_event_id", s."last_ts",
+               |    s."last_cents")""".stripMargin)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    store.asScala.toSeq
-      .map { case (k, (eid, ts, c)) => (k, eid, ts, c) }
-      .toDF("user_id", "last_event_id", "last_ts", "last_cents")
+    // the COMMITTED table is the result; snapshot it locally so the
+    // in-memory database can be dropped (this is the query's final
+    // output surface, not the per-batch hot path)
+    val committed = spark.read.jdbc(url, "target", new java.util.Properties)
+    val rows = committed.collect().toSeq
+    val schema = committed.schema
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case _: java.sql.SQLException => () } // 08006 = success
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
   }
 }
 
