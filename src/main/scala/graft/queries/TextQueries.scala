@@ -17,13 +17,21 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Private-use placeholder symbols for the BPE trainer's merged
-    * tokens (constructed from code points, NOT Spark's chr() — which is
-    * mod-256 ASCII — and embedded into the oracle SQL as literal
-    * characters so both engines replace the same strings). */
-  private val BpeP1 = 0xE001.toChar.toString
-  private val BpeP2 = 0xE002.toChar.toString
-  private val BpeP3 = 0xE003.toChar.toString
+  /** Private-use placeholder symbol for the BPE trainer's step-`i`
+    * merged token (constructed from code points, NOT Spark's chr() —
+    * which is mod-256 ASCII — and embedded into the oracle SQL as
+    * literal characters so both engines replace the same strings).
+    * U+E000..U+F8FF gives 6400 placeholders, far above any realistic
+    * in-query merge count; steps are 1-based. */
+  private def bpePh(step: Int): String = (0xE000 + step).toChar.toString
+
+  /** Merge-rule count for the registry td_bpe_* queries. Round-6 shipped
+    * a 3-merge demonstration; a usable tokenizer learns thousands of
+    * rules, so the registry now trains 50 — enough to force merges OF
+    * merged symbols many levels deep and to measure the per-merge cost
+    * law (BASELINE.md: wall-time linear in merges) — while keeping the
+    * unrolled DuckDB oracle (generated below) tractable. */
+  private[queries] val TrainMerges = 50
 
   /** Character-bigram profiles for the language-ID heuristic (tiny
     * stand-ins for full trigram frequency tables; the operator shape —
@@ -49,19 +57,36 @@ object TextQueries {
 
   /** The BPE training loop behind td_bpe_train (exposed so BpeTrainSpec
     * can run it on crafted corpora that exercise merged-symbol merges):
-    * 3 iterations of pair-count → argmax → replace over the (distinct
-    * word, freq) table. Returns (step, merge_pair, cnt) with
+    * `numMerges` iterations of pair-count → argmax → replace over the
+    * (distinct word, freq) table. Returns (step, merge_pair, cnt) with
     * placeholders expanded back to raw character sequences. */
-  private[queries] def bpeTrain(docs: DataFrame): DataFrame =
-    bpeTrainRaw(docs)._1
+  private[graft] def bpeTrain(docs: DataFrame,
+      numMerges: Int = TrainMerges): DataFrame =
+    bpeTrainRaw(docs, numMerges)._1
 
   /** As [[bpeTrain]], but also returns the raw per-step
     * (placeholder-form pair, placeholder) list — what [[td_bpe_encode]]
-    * replays over the corpus text. */
-  private[queries] def bpeTrainRaw(docs: DataFrame)
-      : (DataFrame, Seq[(String, String)]) = {
+    * replays over the corpus text.
+    *
+    * Per-merge cost law: each iteration is ONE distributed job over the
+    * cached O(vocab) representation table plus a 1-row argmax collect
+    * (inherent to BPE — merge k+1 depends on merge k). The chained
+    * replace() projections would make job k recompute k narrow maps
+    * (O(k²·vocab) total), so every [[CheckpointEvery]] merges the
+    * representation is lazily localCheckpoint'ed — the next argmax job
+    * materializes it and truncates lineage, keeping per-job work at
+    * ≤CheckpointEvery replaces over the vocabulary and wall-time LINEAR
+    * in merge count (measured in BASELINE.md via graft.tools.BpeStress).
+    * Superseded checkpoint blocks are freed by the ContextCleaner, same
+    * posture as ConnectedComponents. */
+  private val CheckpointEvery = 10
+
+  private[graft] def bpeTrainRaw(docs: DataFrame,
+      numMerges: Int = TrainMerges): (DataFrame, Seq[(String, String)]) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(numMerges >= 1 && numMerges <= 6400,
+      s"numMerges=$numMerges outside the private-use placeholder range")
     val wordFreq = docs
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) >= 1)
@@ -76,14 +101,13 @@ object TextQueries {
         .orderBy(col("total").desc, col("pair"))
         .limit(1).collect().headOption
         .map(r => (r.getString(0), r.getLong(1)))
-    val placeholders = Seq(BpeP1, BpeP2, BpeP3)
     var repr: DataFrame = wordFreq
     val merges = Seq.newBuilder[(Int, String, Long)]
     val rawPairs = Seq.newBuilder[(String, String)]
     val expand = scala.collection.mutable.LinkedHashMap[String, String]()
     var step = 1
     var exhausted = false
-    while (step <= 3 && !exhausted) {
+    while (step <= numMerges && !exhausted) {
       bestPair(repr) match {
         case None => exhausted = true // vocabulary fully merged
         case Some((pair, total)) =>
@@ -93,17 +117,82 @@ object TextQueries {
             case (p, (ph, ex)) => p.replace(ph, ex)
           }
           merges += ((step, expanded, total))
-          rawPairs += ((pair, placeholders(step - 1)))
-          expand(placeholders(step - 1)) = expanded
+          rawPairs += ((pair, bpePh(step)))
+          expand(bpePh(step)) = expanded
           repr = repr.select(
             call_function("replace", col("repr"), lit(pair),
-              lit(placeholders(step - 1))).as("repr"),
+              lit(bpePh(step))).as("repr"),
             col("freq"))
+          if (step % CheckpointEvery == 0)
+            repr = repr.localCheckpoint(false)
           step += 1
       }
     }
     wordFreq.unpersist()
     (merges.result().toDF("step", "merge_pair", "cnt"), rawPairs.result())
+  }
+
+  /** Shared CTE prefix of the GENERATED BPE oracles (oracle-only DuckDB
+    * text, never fed to spark.sql): the vocabulary table plus k unrolled
+    * rounds of pair-count → argmax → placeholder replace. MATERIALIZED
+    * is load-bearing — r_s is referenced twice (by p_{s+1} and r_{s+1}),
+    * so an inlining planner would re-evaluate the chain 2^k times; with
+    * materialization the oracle is k linear passes over the vocabulary,
+    * the same cost law as the Spark trainer. */
+  private def bpeOraclePrefix(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH w AS MATERIALIZED (SELECT t.w AS word, count(*) AS freq\n"
+    sb ++= "       FROM documents, unnest(string_split(text, ' ')) AS t(w)\n"
+    sb ++= "       WHERE length(t.w) >= 1 GROUP BY 1),\n"
+    sb ++= "r0 AS MATERIALIZED (SELECT word AS repr, freq FROM w)"
+    for (s <- 1 to k) {
+      sb ++= s",\np$s AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair," +
+        s" sum(freq) AS total\n" +
+        s"  FROM r${s - 1}, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),\n"
+      sb ++= s"b$s AS MATERIALIZED (SELECT pair, total FROM p$s" +
+        s" ORDER BY total DESC, pair LIMIT 1)"
+      if (s < k)
+        sb ++= s",\nr$s AS MATERIALIZED (SELECT replace(repr," +
+          s" (SELECT pair FROM b$s), '${bpePh(s)}') AS repr, freq" +
+          s" FROM r${s - 1})"
+    }
+    sb.result()
+  }
+
+  /** Generated train oracle: the prefix plus one expansion CTE per step
+    * (e_s = the argmax pair with every EARLIER placeholder replaced by
+    * its raw expansion — expansions are fully raw, so replacement order
+    * is immaterial) and a k-row UNION ALL of (step, merge_pair, cnt). */
+  private def bpeTrainOracle(k: Int): String = {
+    val sb = new StringBuilder(bpeOraclePrefix(k))
+    for (s <- 1 to k) {
+      val ex = (s - 1 to 1 by -1).foldLeft(s"(SELECT pair FROM b$s)") {
+        (acc, j) => s"replace($acc, '${bpePh(j)}', (SELECT ex FROM e$j))"
+      }
+      sb ++= s",\ne$s AS MATERIALIZED (SELECT $ex AS ex)"
+    }
+    val rows = (1 to k).map(s =>
+      s"SELECT $s AS step, (SELECT ex FROM e$s) AS merge_pair," +
+        s" CAST((SELECT total FROM b$s) AS BIGINT) AS cnt")
+    sb ++= "\nSELECT * FROM (\n" + rows.mkString("\nUNION ALL\n") +
+      "\n) ORDER BY step"
+    sb.result()
+  }
+
+  /** Generated encode oracle: the prefix plus one nested replace chain
+    * applying all k learned (placeholder-form) pairs to the corpus text
+    * — whole-text replace == per-word application because merges never
+    * contain a space. */
+  private def bpeEncodeOracle(k: Int): String = {
+    val enc = (1 to k).foldLeft("text") { (acc, s) =>
+      s"replace($acc, (SELECT pair FROM b$s), '${bpePh(s)}')"
+    }
+    bpeOraclePrefix(k) +
+      s",\nenc AS (SELECT doc_id, text, $enc AS t_enc FROM documents)\n" +
+      "SELECT doc_id,\n" +
+      "  CAST(length(replace(t_enc, ' ', '')) AS BIGINT) AS n_bpe_symbols,\n" +
+      "  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_base_chars\n" +
+      "FROM enc ORDER BY doc_id"
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -404,101 +493,44 @@ object TextQueries {
 
     // ---- Distributed BPE TRAINING (Sennrich et al., "Neural machine
     // translation of rare words with subword units", ACL'16): learn the
-    // first 3 merge rules over the corpus vocabulary. Each iteration is
-    // one distributed job — adjacent-symbol pair counts (the CharNGrams
-    // kernel over the current representation, weighted by word
-    // frequency, map-side combined) — plus a 1-row argmax collect; the
-    // merge applies as replace() with a private-use placeholder
-    // (..), whose left-to-right non-overlapping semantics
-    // are exactly BPE's leftmost-greedy application AND identical in
-    // Spark/Java and DuckDB, so the oracle replays the whole training
-    // loop unrolled. Symbol vocabulary stays per-word (standard BPE);
-    // the per-iteration state is the (distinct word, freq) table —
-    // O(vocab), not O(corpus) — which is what makes the trainer scale:
-    // at 100 TB the pair-count job reduces over the vocabulary, and
-    // iterations only re-map that table. Placeholders assume the
-    // corpus has no private-use code points (true of the fixtures).
-    // The driver-side argmax-per-iteration is inherent to the
-    // algorithm (each merge depends on the previous), not a shortcut.
+    // first TrainMerges (50) merge rules over the corpus vocabulary.
+    // Each iteration is one distributed job — adjacent-symbol pair
+    // counts (the CharNGrams kernel over the current representation,
+    // weighted by word frequency, map-side combined) — plus a 1-row
+    // argmax collect; the merge applies as replace() with a private-use
+    // placeholder (U+E001..), whose left-to-right non-overlapping
+    // semantics are exactly BPE's leftmost-greedy application AND
+    // identical in Spark/Java and DuckDB, so the oracle replays the
+    // whole 50-round training loop unrolled (generated by
+    // bpeTrainOracle — MATERIALIZED CTEs, linear cost). Symbol
+    // vocabulary stays per-word (standard BPE); the per-iteration state
+    // is the (distinct word, freq) table — O(vocab), not O(corpus) —
+    // which is what makes the trainer scale: at 100 TB the pair-count
+    // job reduces over the vocabulary, and iterations only re-map that
+    // table (lineage truncated every CheckpointEvery rounds, so
+    // per-merge cost stays flat — BASELINE.md's BpeStress table).
+    // Placeholders assume the corpus has no private-use code points
+    // (true of the fixtures). The driver-side argmax-per-iteration is
+    // inherent to the algorithm (each merge depends on the previous),
+    // not a shortcut.
     "td_bpe_train" -> QueryDef.sql(
-      "first 3 BPE merges over the corpus vocabulary")(
-      """WITH w AS (SELECT t.w AS word, count(*) AS freq
-        |       FROM documents, unnest(string_split(text, ' ')) AS t(w)
-        |       WHERE length(t.w) >= 1 GROUP BY 1),
-        |r0 AS (SELECT word AS repr, freq FROM w),
-        |p1 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
-        |         sum(freq) AS total
-        |       FROM r0, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
-        |b1 AS (SELECT pair, total FROM p1 ORDER BY total DESC, pair LIMIT 1),
-        |r1 AS (SELECT replace(repr, (SELECT pair FROM b1), '') AS repr,
-        |         freq FROM r0),
-        |p2 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
-        |         sum(freq) AS total
-        |       FROM r1, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
-        |b2 AS (SELECT pair, total FROM p2 ORDER BY total DESC, pair LIMIT 1),
-        |r2 AS (SELECT replace(repr, (SELECT pair FROM b2), '') AS repr,
-        |         freq FROM r1),
-        |p3 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
-        |         sum(freq) AS total
-        |       FROM r2, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
-        |b3 AS (SELECT pair, total FROM p3 ORDER BY total DESC, pair LIMIT 1)
-        |SELECT * FROM (
-        |  SELECT 1 AS step, (SELECT pair FROM b1) AS merge_pair,
-        |         CAST((SELECT total FROM b1) AS BIGINT) AS cnt
-        |  UNION ALL
-        |  SELECT 2, replace((SELECT pair FROM b2), '',
-        |              (SELECT pair FROM b1)),
-        |         CAST((SELECT total FROM b2) AS BIGINT)
-        |  UNION ALL
-        |  SELECT 3, replace(replace((SELECT pair FROM b3), '',
-        |              replace((SELECT pair FROM b2), '',
-        |                (SELECT pair FROM b1))),
-        |              '', (SELECT pair FROM b1)),
-        |         CAST((SELECT total FROM b3) AS BIGINT)
-        |) ORDER BY step""".stripMargin) { (s, dir) =>
+      s"first $TrainMerges BPE merges over the corpus vocabulary")(
+      bpeTrainOracle(TrainMerges)) { (s, dir) =>
       bpeTrain(t(s, dir, "documents")).orderBy("step")
     },
 
-    // ---- BPE ENCODING: apply the 3 learned merges to the WHOLE corpus
-    // and report per-doc symbol counts — the tokenize-the-corpus step
-    // after td_bpe_train's learn step, as one query (train on the
-    // vocabulary table, then 3 chained narrow replace() maps over the
-    // text — merges never contain a space, so whole-text replace ==
-    // per-word application). n_bpe_symbols counts non-space symbols
-    // after merging (each placeholder = one token); the oracle replays
-    // the full train+encode pipeline unrolled.
+    // ---- BPE ENCODING: apply the TrainMerges (50) learned merges to
+    // the WHOLE corpus and report per-doc symbol counts — the
+    // tokenize-the-corpus step after td_bpe_train's learn step, as one
+    // query (train on the vocabulary table, then 50 chained narrow
+    // replace() maps over the text — merges never contain a space, so
+    // whole-text replace == per-word application). n_bpe_symbols counts
+    // non-space symbols after merging (each placeholder = one token);
+    // the oracle (generated by bpeEncodeOracle) replays the full
+    // train+encode pipeline unrolled.
     "td_bpe_encode" -> QueryDef.sql(
-      "per-doc BPE symbol counts after applying the 3 learned merges")(
-      s"""WITH w AS (SELECT t.w AS word, count(*) AS freq
-        |       FROM documents, unnest(string_split(text, ' ')) AS t(w)
-        |       WHERE length(t.w) >= 1 GROUP BY 1),
-        |r0 AS (SELECT word AS repr, freq FROM w),
-        |p1 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
-        |         sum(freq) AS total
-        |       FROM r0, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
-        |b1 AS (SELECT pair FROM p1 ORDER BY total DESC, pair LIMIT 1),
-        |r1 AS (SELECT replace(repr, (SELECT pair FROM b1), '$BpeP1') AS repr,
-        |         freq FROM r0),
-        |p2 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
-        |         sum(freq) AS total
-        |       FROM r1, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
-        |b2 AS (SELECT pair FROM p2 ORDER BY total DESC, pair LIMIT 1),
-        |r2 AS (SELECT replace(repr, (SELECT pair FROM b2), '$BpeP2') AS repr,
-        |         freq FROM r1),
-        |p3 AS (SELECT substr(repr, CAST(t.i+1 AS INT), 2) AS pair,
-        |         sum(freq) AS total
-        |       FROM r2, unnest(range(length(repr)-1)) AS t(i) GROUP BY 1),
-        |b3 AS (SELECT pair FROM p3 ORDER BY total DESC, pair LIMIT 1),
-        |enc AS (SELECT doc_id, text,
-        |          replace(replace(replace(text,
-        |            (SELECT pair FROM b1), '$BpeP1'),
-        |            (SELECT pair FROM b2), '$BpeP2'),
-        |            (SELECT pair FROM b3), '$BpeP3') AS t3
-        |        FROM documents)
-        |SELECT doc_id,
-        |  CAST(length(replace(t3, ' ', '')) AS BIGINT) AS n_bpe_symbols,
-        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_base_chars
-        |FROM enc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      s"per-doc BPE symbol counts after applying the $TrainMerges learned merges")(
+      bpeEncodeOracle(TrainMerges)) { (s, dir) =>
       val docs = t(s, dir, "documents")
       val (_, rawPairs) = bpeTrainRaw(docs)
       val encoded = rawPairs.foldLeft(col("text")) {

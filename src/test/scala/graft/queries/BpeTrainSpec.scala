@@ -34,4 +34,64 @@ class BpeTrainSpec extends AnyFunSuite with SparkTestSession {
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(out == Seq((1, "ab", 3L)))
   }
+
+  /** Single-threaded reference BPE over (repr, freq) ROWS (not a map —
+    * the trainer never re-groups rows that collide after a replace, and
+    * pair counts sum freq over rows, so rows is the faithful mirror):
+    * count all overlapping 2-grams weighted by freq, argmax with
+    * ties-to-smallest-pair, replace left-to-right non-overlapping
+    * (Java String.replace == Spark replace()), placeholder per step. */
+  private def naiveBpe(rows: Seq[(String, Long)], numMerges: Int)
+      : Seq[(Int, String, Long)] = {
+    var repr = rows
+    val expand = scala.collection.mutable.LinkedHashMap[String, String]()
+    val out = Seq.newBuilder[(Int, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map[String, Long]()
+      for ((w, f) <- repr; i <- 0 until w.length - 1) {
+        val p = w.substring(i, i + 2)
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val (pair, total) = counts.toSeq.minBy { case (p, t) => (-t, p) }
+        val expanded = expand.foldLeft(pair) {
+          case (p, (ph, ex)) => p.replace(ph, ex)
+        }
+        out += ((step, expanded, total))
+        val ph = (0xE000 + step).toChar.toString
+        expand(ph) = expanded
+        repr = repr.map { case (w, f) => (w.replace(pair, ph), f) }
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  test("60 merges match the driver-side reference implementation") {
+    // deterministic pseudo-corpus: ~100 distinct words over 8 letters,
+    // quadratic-residue frequencies — rich enough that 60 merges chain
+    // placeholders many levels deep across all 6 checkpoint boundaries
+    // without exhausting the vocabulary
+    val alphabet = "abcdefgh"
+    val rng = new scala.util.Random(42) // fixed seed — fully deterministic
+    val vocab = (0 until 140).map { i =>
+      val len = 3 + (i % 5)
+      (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }.distinct
+    val tokens = vocab.zipWithIndex.flatMap {
+      case (w, i) => Seq.fill(1 + (i * i) % 23)(w)
+    }
+    val lines = tokens.grouped(20).map(_.mkString(" ")).toSeq
+    val freqRows = tokens.groupBy(identity).toSeq
+      .map { case (w, ws) => (w, ws.size.toLong) }
+    val expected = naiveBpe(freqRows, 60)
+    assert(expected.size == 60, "fixture must not exhaust before 60 merges")
+    val got = TextQueries.bpeTrain(docs(lines: _*), 60)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
 }
