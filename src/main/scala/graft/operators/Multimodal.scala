@@ -218,6 +218,174 @@ object MultimodalPipeline {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // AUDIO: a real RIFF/WAV PCM codec in pure JDK code. The container
+  // round-trips byte-for-byte — a writer emitting canonical 44-byte-header
+  // mono PCM16 and a chunk-walking parser (handles unknown chunks and odd-
+  // size padding per the RIFF spec) — and the samples are deterministic
+  // integer pseudo-noise, so the DuckDB oracle recomputes every decoded
+  // feature arithmetically from doc_id: a skipped or wrong byte-level
+  // parse cannot hash-match, exactly like the PNG decode path above.
+
+  /** Deterministic mono PCM16 fixture parameters for a doc id: sample
+    * count 800 + id%800, sample rate 8000 + 1000·(id%3), sample i =
+    * ((id·2654435761 + i·40503) mod 65536) − 32768 (Knuth multiplicative
+    * mixing — all positive before the mod, exact in BIGINT both engines). */
+  def wavSampleCount(docId: Long): Int = (800 + docId % 800).toInt
+  def wavSampleRate(docId: Long): Int = (8000 + 1000 * (docId % 3)).toInt
+  def wavSample(docId: Long, i: Int): Int =
+    (((docId * 2654435761L + i * 40503L) % 65536L) - 32768L).toInt
+
+  /** Canonical WAV bytes: RIFF header + "fmt " (PCM, mono, 16-bit) +
+    * "data" chunk, all little-endian. */
+  def wavPayload(docId: Long): Array[Byte] = {
+    val n = wavSampleCount(docId)
+    val rate = wavSampleRate(docId)
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1) // PCM, mono
+    buf.putInt(rate).putInt(rate * 2) // byte rate = rate * blockAlign
+    buf.putShort(2).putShort(16) // blockAlign, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) { buf.putShort(wavSample(docId, i).toShort); i += 1 }
+    buf.array()
+  }
+
+  /** A parsed WAV payload: format fields + PCM samples (mono 16-bit). */
+  final case class WavAudio(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int])
+
+  /** Chunk-walking RIFF parser: validates RIFF/WAVE magic, scans chunks
+    * (skipping unknown ones, honoring the RIFF odd-size pad byte) for
+    * "fmt " and "data", and decodes little-endian PCM16 samples. Returns
+    * None on anything malformed — truncated header, missing chunks,
+    * non-PCM format — so the pipeline stays total over arbitrary bytes. */
+  def parseWav(bytes: Array[Byte]): Option[WavAudio] = {
+    if (bytes.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (tag() != "RIFF") return None
+    buf.getInt // declared RIFF size — trust the actual buffer instead
+    if (tag() != "WAVE") return None
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var data: Option[(Int, Int)] = None // offset, length
+    while (buf.remaining() >= 8) {
+      val id = tag()
+      val len = buf.getInt
+      if (len < 0 || len > buf.remaining()) return None
+      val at = buf.position()
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val audioFormat = buf.getShort()
+          val channels = buf.getShort()
+          val rate = buf.getInt()
+          buf.getInt // byte rate
+          buf.getShort // block align
+          val bits = buf.getShort()
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((channels, rate, bits))
+        case "data" => data = Some((at, len))
+        case _ => // unknown chunk: skip
+      }
+      buf.position(at + len + (len & 1)) // odd chunks carry a pad byte
+    }
+    for ((channels, rate, bits) <- fmt; (off, len) <- data;
+        if bits == 16 && channels >= 1) yield {
+      val n = len / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        samples(i) =
+          ((bytes(off + 2 * i) & 0xff) |
+            (bytes(off + 2 * i + 1) << 8)).toShort.toInt
+        i += 1
+      }
+      WavAudio(rate, channels, bits, samples)
+    }
+  }
+
+  /** documents → deterministic WAV payload blobs (real RIFF bytes). */
+  def toWavBlobs(documents: DataFrame): Dataset[MediaBlob] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBlob(id, wavPayload(id))))
+  }
+
+  /** Decoded audio metadata; `duration_us` is exact floor-division
+    * micro-seconds, so it cross-checks in integer math. */
+  final case class AudioMeta(
+      doc_id: Long, sample_rate: Int, channels: Int, n_samples: Long,
+      duration_us: Long, real_decode: Boolean)
+
+  /** Batched per-partition WAV parse → metadata; fallback features with
+    * `real_decode = false` for unparseable payloads. Narrow, no shuffle. */
+  def decodeAudio(blobs: Dataset[MediaBlob]): Dataset[AudioMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions {
+      _.grouped(DecodeBatchSize).flatMap(_.map { b =>
+        parseWav(b.content) match {
+          case Some(a) =>
+            AudioMeta(b.doc_id, a.sampleRate, a.channels,
+              a.samples.length.toLong,
+              a.samples.length.toLong * 1000000L / a.sampleRate,
+              real_decode = true)
+          case None =>
+            AudioMeta(b.doc_id, -1, 0, b.content.length.toLong, -1L,
+              real_decode = false)
+        }
+      })
+    }
+  }
+
+  /** Windowed energy features over the decoded PCM stream: per fixed
+    * window of `window` samples, energy = Σ s² (≤ 2^30 per sample, exact
+    * in Long); reported per doc as total + argmax window (ties to the
+    * earliest window). */
+  final case class AudioEnergy(
+      doc_id: Long, n_windows: Long, total_sq: Long, peak_win: Long,
+      peak_sq: Long)
+
+  /** Parse + window + energy in one narrow per-partition pass — the
+    * audio analogue of [[resizeImages]]'s decode-then-feature shape. */
+  def audioEnergy(blobs: Dataset[MediaBlob], window: Int = 256)
+      : Dataset[AudioEnergy] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions {
+      _.grouped(DecodeBatchSize).flatMap(_.flatMap { b =>
+        parseWav(b.content).map { a =>
+          val n = a.samples.length
+          val nWin = (n + window - 1) / window
+          var total = 0L
+          var peakWin = 0L
+          var peakSq = -1L
+          var w = 0
+          while (w < nWin) {
+            var sq = 0L
+            var i = w * window
+            val end = math.min(n, i + window)
+            while (i < end) {
+              val s = a.samples(i).toLong; sq += s * s; i += 1
+            }
+            if (sq > peakSq) { peakSq = sq; peakWin = w.toLong }
+            total += sq
+            w += 1
+          }
+          AudioEnergy(b.doc_id, nWin.toLong, total, peakWin, peakSq)
+        }
+      })
+    }
+  }
+
   /** documents.text → UTF-8 binary payload column (the stand-in for real
     * media bytes in the synthetic testdata). */
   def toBlobs(documents: DataFrame): Dataset[MediaBlob] = {

@@ -70,6 +70,60 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // Real audio codec exercise (the audio sibling of td_multimodal_decode):
+    // deterministic mono PCM16 WAVs — sample count/rate/values are integer
+    // functions of doc_id — are written as real RIFF containers and parsed
+    // back by the chunk-walking parser in MultimodalPipeline; the oracle
+    // recomputes the decoded format fields and exact floor-div duration
+    // arithmetically, so a skipped or wrong byte-level parse cannot match.
+    "td_audio_meta" -> QueryDef.sql(
+      "real RIFF/WAV parse of deterministic PCM16 payloads → format metadata")(
+      """SELECT doc_id,
+        |  CAST(8000 + 1000 * (doc_id % 3) AS INTEGER) AS sample_rate,
+        |  CAST(1 AS INTEGER) AS channels,
+        |  CAST(800 + doc_id % 800 AS BIGINT) AS n_samples,
+        |  CAST((800 + doc_id % 800) * 1000000
+        |    // (8000 + 1000 * (doc_id % 3)) AS BIGINT) AS duration_us,
+        |  true AS real_decode
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blobs =
+        MultimodalPipeline.toWavBlobs(Tables.load(s, dir, "documents"))
+      MultimodalPipeline.decodeAudio(blobs)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
+    // Windowed audio energy: the decoded PCM stream cut into 256-sample
+    // windows, per-window Σ s² in exact Long arithmetic (|s| < 2^15, so a
+    // window sums to < 2^38), reported per doc as total energy + argmax
+    // window (ties to the earliest). The oracle regenerates the identical
+    // pseudo-noise samples from the doc_id formula and replays the same
+    // integer reduction — feature extraction, not just container fields,
+    // is what's hash-pinned here.
+    "td_audio_energy" -> QueryDef.sql(
+      "256-sample-window PCM energy features in exact integer math")(
+      """WITH p AS (SELECT doc_id, 800 + doc_id % 800 AS n FROM documents),
+        |s AS (SELECT doc_id, t.i AS i,
+        |        ((doc_id*2654435761 + t.i*40503) % 65536) - 32768 AS v
+        |      FROM p, unnest(range(n)) AS t(i)),
+        |w AS (SELECT doc_id, i // 256 AS win, sum(v*v) AS sq
+        |      FROM s GROUP BY 1, 2),
+        |a AS (SELECT doc_id, count(*) AS n_windows,
+        |        CAST(sum(sq) AS BIGINT) AS total_sq FROM w GROUP BY 1),
+        |pk AS (SELECT doc_id, win AS peak_win, CAST(sq AS BIGINT) AS peak_sq
+        |       FROM (SELECT doc_id, win, sq, row_number() OVER (
+        |           PARTITION BY doc_id ORDER BY sq DESC, win) AS rn
+        |         FROM w) WHERE rn = 1)
+        |SELECT a.doc_id, a.n_windows, a.total_sq, pk.peak_win, pk.peak_sq
+        |FROM a JOIN pk ON a.doc_id = pk.doc_id ORDER BY a.doc_id""".stripMargin) {
+      (s, dir) =>
+      val blobs =
+        MultimodalPipeline.toWavBlobs(Tables.load(s, dir, "documents"))
+      MultimodalPipeline.audioEnergy(blobs)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     // Frame sampling: 32-byte frames, every 4th kept, digests of the
     // first and of the sampled concatenation. Payloads are ASCII, so the
     // oracle's char-based substr slicing equals the byte slicing.
