@@ -386,6 +386,225 @@ object MultimodalPipeline {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // VIDEO: a real AVI container codec, same discipline as the WAV leg.
+  // The writer emits a spec-conformant RIFF 'AVI ' file — LIST hdrl
+  // (avih + LIST strl with strh/strf + 256-entry gray palette), LIST movi
+  // with one '00db' raw-DIB chunk per frame, and an idx1 index — and the
+  // parser is a recursive LIST walker that recovers format fields from the
+  // headers and every frame payload from movi. Frame pixels are
+  // deterministic integer pseudo-noise over (doc_id, frame, pixel), so the
+  // DuckDB oracle replays both the header arithmetic and the per-frame
+  // pixel sums: a parse that misses a chunk or misreads a byte cannot
+  // hash-match.
+
+  /** Deterministic AVI fixture parameters for a doc id. Width is a
+    * multiple of 4 so the 8-bit DIB rows need no padding (row stride =
+    * width exactly, per the BMP 4-byte-alignment rule). */
+  def aviWidth(docId: Long): Int = (8 + 4 * (docId % 3)).toInt
+  def aviHeight(docId: Long): Int = (6 + docId % 7).toInt
+  def aviFrameCount(docId: Long): Int = (4 + docId % 13).toInt
+  def aviFps(docId: Long): Int = (10 + docId % 5).toInt
+
+  /** Pixel `p` (row-major) of frame `f`: `(id·2654435761 + f·97 + p·31)
+    * mod 256` — all positive before the mod, exact in BIGINT. */
+  def aviPixel(docId: Long, f: Int, p: Int): Int =
+    ((docId * 2654435761L + f * 97L + p * 31L) % 256L).toInt
+
+  /** Canonical AVI bytes: RIFF('AVI ') → LIST hdrl(avih, LIST strl(strh
+    * 'vids'/'DIB ', strf BITMAPINFOHEADER + gray palette)) → LIST movi
+    * ('00db' × frames) → idx1. All sizes exact, all fields little-endian. */
+  def aviPayload(docId: Long): Array[Byte] = {
+    val w = aviWidth(docId)
+    val h = aviHeight(docId)
+    val nf = aviFrameCount(docId)
+    val fps = aviFps(docId)
+    val frameLen = w * h // 8-bit gray, width % 4 == 0 → no row padding
+    val strlLen = 4 + (8 + 56) + (8 + 40 + 1024)
+    val hdrlLen = 4 + (8 + 56) + (8 + strlLen)
+    val moviLen = 4 + nf * (8 + frameLen)
+    val idx1Len = 16 * nf
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen) + (8 + idx1Len)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+    fourcc("RIFF"); buf.putInt(riffLen); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlLen); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps).putInt(fps * frameLen).putInt(0)
+      .putInt(0x10) // AVIF_HASINDEX
+      .putInt(nf).putInt(0).putInt(1).putInt(frameLen)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(strlLen); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(fps) // dwScale=1, dwRate=fps
+      .putInt(0).putInt(nf).putInt(frameLen).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40 + 1024)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(8)
+      .putInt(0).putInt(frameLen).putInt(0).putInt(0)
+      .putInt(256).putInt(0)
+    var g = 0
+    while (g < 256) { // grayscale RGBQUAD palette: b, g, r, reserved
+      buf.put(g.toByte).put(g.toByte).put(g.toByte).put(0.toByte); g += 1
+    }
+    fourcc("LIST"); buf.putInt(moviLen); fourcc("movi")
+    var f = 0
+    while (f < nf) {
+      fourcc("00db"); buf.putInt(frameLen)
+      var p = 0
+      while (p < frameLen) { buf.put(aviPixel(docId, f, p).toByte); p += 1 }
+      f += 1
+    }
+    fourcc("idx1"); buf.putInt(idx1Len)
+    f = 0
+    while (f < nf) { // ckid, AVIIF_KEYFRAME, offset within movi, size
+      fourcc("00db"); buf.putInt(0x10)
+      buf.putInt(4 + f * (8 + frameLen)).putInt(frameLen)
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** A parsed AVI: header fields + raw frame payloads from movi. */
+  final case class AviVideo(
+      width: Int, height: Int, rate: Int, scale: Int,
+      frames: Array[Array[Byte]])
+
+  /** Recursive RIFF LIST walker: validates RIFF/'AVI ' magic, descends
+    * into hdrl/strl/movi lists, reads avih (dims) and the 'vids' strh
+    * (scale/rate), collects every '00db'/'00dc' frame chunk, skips
+    * unknown chunks (JUNK, idx1, …) honoring the odd-size pad byte.
+    * Returns None on malformed input — bad magic, out-of-bounds declared
+    * lengths, missing headers, empty movi, or any frame whose length
+    * isn't width·height (the raw 8-bit DIB contract). */
+  def parseAvi(bytes: Array[Byte]): Option[AviVideo] = {
+    if (bytes.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+    }
+    if (tag() != "RIFF") return None
+    buf.getInt // declared RIFF size — trust the actual buffer instead
+    if (tag() != "AVI ") return None
+    var width = -1; var height = -1
+    var rate = -1; var scale = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def walk(end: Int): Boolean = {
+      while (buf.position() + 8 <= end) {
+        val id = tag()
+        val len = buf.getInt
+        if (len < 0 || buf.position() + len > end) return false
+        val at = buf.position()
+        id match {
+          case "LIST" =>
+            if (len < 4) return false
+            val listType = tag()
+            if (listType == "hdrl" || listType == "strl" ||
+                listType == "movi") {
+              if (!walk(at + len)) return false
+            }
+          case "avih" =>
+            if (len < 40) return false
+            buf.position(at + 32) // dwWidth is the 9th dword
+            width = buf.getInt
+            height = buf.getInt
+          case "strh" =>
+            if (len < 36) return false
+            if (tag() == "vids") {
+              buf.position(at + 20) // skip handler/flags/prio/lang/init
+              scale = buf.getInt
+              rate = buf.getInt
+            }
+          case "00db" | "00dc" =>
+            frames += java.util.Arrays.copyOfRange(bytes, at, at + len)
+          case _ => // unknown chunk (JUNK, idx1, …): skip
+        }
+        buf.position(at + len + (len & 1)) // odd chunks carry a pad byte
+      }
+      true
+    }
+    if (!walk(bytes.length)) return None
+    if (width <= 0 || height <= 0 || rate <= 0 || scale <= 0 ||
+        frames.isEmpty || frames.exists(_.length != width * height)) None
+    else Some(AviVideo(width, height, rate, scale, frames.toArray))
+  }
+
+  /** documents → deterministic AVI payload blobs (real RIFF bytes). */
+  def toAviBlobs(documents: DataFrame): Dataset[MediaBlob] = {
+    import documents.sparkSession.implicits._
+    documents.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => MediaBlob(id, aviPayload(id))))
+  }
+
+  /** Decoded video metadata; `fps` is rate/scale (scale pinned 1 by the
+    * writer) and `duration_us` exact floor-division micro-seconds. */
+  final case class VideoMeta(
+      doc_id: Long, width: Int, height: Int, n_frames: Long, fps: Int,
+      duration_us: Long, real_decode: Boolean)
+
+  /** Batched per-partition AVI parse → metadata; fallback row with
+    * `real_decode = false` for unparseable payloads. Narrow, no shuffle. */
+  def decodeVideo(blobs: Dataset[MediaBlob]): Dataset[VideoMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions {
+      _.grouped(DecodeBatchSize).flatMap(_.map { b =>
+        parseAvi(b.content) match {
+          case Some(v) =>
+            val nf = v.frames.length.toLong
+            VideoMeta(b.doc_id, v.width, v.height, nf,
+              v.rate / v.scale,
+              nf * 1000000L * v.scale / v.rate,
+              real_decode = true)
+          case None =>
+            VideoMeta(b.doc_id, -1, -1, b.content.length.toLong, -1, -1L,
+              real_decode = false)
+        }
+      })
+    }
+  }
+
+  /** Stride-sampled frame features over REAL decoded frames: every
+    * `stride`-th frame's pixel sum (unsigned gray bytes, exact in Long),
+    * total over the sample, and the argmax sampled frame (ties to the
+    * earliest). The video analogue of [[audioEnergy]]. */
+  final case class VideoFrames(
+      doc_id: Long, n_frames: Long, n_sampled: Long, sampled_sum: Long,
+      peak_frame: Long, peak_sum: Long)
+
+  def sampleVideoFrames(blobs: Dataset[MediaBlob], stride: Int = 3)
+      : Dataset[VideoFrames] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions {
+      _.grouped(DecodeBatchSize).flatMap(_.flatMap { b =>
+        parseAvi(b.content).map { v =>
+          var total = 0L
+          var peakFrame = -1L
+          var peakSum = -1L
+          var sampled = 0L
+          var f = 0
+          while (f < v.frames.length) {
+            if (f % stride == 0) {
+              val frame = v.frames(f)
+              var sum = 0L
+              var p = 0
+              while (p < frame.length) { sum += frame(p) & 0xff; p += 1 }
+              if (sum > peakSum) { peakSum = sum; peakFrame = f.toLong }
+              total += sum
+              sampled += 1
+            }
+            f += 1
+          }
+          VideoFrames(b.doc_id, v.frames.length.toLong, sampled, total,
+            peakFrame, peakSum)
+        }
+      })
+    }
+  }
+
   /** documents.text → UTF-8 binary payload column (the stand-in for real
     * media bytes in the synthetic testdata). */
   def toBlobs(documents: DataFrame): Dataset[MediaBlob] = {
