@@ -43,13 +43,24 @@ object Bench {
     // reader once so the first timed query isn't billed for startup
     spark.range(1000000).selectExpr("sum(id)").collect()
     // touch each base table once: first contact pays one-time reader and
-    // codegen init that a long-running cluster amortizes away
+    // codegen init that a long-running cluster amortizes away. Each touch
+    // is individually fenced: a table that fails to load must surface as
+    // per-query error rows downstream, never abort the whole bench into
+    // an unparseable rc-1 record (round 7 lost its entire measurement to
+    // one analysis exception here).
     Seq("region", "events", "documents", "embeddings", "lineitem", "orders")
       .foreach { t =>
-        val df = Tables.load(spark, sfDir, t)
-        // real column scan, not the metadata-only count() path
-        df.select(org.apache.spark.sql.functions.max(
-          org.apache.spark.sql.functions.col(df.columns.last))).collect()
+        try {
+          val df = Tables.load(spark, sfDir, t)
+          // real column scan, not the metadata-only count() path
+          df.select(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col(df.columns.last))).collect()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] warm-up of table $t failed: " +
+              s"${e.getClass.getSimpleName}: " +
+              Option(e.getMessage).getOrElse("").take(200))
+        }
       }
     // cold = first run (plan + codegen + execute, what a one-shot job
     // pays); warm = immediate second run (steady-state, what a resident

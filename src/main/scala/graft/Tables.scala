@@ -40,21 +40,43 @@ object Tables {
     // the reference's calls CSV is windows-1252 (prepare_calls.py:32-34);
     // Spark 4 gates non-builtin charsets behind this legacy flag
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's µs timestamps
-    // cannot represent; read as raw nanos and convert below.
+    // Some testdata vintages carry TIMESTAMP(NANOS), which Spark's µs
+    // timestamps cannot represent; with this flag such columns surface as
+    // raw LongType nanos (harmless for µs files) and [[normalizeTs]]
+    // converts them. Other vintages are plain timestamp[us] — a 100 TB
+    // lake has mixed writers and mixed file vintages, so the loader
+    // adapts to whatever physical encoding the footer declares instead
+    // of hard-coding one.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
+  }
+
+  /** Normalize the `ts` column to session-UTC [[TimestampType]] regardless
+    * of the file's physical encoding:
+    *   - `LongType` (TIMESTAMP(NANOS) read via `nanosAsLong`) → truncate
+    *     nanos→µs, identical to DuckDB's read of the same file;
+    *   - `TimestampNTZType` (timestamp[us], isAdjustedToUTC=false) → cast
+    *     to TimestampType; with the session timezone pinned to UTC this
+    *     lands on the same instant DuckDB reads;
+    *   - `TimestampType` → pass through.
+    */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!df.schema.fieldNames.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     pinDialect(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // nanos → µs truncation, identical to DuckDB's read of the same file
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Streaming read of the same table: the file source needs an explicit
@@ -75,11 +97,7 @@ object Tables {
     val df = spark.readStream
       .schema(spark.read.parquet(path).schema)
       .parquet(s"$dir/{$name.parquet}")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Local session factory for tests / CLI. local[*] with shuffle

@@ -86,6 +86,18 @@ object Butterfly {
       .select(col("u"), col("w"), col("v"))
   }
 
+  /** Single-row global butterfly total. Every butterfly is enumerated
+    * exactly once — from its ≻-maximal vertex u paired with its unique
+    * same-side partner w — so summing C(k, 2) over the distinct
+    * enumerated (u, w) pairs counts each butterfly once, with no naive
+    * pair materialization anywhere in the plan. Null (not 0) on a
+    * butterfly-free graph, matching SQL `sum` over an empty set. */
+  def globalCount(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b"): DataFrame =
+    wedges(edges, aCol, bCol)
+      .groupBy("u", "w").agg(count(lit(1)).as("k"))
+      .agg(sum(expr("k * (k - 1) div 2")).cast("long").as("butterflies"))
+
   /** (id, butterflies) for every vertex participating in at least one
     * butterfly — exact counts, both sides of the bipartition. */
   def perVertexCounts(edges: DataFrame, aCol: String = "a",

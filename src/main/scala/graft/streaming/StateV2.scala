@@ -307,17 +307,42 @@ object ForeachBatchUpsert {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // the COMMITTED table is the result; snapshot it locally so the
-    // in-memory database can be dropped (this is the query's final
-    // output surface, not the per-batch hot path)
-    val committed = spark.read.jdbc(url, "target", new java.util.Properties)
-    val rows = committed.collect().toSeq
-    val schema = committed.schema
+    // The COMMITTED table is the result. Snapshot it WITHOUT funneling
+    // data through the driver: a predicate-partitioned JDBC read (the
+    // only driver-side queries are the O(1-row) bounds probe) spilled
+    // straight to a parquet snapshot by executor tasks, after which the
+    // in-memory database can be dropped and the result served from
+    // parquet. At corpus-sized keyed state this is N parallel range
+    // scans + a distributed columnar write; the old collect() was a
+    // driver funnel. Predicates are hand-built so the quoted lower-case
+    // "user_id" survives into the generated WHERE clauses (Derby
+    // uppercases bare identifiers).
+    val (lo, hi, n) = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement().executeQuery(
+          """SELECT MIN("user_id"), MAX("user_id"), COUNT(*) FROM target""")
+        rs.next(); (rs.getLong(1), rs.getLong(2), rs.getLong(3))
+      } finally c.close()
+    }
+    val predicates =
+      if (n == 0) Array("1=1")
+      else {
+        val parts = math.min(8L, math.max(1L, n / 1000)).toInt
+        val step = math.max(1L, (hi - lo) / parts + 1)
+        Array.tabulate(parts) { i =>
+          val a = lo + i * step
+          if (i == parts - 1) s""""user_id" >= $a"""
+          else s""""user_id" >= $a AND "user_id" < ${a + step}"""
+        }
+      }
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft-feb-snap-").toString
+    spark.read.jdbc(url, "target", predicates, new java.util.Properties)
+      .write.mode("overwrite").parquet(snap)
     try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
     catch { case _: java.sql.SQLException => () } // 08006 = success
-    spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    spark.read.parquet(snap)
   }
 }
 

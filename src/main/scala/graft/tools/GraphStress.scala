@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * [[FuzzyStress]]): grows the customer–supplier purchase graph
   * 1×/10×/50× and records, per scale,
   *
-  *  - naive butterfly WEDGE volume Σ_c C(deg(c), 2) — the rows the
-  *    self-join plan of rel_graph_butterfly would materialize, computed
+  *  - naive butterfly WEDGE volume Σ_c C(deg(c), 2) — the rows a naive
+  *    self-join butterfly plan would materialize (no registry query
+  *    runs that shape anymore; both rel_graph_butterfly and _vp use the
+  *    priority enumeration), computed
   *    analytically from the degree distribution, never materialized
   *    (at 50× it is ~10^10 rows, which is precisely the point);
   *  - vertex-priority wedge volume (operators/Butterfly.scala) — the

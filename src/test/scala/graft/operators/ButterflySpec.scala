@@ -68,6 +68,22 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
     assert(counts(edges) == expected)
   }
 
+  test("globalCount equals the naive total; null on butterfly-free graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = for {
+      a <- 1L to 40L; b <- 101L to 130L if rnd.nextDouble() < 0.15
+    } yield a -> b
+    // each butterfly credits its 4 vertices once → naive total = Σ/4
+    val expected = naive(edges).values.sum / 4
+    assert(expected > 0, "fixture should contain butterflies")
+    val got = Butterfly.globalCount(edges.toDF("a", "b")).collect()
+    assert(got.length == 1 && got(0).getLong(0) == expected)
+    val empty = Butterfly.globalCount(
+      Seq(1L -> 101L, 2L -> 102L).toDF("a", "b")).collect()
+    assert(empty.length == 1 && empty(0).isNullAt(0))
+  }
+
   test("hub wedges are walked from the hub, not squared through it") {
     // hub customer 1 with 60 suppliers; customer 2 shares two of them.
     // Naive wedge volume through shared suppliers is sum_b C(deg_b, 2)

@@ -72,18 +72,13 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
     val src = srcDir.toString
     val batchDf = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .select("ts", "event_type", "value")
-    // the file stores TIMESTAMP(NANOS); stream it the same way Tables.load
-    // reads it — as raw nanos, converted to µs timestamps
-    import org.apache.spark.sql.types._
-    val rawSchema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream
-      .schema(rawSchema)
-      .parquet(src)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // stream it the same way Tables.load reads it — footer schema plus the
+    // encoding-adaptive ts normalization (nanos-as-long or timestamp[us])
+    val rawSchema = spark.read.parquet(src).schema
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(rawSchema)
+        .parquet(src))
       .select("ts", "event_type", "value")
     val q = EventStreams.windowedCounts(stream, "1 day", "1 day")
       .writeStream.format("memory").queryName("wc_file")
