@@ -85,13 +85,24 @@ object Bench {
     // canary makes a contaminated run self-identifying — `canary_drift`
     // (max/min of the three probes) near 1.0 means the box was steady,
     // and consumers must disregard a record with drift >~1.5.
+    // Each checkpoint takes the MIN of 3 back-to-back probes after an
+    // explicit GC: a single probe also measures the bench JVM's own heap
+    // aging (a 136-query sweep accumulates GC pressure, and the lone
+    // probe drifted ~2× on an IDLE box), which is not the external
+    // contention the canary exists to detect. The min-of-3 after GC is
+    // the box's actual capacity at that moment; cross-process load still
+    // inflates all three.
     def canaryProbe(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(4000000L)
-        .selectExpr("id % 997 AS k", "id * 2654435761 AS v")
-        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
-        .selectExpr("sum(`sum(v)`)").collect()
-      (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(4000000L)
+          .selectExpr("id % 997 AS k", "id * 2654435761 AS v")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+          .selectExpr("sum(`sum(v)`)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      System.gc()
+      Seq(once(), once(), once()).min
     }
     canaryProbe() // JIT warm-up run, untimed
     val canaryStart = canaryProbe()
