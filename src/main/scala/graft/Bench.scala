@@ -56,7 +56,11 @@ object Bench {
           df.select(org.apache.spark.sql.functions.max(
             org.apache.spark.sql.functions.col(df.columns.last))).collect()
         } catch {
-          case e: Throwable =>
+          // NonFatal, not Throwable: an analysis/IO failure becomes
+          // per-query error rows downstream, but a fatal JVM error
+          // (OOM, StackOverflow) must abort — a bench continuing on a
+          // corrupted JVM would record a plausible-looking lie
+          case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] warm-up of table $t failed: " +
               s"${e.getClass.getSimpleName}: " +
               Option(e.getMessage).getOrElse("").take(200))
@@ -74,7 +78,7 @@ object Bench {
         fn(spark, sfDir).count()
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(120)}")
       }
     }
@@ -112,8 +116,15 @@ object Bench {
       if (i == sorted.size / 2) canaryMid = canaryProbe()
       val cold = timed(fn)
       val before = settledShuffleBytes()
-      val warm = if (cold.isRight) timed(fn) else cold
+      val warm0 = if (cold.isRight) timed(fn) else cold
       val warmShuffleMb = (settledShuffleBytes() - before) / 1e6
+      // per-query warm gets the canary's GC discipline (VERDICT r8 #3):
+      // a warm run slower than 1.5x its own cold is almost always the
+      // bench JVM's accumulated heap aging, not the plan — re-measure
+      // once after an explicit GC and keep the min, so warm numbers are
+      // usable for round-over-round regression gating. A genuinely
+      // regressed query stays slow on the re-run and is reported as is.
+      val warm = Bench.settledWarm(cold, warm0, () => { System.gc(); timed(fn) })
       (name, cold, warm, warmShuffleMb)
     }
     val canaryEnd = canaryProbe()
@@ -132,12 +143,31 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // detail file is best-effort
+    } catch { case scala.util.control.NonFatal(_) => () } // detail file is best-effort
     spark.stop()
     println(compact)
   }
 
   type Res = (String, Either[String, Double], Either[String, Double], Double)
+
+  /** Heap-aging guard for per-query warm timings: when the first warm
+    * run exceeds 1.5× its own cold (r8 evidence: rel_pivot 1.44 → 6.97 s
+    * warm on an idle box, pure JVM aging), take the min with ONE
+    * re-measurement (the caller GCs first, mirroring the canary's
+    * min-after-GC discipline). Within the bound, or on any error, the
+    * first warm stands — the retry only spends time where the number
+    * would otherwise be unusable. */
+  private[graft] def settledWarm(cold: Either[String, Double],
+      warm0: Either[String, Double],
+      rerun: () => Either[String, Double]): Either[String, Double] =
+    (cold, warm0) match {
+      case (Right(c), Right(w)) if w > c * 1.5 =>
+        rerun() match {
+          case Right(w2) => Right(math.min(w, w2))
+          case _ => warm0
+        }
+      case _ => warm0
+    }
 
   /** Render the (full, compact) JSON lines. Totals are computed over
     * SUCCEEDED queries only and each line carries `n_errors`: an earlier

@@ -48,35 +48,119 @@ object Tables {
     // adapts to whatever physical encoding the footer declares instead
     // of hard-coding one.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // AQE-only broadcast ceiling: runtime plan conversions are decided
+    // from MEASURED stage sizes (not estimates), so a higher ceiling is
+    // safe — a 10-64 MB actual build side broadcast on 100+ GiB
+    // executors beats re-exchanging a large probe side. The STATIC
+    // threshold (estimate-driven) stays at Spark's conservative
+    // default.
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
     spark
   }
 
-  /** Normalize the `ts` column to session-UTC [[TimestampType]] regardless
-    * of the file's physical encoding:
-    *   - `LongType` (TIMESTAMP(NANOS) read via `nanosAsLong`) → truncate
-    *     nanos→µs, identical to DuckDB's read of the same file;
-    *   - `TimestampNTZType` (timestamp[us], isAdjustedToUTC=false) → cast
-    *     to TimestampType; with the session timezone pinned to UTC this
-    *     lands on the same instant DuckDB reads;
+  /** Timestamp-ish column names eligible for int64 epoch normalization.
+    * Narrow on purpose: a genuinely numeric LongType column (an id, a
+    * count) must never be silently reinterpreted as an instant. */
+  private def isTsName(n: String): Boolean = {
+    val l = n.toLowerCase
+    l == "ts" || l.endsWith("_ts")
+  }
+
+  /** (min, max) per `<path>#<column>`, so the unit sniff runs one tiny
+    * single-column aggregate per table per JVM, not one per query. */
+  private val tsStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  // epoch-micros bounds of the plausible-instant window [1850, 2200] —
+  // a converted range landing outside is a mis-sniffed unit, not data
+  private val PlausibleMicrosLo = -3786825600000000L
+  private val PlausibleMicrosHi = 7258118400000000L
+
+  /** Convert a raw int64 epoch column to [[TimestampType]], choosing the
+    * unit (seconds / millis / micros / nanos) from the column's observed
+    * magnitude. The unit bands are 1000× apart, so any column whose rows
+    * live in one band is unambiguous; a column whose best-guess unit
+    * still lands outside [1850, 2200] fails LOUDLY instead of silently
+    * shifting every timestamp 1000× (the round-7 lesson: testdata
+    * encodings drift where you least expect them — ADVICE r8 asked for
+    * exactly this guard, since a plain `div 1000` would misread a future
+    * int64-micros or int64-millis vintage). */
+  private[graft] def longEpochToTimestamp(name: String, minV: Long,
+      maxV: Long, source: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
+    val m = math.max(math.abs(minV), math.abs(maxV))
+    val unit =
+      if (m < 100000000000L) "seconds"            // |v| < 1e11
+      else if (m < 100000000000000L) "millis"     // < 1e14
+      else if (m < 100000000000000000L) "micros"  // < 1e17
+      else "nanos"
+    def toMicros(v: Long): Long = unit match {
+      case "seconds" => v * 1000000L
+      case "millis"  => v * 1000L
+      case "micros"  => v
+      case "nanos"   => Math.floorDiv(v, 1000L)
+    }
+    if (toMicros(minV) < PlausibleMicrosLo || toMicros(maxV) > PlausibleMicrosHi)
+      throw new IllegalStateException(
+        s"$source: int64 column `$name` (min=$minV, max=$maxV) is not an " +
+          s"epoch timestamp in any unit (best guess `$unit` lands outside " +
+          "1850..2200); refusing to guess rather than silently shifting " +
+          "every timestamp")
+    val c = col(s"`$name`")
+    unit match {
+      case "seconds" => timestamp_micros(c * lit(1000000L))
+      case "millis"  => timestamp_micros(c * lit(1000L))
+      case "micros"  => timestamp_micros(c)
+      case "nanos"   => timestamp_micros(expr(s"`$name` div 1000"))
+    }
+  }
+
+  /** Normalize every timestamp-bearing column to session-UTC
+    * [[TimestampType]] regardless of the file's physical encoding:
+    *   - `LongType` with a ts-ish name (TIMESTAMP(NANOS) read via
+    *     `nanosAsLong`, or a plain int64 epoch) → unit sniffed from the
+    *     column's min/max via `stats` (the batch-readable side of the
+    *     same files — a streaming frame cannot run the aggregate), then
+    *     converted; identical to DuckDB's read of the same file;
+    *   - `TimestampNTZType` (timestamp[us], isAdjustedToUTC=false) →
+    *     cast to TimestampType; with the session timezone pinned to UTC
+    *     this lands on the same instant DuckDB reads;
     *   - `TimestampType` → pass through.
-    */
-  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    * Applies to EVERY loaded table, not a hard-coded name — round 7's
+    * drift hit the one table the old gate covered, but nothing says the
+    * next vintage drifts in the same place. */
+  private[graft] def normalizeTs(df: DataFrame,
+      stats: Option[DataFrame] = None, source: String = ""): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    if (!df.schema.fieldNames.contains("ts")) df
-    else df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(s"`${f.name}`").cast(TimestampType))
+        case LongType if isTsName(f.name) =>
+          val statsDf = stats.getOrElse(
+            if (df.isStreaming) sys.error(
+              s"$source: streaming frame with int64 ts column `${f.name}` " +
+                "needs a batch stats side to sniff the epoch unit")
+            else df)
+          def compute: (Long, Long) = {
+            val r = statsDf.agg(min(col(s"`${f.name}`")),
+              max(col(s"`${f.name}`"))).head
+            if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+          }
+          val (lo, hi) =
+            if (source.isEmpty) compute
+            else tsStatsCache.computeIfAbsent(s"$source#${f.name}", _ => compute)
+          acc.withColumn(f.name, longEpochToTimestamp(f.name, lo, hi, source))
+        case _ => acc
+      }
     }
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     pinDialect(spark)
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeTs(df) else df
+    val path = s"$dir/$name.parquet"
+    normalizeTs(spark.read.parquet(path), source = path)
   }
 
   /** Streaming read of the same table: the file source needs an explicit
@@ -94,10 +178,13 @@ object Tables {
     // basePath — so stream a true glob, which skips the injection. A
     // directory of part files (the scale layout) also works through the
     // same glob.
+    val batch = spark.read.parquet(path)
     val df = spark.readStream
-      .schema(spark.read.parquet(path).schema)
+      .schema(batch.schema)
       .parquet(s"$dir/{$name.parquet}")
-    if (name == "events") normalizeTs(df) else df
+    // unit sniffing (if an int64 ts column exists) runs on the batch
+    // side of the same files — one cached driver-side aggregate
+    normalizeTs(df, stats = Some(batch), source = path)
   }
 
   /** Local session factory for tests / CLI. local[*] with shuffle

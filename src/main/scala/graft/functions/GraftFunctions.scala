@@ -79,7 +79,11 @@ object GraftFunctions {
       (es: Seq[Expression]) => BloomMightContain(es(0), es(1))),
     (FunctionIdentifier("graft_lev_le"),
       info("graft_lev_le", classOf[LevenshteinLe]),
-      (es: Seq[Expression]) => LevenshteinLe(es(0), es(1), intArg(es(2), "k")))
+      (es: Seq[Expression]) => LevenshteinLe(es(0), es(1), intArg(es(2), "k"))),
+    (FunctionIdentifier("graft_subspace_l2"),
+      info("graft_subspace_l2", classOf[SubspaceL2]),
+      (es: Seq[Expression]) => SubspaceL2(es(0), es(1), es(2),
+        intArg(es(3), "subDim")))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -92,6 +96,10 @@ object GraftFunctions {
 
   /** Ascending-index IEEE left-fold dot product (see [[DotProduct]]). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Squared L2 on subspace `s` of width `subDim` (see [[SubspaceL2]]). */
+  def subspaceL2(a: Column, b: Column, s: Column, subDim: Int): Column =
+    call_function("graft_subspace_l2", a, b, s, lit(subDim))
 
   /** MinHash signature of an array<long> of hashes in [0, P). */
   def minhashSig(hashes: Column, k: Int): Column =

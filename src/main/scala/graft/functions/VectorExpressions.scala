@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Codegen'd dot product over two `array<double>` columns.
   *
@@ -58,4 +58,74 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd squared-L2 distance on ONE subspace of two `array<double>`
+  * columns: Σ_{i=0}^{subDim−1} (a[s·subDim+i] − b[s·subDim+i])².
+  *
+  * This is the product-quantization hot kernel (the ADC distance-table
+  * build and the encode step both evaluate it candidates × codes times,
+  * VERDICT r8 #4): as a `aggregate(transform(sequence(...)))` chain it
+  * runs as interpreted higher-order functions — per-row lambda dispatch
+  * and a materialized 16-element array — where this expression is a
+  * fused generated-Java loop inside whole-stage codegen.
+  *
+  * Summation is the same ascending-index left fold from 0.0 as
+  * [[DotProduct]], bit-identical to the DuckDB oracle's `list_reduce`
+  * over the same window. A subspace that overruns either array yields
+  * null (matching `element_at`'s out-of-range null under the pinned
+  * non-ANSI dialect, and keeping a corrupt-dimension vector from
+  * scoring plausibly).
+  */
+case class SubspaceL2(first: Expression, second: Expression,
+    third: Expression, subDim: Int)
+    extends TernaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_subspace_l2"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any, s: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val base = s.asInstanceOf[Int] * subDim
+    if (base < 0 || base + subDim > x.numElements()
+        || base + subDim > y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < subDim) {
+      val d = x.getDouble(base + i) - y.getDouble(base + i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, s) => {
+      val base = ctx.freshName("base")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      s"""
+         |int $base = $s * $subDim;
+         |if ($base < 0 || $base + $subDim > $a.numElements()
+         |    || $base + $subDim > $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $subDim; $i++) {
+         |    double $d = $a.getDouble($base + $i) - $b.getDouble($base + $i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact per-vertex butterfly (2×2 biclique) counting over a bipartite
@@ -38,10 +37,12 @@ import org.apache.spark.sql.functions._
   * Plan shape: degree aggregate (1 shuffle, map-side combined), two
   * O(nodes) degree joins (broadcast under the same node-count ceiling
   * as [[PageRank]]), the wedge equi-join on the center (1 shuffle of
-  * the priority-pruned adjacency), a count window over (u, w) on the
-  * REDUCED wedge set, and the final attribution union-aggregate. AQE
-  * skew-join splitting still applies to whatever residual skew the
-  * priority rule leaves.
+  * the priority-pruned adjacency), then ONE aggregation of the reduced
+  * wedge set into the k ≥ 2 pair table (map-side combined) and — for
+  * per-vertex counts — a broadcast join-back of the wedges against
+  * that small pair table for center attribution. AQE skew-join
+  * splitting still applies to whatever residual skew the priority rule
+  * leaves.
   */
 object Butterfly {
 
@@ -86,30 +87,74 @@ object Butterfly {
       .select(col("u"), col("w"), col("v"))
   }
 
+  /** Aggregated pair table (u, w, k): the k ≥ 2 enumerated pairs with
+    * their common-center counts. The ONE exchange of the wedge set in
+    * the counting plans — and map-side combine means the exchange
+    * carries per-partition (u, w) partial counts, not raw wedges. The
+    * k = 1 pairs (the overwhelming majority on a sparse graph) are
+    * dropped before anything downstream touches them: they contribute
+    * C(1, 2) = 0 to endpoints and k − 1 = 0 to centers, so filtering
+    * them here shrinks the table joined back in [[perVertexCounts]] to
+    * butterfly-participating pairs only. */
+  private def pairCounts(wd: DataFrame): DataFrame =
+    wd.groupBy("u", "w").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2)
+
   /** Single-row global butterfly total. Every butterfly is enumerated
     * exactly once — from its ≻-maximal vertex u paired with its unique
     * same-side partner w — so summing C(k, 2) over the distinct
     * enumerated (u, w) pairs counts each butterfly once, with no naive
-    * pair materialization anywhere in the plan. Null (not 0) on a
-    * butterfly-free graph, matching SQL `sum` over an empty set. */
+    * pair materialization anywhere in the plan. Null (not 0) whenever
+    * the graph holds no butterfly — including wedges-but-no-shared-pair
+    * graphs, since [[pairCounts]] drops k = 1 pairs — matching SQL
+    * `sum` over an empty set (the DuckDB oracle's HAVING count(*) >= 2
+    * produces the same empty input; ButterflySpec pins the case). */
   def globalCount(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame =
-    wedges(edges, aCol, bCol)
-      .groupBy("u", "w").agg(count(lit(1)).as("k"))
+    pairCounts(wedges(edges, aCol, bCol))
       .agg(sum(expr("k * (k - 1) div 2")).cast("long").as("butterflies"))
 
   /** (id, butterflies) for every vertex participating in at least one
-    * butterfly — exact counts, both sides of the bipartition. */
+    * butterfly — exact counts, both sides of the bipartition.
+    *
+    * One wedge-set exchange total: the wedge set is hash-partitioned
+    * by (u, w) ONCE — exchange reuse shares that single shuffle across
+    * both consumers — after which the pair aggregation needs no
+    * exchange (its grouping keys match the partitioning) and the
+    * center join-back runs co-partitioned on both sides (the pair
+    * table inherits the same (u, w) partitioning from its agg), so
+    * neither wedges nor pairs move again; the only further shuffles
+    * are the O(vertices) attribution partials. (The previous shape —
+    * a count window over (u, w), a distinct() for pair extraction,
+    * and the attribution union — exchanged the full wedge set three
+    * times: 275 MB warm shuffle at sf0.1. An AQE-broadcast join-back
+    * doesn't happen in practice: AQE sizes the aggregated side by its
+    * pre-agg exchange bytes, which is the wedge set itself.) */
   def perVertexCounts(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame = {
     val wd = wedges(edges, aCol, bCol)
-      .withColumn("k", count(lit(1)).over(Window.partitionBy("u", "w")))
+    // The trailing repartition is a deliberate stage boundary: without
+    // it the pair aggregation fuses into the join stage and AQE can
+    // only see the PRE-agg exchange (wedge-set-sized partials), so the
+    // join-back below always stays sort-merge and re-exchanges the
+    // wedge set. With the boundary, AQE measures the aggregated k >= 2
+    // pair table itself (tiny on sparse graphs) and converts the
+    // join-back to broadcast — the wedge set is then never exchanged
+    // after the aggregation. If the pair table really is huge the
+    // boundary costs one exchange of the (already reduced) output and
+    // the join falls back to sort-merge with a co-partitioned build
+    // side: adaptive, not a blanket broadcast hint.
+    val pairs = wd.groupBy("u", "w").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2)
+      .repartition(col("u"), col("w"))
     // endpoints: C(k,2) butterflies from pair (u, w) contain each once
-    val pairTerms = wd.select(col("u"), col("w"), col("k")).distinct()
+    val pairTerms = pairs
       .select(explode(array(col("u"), col("w"))).as("id"),
         expr("k * (k - 1) div 2").as("bf"))
-    // centers: wedge (u, w, v) pairs v with the k-1 other centers
-    val centerTerms = wd.select(col("v").as("id"), (col("k") - 1).as("bf"))
+    // centers: wedge (u, w, v) pairs v with the k-1 other centers; the
+    // inner join also drops wedges of k = 1 pairs (zero contribution)
+    val centerTerms = wd.join(pairs, Seq("u", "w"))
+      .select(col("v").as("id"), (col("k") - 1).as("bf"))
     pairTerms.union(centerTerms)
       .groupBy("id").agg(sum("bf").as("butterflies"))
       .filter(col("butterflies") > 0)

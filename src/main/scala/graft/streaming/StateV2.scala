@@ -277,6 +277,7 @@ object ForeachBatchUpsert {
            |  "last_cents" BIGINT)""".stripMargin)
     val ck = java.nio.file.Files
       .createTempDirectory("graft-feb-ck-").toString
+    StateV2.deleteOnExit(ck)
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
@@ -317,6 +318,12 @@ object ForeachBatchUpsert {
     // driver funnel. Predicates are hand-built so the quoted lower-case
     // "user_id" survives into the generated WHERE clauses (Derby
     // uppercases bare identifiers).
+    // JVM-locality caveat: the parallel range scans reach an embedded
+    // jdbc:derby:memory: database only because local[*] executors share
+    // the driver JVM. On a real cluster the same code requires `url` to
+    // point at a network-reachable warehouse (any production JDBC
+    // endpoint); an in-memory embedded DB is invisible to remote
+    // executor JVMs.
     val (lo, hi, n) = {
       val c = java.sql.DriverManager.getConnection(url)
       try {
@@ -336,8 +343,13 @@ object ForeachBatchUpsert {
           else s""""user_id" >= $a AND "user_id" < ${a + step}"""
         }
       }
+    // the snapshot must OUTLIVE this call (the returned DataFrame reads
+    // it lazily), so its lifetime is the JVM's: a shutdown hook reclaims
+    // it, bounding the leak a long-lived process would otherwise
+    // accumulate one corpus-sized parquet copy per run
     val snap = java.nio.file.Files
       .createTempDirectory("graft-feb-snap-").toString
+    StateV2.deleteOnExit(snap)
     spark.read.jdbc(url, "target", predicates, new java.util.Properties)
       .write.mode("overwrite").parquet(snap)
     try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
@@ -347,6 +359,18 @@ object ForeachBatchUpsert {
 }
 
 object StateV2 {
+
+  /** Recursive temp-dir cleanup at JVM exit (checkpoint and snapshot
+    * directories whose contents must outlive the call that made them —
+    * a lazily-read snapshot has no earlier safe deletion point). */
+  private[streaming] def deleteOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }))
 
   /** Distinct (user_id, event_type) pairs via first-arrival emission —
     * see [[FirstArrivalProcessor]]. Input must have those two columns. */

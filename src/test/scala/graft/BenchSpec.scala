@@ -65,4 +65,25 @@ class BenchSpec extends AnyFunSuite {
     assert(n.get("queries").has("q_ok_slow"))
     assert(n.get("errors").get("q_broken").asText().length <= 60)
   }
+
+  // VERDICT r8 #3: JVM heap aging inverted warm > cold on an idle box
+  // (rel_pivot 1.44 -> 6.97 s); per-query warm timings get the canary's
+  // min-after-GC discipline so they are usable for regression gating.
+  test("warm exceeding 1.5x cold is re-measured once and the min kept") {
+    var reran = 0
+    val rerun = () => { reran += 1; Right(1.6): Either[String, Double] }
+    // aged warm (7.0 > 1.5 * 1.44) -> retry, min(7.0, 1.6) wins
+    assert(Bench.settledWarm(Right(1.44), Right(7.0), rerun) === Right(1.6))
+    assert(reran === 1)
+    // within bound -> first warm stands, no retry spent
+    assert(Bench.settledWarm(Right(4.0), Right(3.0), rerun) === Right(3.0))
+    assert(reran === 1)
+    // genuine regression: retry still slow -> reported honestly
+    val slowRerun = () => { reran += 1; Right(6.8): Either[String, Double] }
+    assert(Bench.settledWarm(Right(1.44), Right(7.0), slowRerun) === Right(6.8))
+    // errors pass through untouched, retry never invoked on them
+    val boom = Left("boom"): Either[String, Double]
+    assert(Bench.settledWarm(boom, boom, rerun) === boom)
+    assert(reran === 2)
+  }
 }

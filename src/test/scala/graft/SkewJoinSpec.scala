@@ -25,7 +25,8 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestSession {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.autoBroadcastJoinThreshold")
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
       .map(k => k -> spark.conf.getOption(k))
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -35,8 +36,12 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestSession {
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      // forbid broadcast so the join stays a shuffle SMJ (the skew path)
+      // forbid broadcast so the join stays a shuffle SMJ (the skew
+      // path): BOTH thresholds — static (estimate-driven) and AQE
+      // (runtime-size-driven, raised to 64m by Tables.pinDialect, which
+      // would otherwise promote this fixture-sized build side)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
       val joined = probe.join(build, "k")
         .agg(count(lit(1)).as("n"), sum(col("payload")).as("s"))

@@ -85,4 +85,64 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       assert(got.toSeq == expect, s"dir=$dir")
     }
   }
+
+  // ADVICE r8: an int64 ts column is not necessarily nanos — a future
+  // vintage could store seconds, millis, or micros, and a hard-coded
+  // `div 1000` would silently shift every instant 1000×. The loader
+  // sniffs the unit from the column's magnitude; each band below is the
+  // SAME three instants in a different unit and must land on identical
+  // rows. (Whole-second instants: the coarser units can't carry
+  // sub-second precision.)
+  test("int64 ts columns are unit-sniffed: seconds, millis, micros, nanos") {
+    import spark.implicits._
+    val seconds = Seq(1704067200L, 1704070800L, 1704074400L)
+    val expect = seconds.map(s => new java.sql.Timestamp(s * 1000L))
+    val units = Seq("seconds" -> 1L, "millis" -> 1000L,
+      "micros" -> 1000000L, "nanos" -> 1000000000L)
+    for ((unit, mult) <- units) {
+      val dir = Files.createTempDirectory(s"ts-unit-$unit-").toString
+      seconds.map(s => (1L, s * mult)).toDF("event_id", "ts")
+        .write.parquet(s"$dir/events.parquet")
+      val df = Tables.load(spark, dir, "events")
+      assert(df.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType, s"unit=$unit")
+      val got = df.orderBy("ts").select("ts").as[java.sql.Timestamp].collect()
+      assert(got.toSeq == expect, s"unit=$unit")
+    }
+  }
+
+  test("an implausible int64 ts column fails loudly, never silently shifts") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ts-implausible-").toString
+    // 5e16 lands in the micros band but converts to year ~3554 — a
+    // mis-encoded column must throw, not produce shifted timestamps
+    Seq((1L, 50000000000000000L)).toDF("event_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      Tables.load(spark, dir, "events").collect()
+    }
+    assert(e.getMessage.contains("refusing to guess"))
+  }
+
+  test("normalization is not gated on the table NAME, and streams too") {
+    import spark.implicits._
+    // round 7's drift hit `events` — the one table the old name gate
+    // covered; this pins that ANY table's int64 ts column normalizes,
+    // batch and streaming, to the same session-UTC rows end-to-end
+    val micros = Seq(1704067200000000L, 1704070800000000L, 1704074400123456L)
+    val dir = Files.createTempDirectory("ts-anytable-").toString
+    micros.map(u => (1L, u * 1000L)).toDF("reading_id", "measured_ts")
+      .write.parquet(s"$dir/sensor.parquet")
+    val batch = Tables.load(spark, dir, "sensor")
+    assert(batch.schema("measured_ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val stream = Tables.loadStream(spark, dir, "sensor")
+    assert(stream.isStreaming && stream.schema == batch.schema)
+    val streamed = drain(stream, "tables_ls_sensor")
+      .orderBy("measured_ts").select("measured_ts")
+      .as[java.sql.Timestamp].collect().toSeq
+    val batchRows = batch.orderBy("measured_ts").select("measured_ts")
+      .as[java.sql.Timestamp].collect().toSeq
+    assert(streamed == batchRows && streamed.nonEmpty)
+  }
 }

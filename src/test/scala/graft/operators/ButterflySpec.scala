@@ -82,6 +82,14 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
     val empty = Butterfly.globalCount(
       Seq(1L -> 101L, 2L -> 102L).toDF("a", "b")).collect()
     assert(empty.length == 1 && empty(0).isNullAt(0))
+    // wedges EXIST here (1 and 2 share 101) but every pair has k = 1:
+    // the k >= 2 pair filter must leave the sum an empty-set NULL,
+    // matching the DuckDB oracle's HAVING count(*) >= 2 — not a 0 from
+    // summing C(1, 2) terms (a sparse regenerated dataset could land
+    // exactly on this shape and hash-mismatch otherwise).
+    val wedgyNoButterfly = Butterfly.globalCount(
+      Seq(1L -> 101L, 2L -> 101L, 2L -> 102L).toDF("a", "b")).collect()
+    assert(wedgyNoButterfly.length == 1 && wedgyNoButterfly(0).isNullAt(0))
   }
 
   test("hub wedges are walked from the hub, not squared through it") {

@@ -74,11 +74,12 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
       .select("ts", "event_type", "value")
     // stream it the same way Tables.load reads it — footer schema plus the
     // encoding-adaptive ts normalization (nanos-as-long or timestamp[us])
-    val rawSchema = spark.read.parquet(src).schema
+    val rawBatch = spark.read.parquet(src)
     val stream = graft.Tables.normalizeTs(
       spark.readStream
-        .schema(rawSchema)
-        .parquet(src))
+        .schema(rawBatch.schema)
+        .parquet(src),
+      stats = Some(rawBatch), source = src)
       .select("ts", "event_type", "value")
     val q = EventStreams.windowedCounts(stream, "1 day", "1 day")
       .writeStream.format("memory").queryName("wc_file")
