@@ -133,6 +133,29 @@ object KernelProps extends Properties("graft.kernels") {
       Prop(DotProduct(dummy, dummy).nullSafeEval(a, b) == null)
     }
 
+  property("SubspaceL2 equals the ascending fold of squared diffs on the window") =
+    forAll(Gen.listOfN(64, Gen.choose(-10.0, 10.0)),
+      Gen.listOfN(64, Gen.choose(-10.0, 10.0)), Gen.choose(0, 3)) { (a, b, s) =>
+      val got = SubspaceL2(dummy, dummy, dummy, 16)
+        .nullSafeEval(new GenericArrayData(a.toArray),
+          new GenericArrayData(b.toArray), s).asInstanceOf[Double]
+      val want = (0 until 16).foldLeft(0.0) { (acc, i) =>
+        val d = a(s * 16 + i) - b(s * 16 + i)
+        acc + d * d
+      }
+      Prop(got == want) // bit-exact, same operation order
+    }
+
+  property("SubspaceL2 yields null when the subspace overruns either array") =
+    forAll(Gen.choose(1, 15), Gen.choose(0, 3)) { (short, s) =>
+      val full = new GenericArrayData(Array.fill(64)(1.0))
+      val trunc = new GenericArrayData(Array.fill(s * 16 + short)(1.0))
+      val k = SubspaceL2(dummy, dummy, dummy, 16)
+      Prop(k.nullSafeEval(trunc, full, s) == null &&
+        k.nullSafeEval(full, trunc, s) == null &&
+        k.nullSafeEval(full, full, 4) == null)
+    }
+
   private val textGen: Gen[String] = Gen.oneOf(
     Gen.const(""), Gen.const("a"), Gen.const("café au lait"),
     Gen.const("日本語テキスト"), Gen.const("mixed café 日本 𝔘nicode"),
