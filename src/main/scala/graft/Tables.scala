@@ -48,13 +48,6 @@ object Tables {
     // adapts to whatever physical encoding the footer declares instead
     // of hard-coding one.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // AQE-only broadcast ceiling: runtime plan conversions are decided
-    // from MEASURED stage sizes (not estimates), so a higher ceiling is
-    // safe — a 10-64 MB actual build side broadcast on 100+ GiB
-    // executors beats re-exchanging a large probe side. The STATIC
-    // threshold (estimate-driven) stays at Spark's conservative
-    // default.
-    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
     spark
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact per-vertex butterfly (2×2 biclique) counting over a bipartite
@@ -37,12 +38,13 @@ import org.apache.spark.sql.functions._
   * Plan shape: degree aggregate (1 shuffle, map-side combined), two
   * O(nodes) degree joins (broadcast under the same node-count ceiling
   * as [[PageRank]]), the wedge equi-join on the center (1 shuffle of
-  * the priority-pruned adjacency), then ONE aggregation of the reduced
-  * wedge set into the k ≥ 2 pair table (map-side combined) and — for
-  * per-vertex counts — a broadcast join-back of the wedges against
-  * that small pair table for center attribution. AQE skew-join
-  * splitting still applies to whatever residual skew the priority rule
-  * leaves.
+  * the priority-pruned adjacency), then ONE movement of the reduced
+  * wedge set: globalCount aggregates it straight into the k ≥ 2 pair
+  * table (map-side combined); perVertexCounts hash-partitions it by
+  * (u, w) once — a single reused exchange — after which the count
+  * window, pair distinct, and center attribution all run
+  * co-partitioned with zero further exchanges. AQE skew-join splitting
+  * still applies to whatever residual skew the priority rule leaves.
   */
 object Butterfly {
 
@@ -88,14 +90,11 @@ object Butterfly {
   }
 
   /** Aggregated pair table (u, w, k): the k ≥ 2 enumerated pairs with
-    * their common-center counts. The ONE exchange of the wedge set in
-    * the counting plans — and map-side combine means the exchange
-    * carries per-partition (u, w) partial counts, not raw wedges. The
-    * k = 1 pairs (the overwhelming majority on a sparse graph) are
-    * dropped before anything downstream touches them: they contribute
-    * C(1, 2) = 0 to endpoints and k − 1 = 0 to centers, so filtering
-    * them here shrinks the table joined back in [[perVertexCounts]] to
-    * butterfly-participating pairs only. */
+    * their common-center counts — [[globalCount]]'s single wedge-set
+    * exchange, map-side combined so it carries per-partition (u, w)
+    * partial counts, not raw wedges. The k = 1 pairs contribute
+    * C(1, 2) = 0 butterflies, and dropping them makes the empty-input
+    * NULL semantics match the oracle's HAVING count(*) >= 2. */
   private def pairCounts(wd: DataFrame): DataFrame =
     wd.groupBy("u", "w").agg(count(lit(1)).as("k"))
       .filter(col("k") >= 2)
@@ -118,43 +117,44 @@ object Butterfly {
     * butterfly — exact counts, both sides of the bipartition.
     *
     * One wedge-set exchange total: the wedge set is hash-partitioned
-    * by (u, w) ONCE — exchange reuse shares that single shuffle across
-    * both consumers — after which the pair aggregation needs no
-    * exchange (its grouping keys match the partitioning) and the
-    * center join-back runs co-partitioned on both sides (the pair
-    * table inherits the same (u, w) partitioning from its agg), so
-    * neither wedges nor pairs move again; the only further shuffles
-    * are the O(vertices) attribution partials. (The previous shape —
-    * a count window over (u, w), a distinct() for pair extraction,
-    * and the attribution union — exchanged the full wedge set three
-    * times: 275 MB warm shuffle at sf0.1. An AQE-broadcast join-back
-    * doesn't happen in practice: AQE sizes the aggregated side by its
-    * pre-agg exchange bytes, which is the wedge set itself.) */
+    * by (u, w) ONCE — exchange reuse collapses both consumer branches
+    * onto that single shuffle — after which the count window, the pair
+    * distinct, and the center projection all run co-partitioned; the
+    * only further shuffle is the O(vertices) attribution partials.
+    * (The round-8 shape was this window WITHOUT the reuse parity:
+    * column pruning dropped v from the endpoint branch's copy of the
+    * exchange, the two structurally different exchanges defeated
+    * reuse, and the wedge set shuffled — and enumerated — twice:
+    * 275 MB warm shuffle and 14.6 s at sf0.1 vs 169 MB / 8.4 s now.) */
   def perVertexCounts(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame = {
-    val wd = wedges(edges, aCol, bCol)
-    // The trailing repartition is a deliberate stage boundary: without
-    // it the pair aggregation fuses into the join stage and AQE can
-    // only see the PRE-agg exchange (wedge-set-sized partials), so the
-    // join-back below always stays sort-merge and re-exchanges the
-    // wedge set. With the boundary, AQE measures the aggregated k >= 2
-    // pair table itself (tiny on sparse graphs) and converts the
-    // join-back to broadcast — the wedge set is then never exchanged
-    // after the aggregation. If the pair table really is huge the
-    // boundary costs one exchange of the (already reduced) output and
-    // the join falls back to sort-merge with a co-partitioned build
-    // side: adaptive, not a blanket broadcast hint.
-    val pairs = wd.groupBy("u", "w").agg(count(lit(1)).as("k"))
-      .filter(col("k") >= 2)
-      .repartition(col("u"), col("w"))
-    // endpoints: C(k,2) butterflies from pair (u, w) contain each once
-    val pairTerms = pairs
+    // ONE movement of the wedge set, at every density: hash-partition
+    // it by (u, w) once, then compute k as a count window over the
+    // co-partitioned data (no join, no second table, no broadcast —
+    // a broadcast join-back wins only while the k >= 2 pair table is
+    // small, and dense or hub-heavy graphs, where butterfly counting
+    // is hardest, are exactly where it is not). Both consumer branches
+    // below share the identical exchange+window prefix, so exchange
+    // reuse collapses them onto a single shuffle and a single
+    // enumeration run.
+    val wd = wedges(edges, aCol, bCol).repartition(col("u"), col("w"))
+    // count(v), not count(*): v is a non-null wedge column so k is the
+    // same count, but referencing it makes v an input OF THE WINDOW —
+    // column pruning can then never drop v from one branch's copy of
+    // the exchange (the round-8 shape shuffled the wedge set twice and
+    // enumerated it twice for exactly that reason: the endpoint branch
+    // pruned v, the center branch kept it, and the two structurally
+    // different exchanges defeated reuse).
+    val wdk = wd
+      .withColumn("k", count(col("v")).over(Window.partitionBy("u", "w")))
+      .filter(col("k") >= 2) // k = 1 pairs contribute 0 everywhere
+    // endpoints: C(k,2) butterflies from pair (u, w) contain each once;
+    // the distinct needs no exchange (already clustered by (u, w))
+    val pairTerms = wdk.select(col("u"), col("w"), col("k")).distinct()
       .select(explode(array(col("u"), col("w"))).as("id"),
         expr("k * (k - 1) div 2").as("bf"))
-    // centers: wedge (u, w, v) pairs v with the k-1 other centers; the
-    // inner join also drops wedges of k = 1 pairs (zero contribution)
-    val centerTerms = wd.join(pairs, Seq("u", "w"))
-      .select(col("v").as("id"), (col("k") - 1).as("bf"))
+    // centers: wedge (u, w, v) pairs v with the k-1 other centers
+    val centerTerms = wdk.select(col("v").as("id"), (col("k") - 1).as("bf"))
     pairTerms.union(centerTerms)
       .groupBy("id").agg(sum("bf").as("butterflies"))
       .filter(col("butterflies") > 0)

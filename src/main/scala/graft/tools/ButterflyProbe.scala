@@ -50,12 +50,57 @@ object ButterflyProbe {
         .select("l_orderkey", "l_partkey").distinct()
       d.union(d).count()
     }
-    val edges = Tables.load(spark, src, "lineitem")
-      .join(Tables.load(spark, src, "orders"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
+    // optional second arg: hub-fixture scale (GraphStress's shape) for
+    // an on-box A/B of attribution shapes at stress volume
+    val stressScale = if (args.length > 1) args(1).toInt else 0
+    val edges = {
+      val base0 = Tables.load(spark, src, "lineitem")
+        .join(Tables.load(spark, src, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      if (stressScale <= 0)
+        base0.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      else {
+        val base = base0.distinct()
+          .filter(pmod(xxhash64(col("c"), col("s")), lit(10)) === 0)
+        val mx = base.agg(max(col("s")), max(col("c"))).head
+        val (sStride, hubBase) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
+        val tail = base.crossJoin(
+            broadcast(spark.range(stressScale).toDF("rep")))
+          .select(col("c"), (col("s") + col("rep") * lit(sStride)).as("s"))
+        val hubs = tail.select(col("s")).distinct()
+          .crossJoin(broadcast(spark.range(10).toDF("h")))
+          .select((col("h") + lit(hubBase)).as("c"), col("s"))
+        tail.union(hubs)
+          .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
+      }
+    }
+    // the round-8 attribution shape (window WITHOUT the shared
+    // repartition / count(v) reuse parity), for on-box comparison
+    def oldShape(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val wdo = Butterfly.wedges(e, "src", "dst")
+        .withColumn("k", count(lit(1)).over(Window.partitionBy("u", "w")))
+      val pairTerms = wdo.select(col("u"), col("w"), col("k")).distinct()
+        .select(explode(array(col("u"), col("w"))).as("id"),
+          expr("k * (k - 1) div 2").as("bf"))
+      val centerTerms = wdo.select(col("v").as("id"), (col("k") - 1).as("bf"))
+      pairTerms.union(centerTerms)
+        .groupBy("id").agg(sum("bf").as("butterflies"))
+        .filter(col("butterflies") > 0)
+    }
     spark.range(1000000).selectExpr("sum(id)").collect()
+    if (stressScale > 0) {
+      val e = edges.cache()
+      stage("stress_edges")(e.count())
+      stage("old_shape_cold")(oldShape(e).count())
+      stage("old_shape_warm")(oldShape(e).count())
+      stage("new_shape_cold")(Butterfly.perVertexCounts(e, "src", "dst").count())
+      stage("new_shape_warm")(Butterfly.perVertexCounts(e, "src", "dst").count())
+      e.unpersist()
+      spark.stop()
+      return
+    }
     stage("wedges")(Butterfly.wedges(edges, "src", "dst").count())
     stage("pairs_k2")(Butterfly.wedges(edges, "src", "dst")
       .groupBy("u", "w").agg(count(lit(1)).as("k"))

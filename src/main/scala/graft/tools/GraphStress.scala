@@ -81,6 +81,33 @@ object GraphStress {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // shuffle-write bytes per stage-block (VERDICT r8 #6): the stress
+    // table must show vp SHUFFLE growing ~linearly with edges, not just
+    // wedge counts — shuffle is the number that grows 1000x at 100 TB
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    def settledShuffle(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
+      }
+      cur
+    }
+    def timedWithShuffle[A](f: => A): (A, Double, Double) = {
+      val b = settledShuffle()
+      val (r, sec) = timed(f)
+      (r, sec, (settledShuffle() - b) / 1e6)
+    }
+
     val lines = scales.map { k =>
       val e = scaled(k).cache()
       val nEdges = e.count()
@@ -93,8 +120,8 @@ object GraphStress {
         (col("s") * 2 + 1).as("dst"))
       val (vpWedges, wedgeSec) =
         timed(Butterfly.wedges(enc, "src", "dst").count())
-      val (nVerts, vpSec) =
-        timed(Butterfly.perVertexCounts(enc, "src", "dst").count())
+      val (nVerts, vpSec, vpShuffleMb) =
+        timedWithShuffle(Butterfly.perVertexCounts(enc, "src", "dst").count())
       val und = enc.union(enc.select(col("dst").as("src"),
         col("src").as("dst")))
       val (_, prSec) = timed(PageRank.run(und, 3).count())
@@ -103,9 +130,11 @@ object GraphStress {
       println(f"[graphstress] scale=$k edges=$nEdges " +
         f"naive_wedges=$naiveWedges vp_wedges=$vpWedges " +
         f"wedge_sec=$wedgeSec%.1f vp_sec=$vpSec%.1f " +
+        f"vp_shuffle_mb=$vpShuffleMb%.1f " +
         f"bf_verts=$nVerts pagerank_sec=$prSec%.1f lpa_sec=$lpaSec%.1f")
       s"""{"scale":$k,"edges":$nEdges,"naive_wedges":$naiveWedges,""" +
-        s""""vp_wedges":$vpWedges,"vp_sec":$vpSec,"bf_verts":$nVerts,""" +
+        s""""vp_wedges":$vpWedges,"vp_sec":$vpSec,""" +
+        f""""vp_shuffle_mb":$vpShuffleMb%.1f,"bf_verts":$nVerts,""" +
         s""""pagerank_sec":$prSec,"lpa_sec":$lpaSec}"""
     }
     println(s"""{"metric":"graphstress","scales":[${lines.mkString(",")}]}""")
