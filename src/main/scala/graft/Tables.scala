@@ -69,18 +69,20 @@ object Tables {
   private val PlausibleMicrosLo = -3786825600000000L
   private val PlausibleMicrosHi = 7258118400000000L
 
-  /** Convert a raw int64 epoch column to [[TimestampType]], choosing the
-    * unit (seconds / millis / micros / nanos) from the column's observed
-    * magnitude. The unit bands are 1000× apart, so any column whose rows
-    * live in one band is unambiguous; a column whose best-guess unit
-    * still lands outside [1850, 2200] fails LOUDLY instead of silently
-    * shifting every timestamp 1000× (the round-7 lesson: testdata
-    * encodings drift where you least expect them — ADVICE r8 asked for
-    * exactly this guard, since a plain `div 1000` would misread a future
-    * int64-micros or int64-millis vintage). */
-  private[graft] def longEpochToTimestamp(name: String, minV: Long,
-      maxV: Long, source: String): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
+  /** Choose the epoch unit (seconds / millis / micros / nanos) for an
+    * int64 timestamp column from its observed min/max magnitude. The
+    * unit bands are 1000× apart, so any column whose rows live in one
+    * band is unambiguous (near-epoch data — roughly 1966..1974 — is the
+    * only inherently ambiguous window, where a nanos value is
+    * magnitude-identical to a micros value of a later instant); a
+    * column whose best-guess unit still lands outside [1850, 2200]
+    * fails LOUDLY instead of silently shifting every timestamp 1000×
+    * (the round-7 lesson: testdata encodings drift where you least
+    * expect them — ADVICE r8 asked for exactly this guard, since a
+    * plain `div 1000` would misread a future int64-micros or
+    * int64-millis vintage). Pure; property-pinned in TablesSpec. */
+  private[graft] def sniffEpochUnit(minV: Long, maxV: Long,
+      name: String, source: String): String = {
     val m = math.max(math.abs(minV), math.abs(maxV))
     val unit =
       if (m < 100000000000L) "seconds"            // |v| < 1e11
@@ -99,8 +101,16 @@ object Tables {
           s"epoch timestamp in any unit (best guess `$unit` lands outside " +
           "1850..2200); refusing to guess rather than silently shifting " +
           "every timestamp")
+    unit
+  }
+
+  /** Convert a raw int64 epoch column to [[TimestampType]] using the
+    * [[sniffEpochUnit]] unit choice. */
+  private[graft] def longEpochToTimestamp(name: String, minV: Long,
+      maxV: Long, source: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr, lit, timestamp_micros}
     val c = col(s"`$name`")
-    unit match {
+    sniffEpochUnit(minV, maxV, name, source) match {
       case "seconds" => timestamp_micros(c * lit(1000000L))
       case "millis"  => timestamp_micros(c * lit(1000L))
       case "micros"  => timestamp_micros(c)

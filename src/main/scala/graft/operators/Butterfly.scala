@@ -138,19 +138,24 @@ object Butterfly {
     // reuse collapses them onto a single shuffle and a single
     // enumeration run.
     val wd = wedges(edges, aCol, bCol).repartition(col("u"), col("w"))
-    // count(v), not count(*): v is a non-null wedge column so k is the
-    // same count, but referencing it makes v an input OF THE WINDOW —
-    // column pruning can then never drop v from one branch's copy of
-    // the exchange (the round-8 shape shuffled the wedge set twice and
-    // enumerated it twice for exactly that reason: the endpoint branch
-    // pruned v, the center branch kept it, and the two structurally
-    // different exchanges defeated reuse).
+    // The row_number ordered by v is load-bearing twice over: it marks
+    // one representative wedge per (u, w) pair (replacing a distinct),
+    // and — because its sort key is v — it forces v to stay in the
+    // endpoint branch's copy of the exchange. Without a live v
+    // reference there, column pruning drops v from that branch (a
+    // count(v) doesn't survive either: the optimizer rewrites count of
+    // a non-nullable column to count(1)), the two consumers' exchanges
+    // become structurally different, exchange reuse is defeated, and
+    // the wedge set shuffles — and enumerates — twice, which was
+    // round 8's 275 MB / 14.6 s defect. ButterflySpec pins the
+    // one-reused-exchange plan shape.
+    val byPair = Window.partitionBy("u", "w")
     val wdk = wd
-      .withColumn("k", count(col("v")).over(Window.partitionBy("u", "w")))
+      .withColumn("k", count(lit(1)).over(byPair))
+      .withColumn("rn", row_number().over(byPair.orderBy("v")))
       .filter(col("k") >= 2) // k = 1 pairs contribute 0 everywhere
-    // endpoints: C(k,2) butterflies from pair (u, w) contain each once;
-    // the distinct needs no exchange (already clustered by (u, w))
-    val pairTerms = wdk.select(col("u"), col("w"), col("k")).distinct()
+    // endpoints: C(k,2) butterflies from pair (u, w) contain each once
+    val pairTerms = wdk.filter(col("rn") === 1)
       .select(explode(array(col("u"), col("w"))).as("id"),
         expr("k * (k - 1) div 2").as("bf"))
     // centers: wedge (u, w, v) pairs v with the k-1 other centers

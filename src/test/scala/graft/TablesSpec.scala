@@ -111,6 +111,27 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("sniffEpochUnit recovers the unit for any instant outside the near-epoch window") {
+    // sweep 1900..2100 (skipping ~1966..1974 — the only window where a
+    // nanos magnitude is indistinguishable from a later micros instant)
+    // in every unit: the band choice must round-trip the unit exactly
+    for (year <- (1900 to 1965) ++ (1975 to 2100); month <- Seq(1, 7)) {
+      val sec = java.time.LocalDateTime.of(year, month, 15, 12, 34, 56)
+        .toEpochSecond(java.time.ZoneOffset.UTC)
+      def sniff(v: Long) = Tables.sniffEpochUnit(v, v, "ts", s"y$year")
+      assert(sniff(sec) == "seconds", s"$year-$month seconds")
+      assert(sniff(sec * 1000L) == "millis", s"$year-$month millis")
+      assert(sniff(sec * 1000000L) == "micros", s"$year-$month micros")
+      assert(sniff(sec * 1000000000L) == "nanos", s"$year-$month nanos")
+    }
+    // a mixed-magnitude column (max picks the nanos band, min converts
+    // to year 1716 under it) fails loudly
+    intercept[IllegalStateException] {
+      Tables.sniffEpochUnit(-8000000000000000000L, 1704067200000000000L,
+        "ts", "mixed")
+    }
+  }
+
   test("an implausible int64 ts column fails loudly, never silently shifts") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ts-implausible-").toString
