@@ -48,6 +48,15 @@ object Tables {
     // adapts to whatever physical encoding the footer declares instead
     // of hard-coding one.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // timestamp[us] with isAdjustedToUTC=false surfaces as TimestampType
+    // straight from the reader instead of TimestampNTZType: with the
+    // session pinned to UTC the instants are identical, but a reader-
+    // level type (unlike [[normalizeTs]]'s cast-on-top, which this
+    // makes a no-op safety net) keeps comparison filters on timestamp
+    // columns eligible for parquet pushdown — a cast above the scan
+    // disqualifies them, which costs nothing at test SF and a full
+    // unpruned column scan at 100 TB.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark
   }
 
