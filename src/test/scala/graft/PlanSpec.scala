@@ -37,6 +37,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("GreaterThanOrEqual(l_quantity,45.0)"), p)
   }
 
+  test("timestamp filters reach the parquet scan (no NTZ cast above it)") {
+    // the files store timestamp[us] with isAdjustedToUTC=false; read as
+    // TimestampNTZ plus a cast-to-timestamp (the pre-round-9 loader),
+    // a comparison filter sits ABOVE the cast and never pushes down —
+    // free at test SF, a full unpruned column scan at 100 TB. The
+    // reader-level type (inferTimestampNTZ=false in pinDialect) keeps
+    // the filter eligible; this gate fails if the cast ever comes back.
+    import org.apache.spark.sql.functions._
+    val p = Tables.load(spark, sfDir, "events")
+      .filter(col("ts") >= lit("2024-03-01").cast("timestamp"))
+      .select("event_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
+  }
+
   test("rel_filter_project prunes the scan to referenced columns only") {
     val p = plan("rel_filter_project")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
