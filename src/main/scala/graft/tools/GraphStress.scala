@@ -76,6 +76,11 @@ object GraphStress {
     }
 
     def timed[A](f: => A): (A, Double) = {
+      // explicit GC first: at multi-GB shuffle volumes the JVM's
+      // accumulated heap debt dominates run-to-run variance (52.6 vs
+      // 98 s observed for an identical plan) — same discipline as the
+      // bench canary
+      System.gc()
       val t0 = System.nanoTime()
       val r = f
       (r, (System.nanoTime() - t0) / 1e9)

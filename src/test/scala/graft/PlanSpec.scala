@@ -52,6 +52,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
   }
 
+  test("the PQ chain evaluates subspace distances via the codegen kernel") {
+    // the encode and ADC stages run the distance candidates × codes
+    // times; as interpreted higher-order functions they made the PQ
+    // queries compute-bound (11.9 s warm at sf0.1 in round 8). The
+    // fused SubspaceL2 expression must stay in the plan — this fails
+    // if anyone rewrites the l2 helper back to aggregate(transform(...)
+    val p = plan("td_ann_pq")
+    assert(p.contains("graft_subspace_l2"), p.take(4000))
+  }
+
   test("rel_filter_project prunes the scan to referenced columns only") {
     val p = plan("rel_filter_project")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
