@@ -145,6 +145,22 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("refusing to guess"))
   }
 
+  test("a streaming int64 ts frame without a batch stats side fails loudly") {
+    // the unit sniff needs an aggregate, which a streaming frame cannot
+    // run — calling normalizeTs on one without a stats side must be an
+    // immediate, explicit error, not a silently-guessed unit
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ts-nostats-").toString
+    Seq((1L, 1704067200000000000L)).toDF("event_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val e = intercept[RuntimeException] {
+      Tables.normalizeTs(
+        spark.readStream.schema(raw.schema).parquet(s"$dir/{events.parquet}"))
+    }
+    assert(e.getMessage.contains("needs a batch stats side"))
+  }
+
   test("normalization is not gated on the table NAME, and streams too") {
     import spark.implicits._
     // round 7's drift hit `events` — the one table the old name gate
