@@ -68,10 +68,29 @@ object Tables {
     l == "ts" || l.endsWith("_ts")
   }
 
-  /** (min, max) per `<path>#<column>`, so the unit sniff runs one tiny
-    * single-column aggregate per table per JVM, not one per query. */
+  /** (min, max) per `<path>@<fingerprint>#<column>`, so the unit sniff
+    * runs one tiny single-column aggregate per table VERSION per JVM,
+    * not one per query. The fingerprint (file count + max mtime + total
+    * length, [[pathFingerprint]]) keys out rewrites: a long-lived JVM
+    * whose path is rewritten or whose scale directory grows must re-sniff
+    * against the fresh files, not trust a stale min/max (ADVICE r9). */
   private val tsStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  /** Cheap version stamp for a file or directory of part files: one
+    * driver-side metadata listing (the same listing the parquet reader
+    * does at plan time), never a data read. Unreadable paths stamp "?" —
+    * the subsequent read will surface the real error. */
+  private def pathFingerprint(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      val statuses = if (st.isDirectory) fs.listStatus(p) else Array(st)
+      val mtime = if (statuses.isEmpty) 0L
+        else statuses.map(_.getModificationTime).max
+      s"${statuses.length}:$mtime:${statuses.map(_.getLen).sum}"
+    } catch { case scala.util.control.NonFatal(_) => "?" }
 
   // epoch-micros bounds of the plausible-instant window [1850, 2200] —
   // a converted range landing outside is a mis-sniffed unit, not data
@@ -158,11 +177,28 @@ object Tables {
           def compute: (Long, Long) = {
             val r = statsDf.agg(min(col(s"`${f.name}`")),
               max(col(s"`${f.name}`"))).head
-            if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+            if (r.isNullAt(0)) {
+              // Empty/all-null stats: fine for a BATCH frame (there are
+              // no rows to convert, so the baked unit is never applied),
+              // but FATAL for a streaming frame — its stats side being
+              // empty at setup is a legitimate state for the growing-
+              // directory scale layout, and a (0,0) default would bake
+              // in 'seconds' and silently multiply every later-arriving
+              // nanos/micros value by 1e6 (ADVICE r9). Same loud-failure
+              // contract as the unit sniff itself.
+              if (df.isStreaming) throw new IllegalStateException(
+                s"$source: streaming frame's int64 ts column `${f.name}` " +
+                  "has an empty/all-null batch stats side — cannot sniff " +
+                  "the epoch unit for data that has not arrived yet; " +
+                  "refusing to bake in a default unit")
+              (0L, 0L)
+            } else (r.getLong(0), r.getLong(1))
           }
           val (lo, hi) =
             if (source.isEmpty) compute
-            else tsStatsCache.computeIfAbsent(s"$source#${f.name}", _ => compute)
+            else tsStatsCache.computeIfAbsent(
+              s"$source@${pathFingerprint(df.sparkSession, source)}#${f.name}",
+              _ => compute)
           acc.withColumn(f.name, longEpochToTimestamp(f.name, lo, hi, source))
         case _ => acc
       }

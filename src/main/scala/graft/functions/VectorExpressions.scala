@@ -90,13 +90,18 @@ case class SubspaceL2(first: Expression, second: Expression,
   override def nullSafeEval(a: Any, b: Any, s: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val base = s.asInstanceOf[Int] * subDim
+    // bounds math in LONG: int `s * subDim` can wrap, and a wrapped
+    // base + subDim can overflow negative so the `>` guard passes while
+    // the index is out of bounds — registered as a general SQL function,
+    // s is arbitrary caller input, not just the PQ query's 0..3
+    val base = s.asInstanceOf[Int].toLong * subDim
     if (base < 0 || base + subDim > x.numElements()
         || base + subDim > y.numElements()) return null
+    val b0 = base.toInt // < numElements <= Int.MaxValue after the guard
     var acc = 0.0
     var i = 0
     while (i < subDim) {
-      val d = x.getDouble(base + i) - y.getDouble(base + i)
+      val d = x.getDouble(b0 + i) - y.getDouble(b0 + i)
       acc += d * d
       i += 1
     }
@@ -106,18 +111,21 @@ case class SubspaceL2(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, s) => {
       val base = ctx.freshName("base")
+      val baseI = ctx.freshName("baseI")
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
+      // same long-math guard as nullSafeEval: int s*subDim can wrap
       s"""
-         |int $base = $s * $subDim;
+         |long $base = (long) $s * $subDim;
          |if ($base < 0 || $base + $subDim > $a.numElements()
          |    || $base + $subDim > $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
+         |  int $baseI = (int) $base;
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $subDim; $i++) {
-         |    double $d = $a.getDouble($base + $i) - $b.getDouble($base + $i);
+         |    double $d = $a.getDouble($baseI + $i) - $b.getDouble($baseI + $i);
          |    $acc += $d * $d;
          |  }
          |  ${ev.value} = $acc;

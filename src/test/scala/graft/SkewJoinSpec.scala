@@ -38,8 +38,9 @@ class SkewJoinSpec extends AnyFunSuite with SparkTestSession {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
       // forbid broadcast so the join stays a shuffle SMJ (the skew
       // path): BOTH thresholds — static (estimate-driven) and AQE
-      // (runtime-size-driven, raised to 64m by Tables.pinDialect, which
-      // would otherwise promote this fixture-sized build side)
+      // (runtime-size-driven; it defaults from
+      // spark.sql.autoBroadcastJoinThreshold and would otherwise
+      // promote this fixture-sized build side at runtime)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 

@@ -161,6 +161,53 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(e.getMessage.contains("needs a batch stats side"))
   }
 
+  test("a streaming int64 ts frame with an EMPTY stats side fails loudly") {
+    // a growing-directory stream can legitimately start with an empty
+    // batch side; baking in the (0,0) default would sniff 'seconds' and
+    // silently multiply later-arriving micros/nanos by 1e6 (ADVICE r9)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ts-emptystats-").toString
+    Seq((1L, 1704067200000000000L)).toDF("event_id", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val emptyStats = raw.filter("false")
+    val stream =
+      spark.readStream.schema(raw.schema).parquet(s"$dir/{events.parquet}")
+    val e = intercept[IllegalStateException] {
+      Tables.normalizeTs(stream, stats = Some(emptyStats), source = "empty")
+    }
+    assert(e.getMessage.contains("empty/all-null batch stats side"))
+    // the (0,0) default stays valid for a BATCH frame with no rows:
+    // nothing arrives later, so the baked unit is never applied
+    val batchEmpty = Tables.normalizeTs(raw.filter("false"))
+    assert(batchEmpty.collect().isEmpty)
+  }
+
+  test("rewriting a table re-sniffs the epoch unit (stats cache keys the file version)") {
+    // the per-JVM stats cache must not pin a stale min/max across a
+    // rewrite: a long-lived JVM whose path is replaced with a different
+    // unit vintage must convert the FRESH data correctly (ADVICE r9)
+    import spark.implicits._
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("ts-rewrite-").toString
+    val instant = 1704067200L // 2024-01-01T00:00:00Z
+    Seq((1L, instant)).toDF("event_id", "ts") // seconds vintage
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val first = Tables.load(spark, dir, "events")
+      .select("ts").as[Timestamp].head()
+    // rewrite the same path as a MICROS vintage with more rows (the
+    // fingerprint keys on listing shape, not content)
+    Seq((1L, instant * 1000000L), (2L, instant * 1000000L + 1000000L))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val second = Tables.load(spark, dir, "events")
+      .orderBy("event_id").select("ts").as[Timestamp].collect()
+    assert(first.toInstant.getEpochSecond == instant)
+    assert(second.head.toInstant.getEpochSecond == instant,
+      s"stale cached stats mis-sniffed the rewritten file: ${second.head}")
+    assert(second.length == 2)
+  }
+
   test("normalization is not gated on the table NAME, and streams too") {
     import spark.implicits._
     // round 7's drift hit `events` — the one table the old name gate

@@ -156,6 +156,16 @@ object KernelProps extends Properties("graft.kernels") {
         k.nullSafeEval(full, full, 4) == null)
     }
 
+  property("SubspaceL2 bounds guard survives int overflow in s * subDim") =
+    forAll(Gen.oneOf(1 << 28, Int.MaxValue, Int.MaxValue / 16 + 1)) { s =>
+      // s = 2^28 with subDim 16 wraps the INT product to exactly 0: an
+      // int-math guard passes and reads subspace 0 as a plausible value.
+      // The long-math guard (ADVICE r9) must yield null for every huge s.
+      val full = new GenericArrayData(Array.fill(64)(1.0))
+      Prop(SubspaceL2(dummy, dummy, dummy, 16)
+        .nullSafeEval(full, full, s) == null)
+    }
+
   private val textGen: Gen[String] = Gen.oneOf(
     Gen.const(""), Gen.const("a"), Gen.const("café au lait"),
     Gen.const("日本語テキスト"), Gen.const("mixed café 日本 𝔘nicode"),

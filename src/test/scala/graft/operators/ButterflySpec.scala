@@ -96,10 +96,12 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
     // the scale property VERDICT r8 graded weak: the round-8 shape let
     // column pruning drop v from one branch's copy of the (u,w)
     // exchange, the structurally-different exchanges defeated reuse,
-    // and the wedge set shuffled (and enumerated) twice. count(v)
-    // inside the window pins v below it in both branches; this gate
-    // fails if anyone "simplifies" it back to count(*). AQE off so the
-    // static plan shows ReusedExchange directly.
+    // and the wedge set shuffled (and enumerated) twice. The pin is the
+    // row_number() window ORDERED BY v: its sort key keeps a live v
+    // reference in the endpoint branch (count(v) does NOT survive — the
+    // optimizer rewrites count of a non-nullable column to count(1)).
+    // This gate fails if anyone drops the rn window or its v ordering.
+    // AQE off so the static plan shows ReusedExchange directly.
     import spark.implicits._
     val saved = spark.conf.get("spark.sql.adaptive.enabled")
     try {
