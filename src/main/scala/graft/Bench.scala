@@ -1,8 +1,40 @@
 package graft
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Shuffle-write bytes attributed to the JOB GROUP owning each task's
+  * stage, so per-query deltas stop bleeding across neighbors: listener
+  * events arrive asynchronously, and with one global counter a heavy
+  * query's late task events landed in the NEXT query's delta (VERDICT
+  * r9 #2: rel_graph_butterfly read 128 MB in-sweep vs 85 MB
+  * single-query). Job start events map stage ids to the group the
+  * driver thread set via `setJobGroup`; task-end events then bill their
+  * stage's group — late events still bill the RIGHT query, whenever
+  * they arrive. Tasks outside any group (warm-up, canary) bill "".
+  * Pinned in GroupedShuffleSpec. */
+private[graft] class GroupedShuffleListener extends SparkListener {
+  private val stageGroup = new ConcurrentHashMap[Int, String]()
+  private val bytes = new ConcurrentHashMap[String, LongAdder]()
+
+  override def onJobStart(e: SparkListenerJobStart): Unit = {
+    val g = Option(e.properties)
+      .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+    e.stageIds.foreach(sid => stageGroup.put(sid, g))
+  }
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null)
+      bytes.computeIfAbsent(stageGroup.getOrDefault(e.stageId, ""),
+        _ => new LongAdder).add(m.shuffleWriteMetrics.bytesWritten)
+  }
+
+  def bytesFor(group: String): Long =
+    Option(bytes.get(group)).map(_.sum()).getOrElse(0L)
+}
 
 /** Driver-run benchmark: times every registry query at the given SF and
   * prints one JSON line. Queries run in sorted name order after a session
@@ -19,23 +51,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.pinDialect(spark)
-    // cumulative shuffle write bytes across all tasks — per-query deltas
-    // quantify the shuffle story (the number that grows 1000× at 100 TB)
-    // instead of guessing it from plans
-    val shuffleBytes = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val m = e.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    })
-    // listener events are async: wait until the counter is quiescent
-    def settledShuffleBytes(): Long = {
+    // per-job-group shuffle write bytes — per-query deltas quantify the
+    // shuffle story (the number that grows 1000× at 100 TB) instead of
+    // guessing it from plans, and group scoping keeps each delta honest
+    val shuffleListener = new GroupedShuffleListener
+    spark.sparkContext.addSparkListener(shuffleListener)
+    // listener events are async: wait until the group's counter is
+    // quiescent (late events for OTHER groups can keep arriving — they
+    // no longer matter to this group's number)
+    def settledShuffleBytes(group: String): Long = {
       var prev = -1L
-      var cur = shuffleBytes.get()
+      var cur = shuffleListener.bytesFor(group)
       var spins = 0
       while (cur != prev && spins < 40) {
-        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
+        Thread.sleep(25); prev = cur
+        cur = shuffleListener.bytesFor(group); spins += 1
       }
       cur
     }
@@ -114,18 +144,25 @@ object Bench {
     var canaryMid = 0.0
     val results = sorted.zipWithIndex.map { case ((name, fn), i) =>
       if (i == sorted.size / 2) canaryMid = canaryProbe()
-      val cold = timed(fn)
-      val before = settledShuffleBytes()
-      val warm0 = if (cold.isRight) timed(fn) else cold
-      val warmShuffleMb = (settledShuffleBytes() - before) / 1e6
-      // per-query warm gets the canary's GC discipline (VERDICT r8 #3):
-      // a warm run slower than 1.5x its own cold is almost always the
-      // bench JVM's accumulated heap aging, not the plan — re-measure
-      // once after an explicit GC and keep the min, so warm numbers are
-      // usable for round-over-round regression gating. A genuinely
-      // regressed query stays slow on the re-run and is reported as is.
-      val warm = Bench.settledWarm(cold, warm0, () => { System.gc(); timed(fn) })
-      (name, cold, warm, warmShuffleMb)
+      // every action of this query (cold, warm, settledWarm's re-run)
+      // runs under its own job group so the listener attributes shuffle
+      // to THIS query even when its task-end events arrive late
+      val group = s"bench:$name"
+      spark.sparkContext.setJobGroup(group, name)
+      try {
+        val cold = timed(fn)
+        val before = settledShuffleBytes(group)
+        val warm0 = if (cold.isRight) timed(fn) else cold
+        val warmShuffleMb = (settledShuffleBytes(group) - before) / 1e6
+        // per-query warm gets the canary's GC discipline (VERDICT r8 #3):
+        // a warm run slower than 1.5x its own cold is almost always the
+        // bench JVM's accumulated heap aging, not the plan — re-measure
+        // once after an explicit GC and keep the min, so warm numbers are
+        // usable for round-over-round regression gating. A genuinely
+        // regressed query stays slow on the re-run and is reported as is.
+        val warm = Bench.settledWarm(cold, warm0, () => { System.gc(); timed(fn) })
+        (name, cold, warm, warmShuffleMb)
+      } finally spark.sparkContext.clearJobGroup()
     }
     val canaryEnd = canaryProbe()
     val (full, compact) =
@@ -140,15 +177,43 @@ object Bench {
     // reason).
     println(full)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case scala.util.control.NonFatal(_) => () } // detail file is best-effort
+    // bench_full.json is overwritten every round, which made cross-round
+    // per-query diffing lossy (VERDICT r9 #4) — ALSO write a
+    // round-stamped copy next to the driver's BENCH_r{N}.json artifacts
+    // (round inferred from the highest existing one; no clock involved)
+    val stamped = Bench.roundStampedPath(outPath,
+      new java.io.File(".").listFiles() match {
+        case null => Nil
+        case fs => fs.map(_.getName).toSeq
+      })
+    (outPath +: stamped.toSeq).foreach { p =>
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+    }
     spark.stop()
     println(compact)
   }
 
   type Res = (String, Either[String, Double], Either[String, Double], Double)
+
+  /** Round-stamped sibling of the detail file: the CURRENT round is the
+    * one the driver is measuring now, i.e. highest existing
+    * `BENCH_r{N}.json` + 1 (the driver writes its record AFTER running
+    * this bench). None when no BENCH_r files exist (ad-hoc run outside
+    * the repo root — the plain detail file still lands). Pure;
+    * pinned in BenchSpec. */
+  private[graft] def roundStampedPath(outPath: String,
+      cwdFiles: Seq[String]): Option[String] = {
+    val r = raw"BENCH_r(\d+)\.json".r
+    val rounds = cwdFiles.collect { case r(n) => n.toInt }
+    if (rounds.isEmpty) None
+    else {
+      val base = outPath.stripSuffix(".json")
+      Some(f"${base}_r${rounds.max + 1}%02d.json")
+    }
+  }
 
   /** Heap-aging guard for per-query warm timings: when the first warm
     * run exceeds 1.5× its own cold (r8 evidence: rel_pivot 1.44 → 6.97 s

@@ -164,7 +164,12 @@ object GraphQueries {
     // (operators/Butterfly.scala — each wedge generated only from its
     // priority-max endpoint, so hub-degree² wedge volume never
     // materializes; see the operator Scaladoc for the exactness
-    // argument). The DuckDB oracle is the INDEPENDENT naive pair
+    // argument). Attribution is adaptive: on this graph the probe
+    // proves the k ≥ 2 pair table tiny (0.5M pairs vs 12.5M wedges at
+    // sf0.1), so the wedge set joins a BROADCAST pair table and is
+    // never hash-partitioned; dense graphs fall back to the windowed
+    // single-exchange shape (both regimes plan-gated in ButterflySpec).
+    // The DuckDB oracle is the INDEPENDENT naive pair
     // computation — at sf scale the quadratic oracle is cheap, and a
     // hash match proves the priority attribution is exact, not
     // approximate. Output drops n_partners: per-pair structure is

@@ -45,6 +45,7 @@ import org.apache.spark.sql.functions._
 object GraphStress {
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("dense")) { denseMain(args.drop(1)); return }
     val scales = args.headOption.getOrElse("1,10,50").split(",").map(_.toInt)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -143,6 +144,98 @@ object GraphStress {
         s""""pagerank_sec":$prSec,"lpa_sec":$lpaSec}"""
     }
     println(s"""{"metric":"graphstress","scales":[${lines.mkString(",")}]}""")
+    spark.stop()
+  }
+
+  /** Dense-regime A/B (VERDICT r9 #2): the evidence the adaptive
+    * attribution's regime switch rests on. The hub fixture above always
+    * has a SMALL k ≥ 2 pair table (hubs funnel every wedge through 10
+    * vertices), so it can never show the broadcast variant collapsing —
+    * this fixture is its opposite: a union of `blocks` disjoint K(8,8)
+    * bicliques. Every same-side pair inside a block shares all 8
+    * opposite vertices (k = 8), so the pair table holds
+    * 2·C(8,2)·blocks = 56·blocks rows — the SAME order as the ~112·
+    * blocks priority-pruned wedges. At the default 200k blocks that is
+    * 11.2M pairs: over the broadcast limit, and the dominated-edge
+    * bound (≈ 7·E/2 = 44.8M) is over the probe bound, so
+    * `perVertexCounts` must route to the windowed shape WITHOUT paying
+    * an enumeration probe. The A/B then forces the broadcast shape via
+    * its confs and measures the collapse directly.
+    *
+    * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.GraphStress dense" }}}
+    */
+  private def denseMain(args: Array[String]): Unit = {
+    import graft.operators.Butterfly
+    val blocks = args.headOption.map(_.toInt).getOrElse(200000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.pinDialect(Tables.localSession("graft-densestress", cpus))
+
+    // block i: A-side ids (i*8+j)*2, B-side ids (i*8+j)*2+1 — all 64
+    // (a, b) pairs per block; ids stay packable (< 2^31 for <= ~10M
+    // blocks) so the A/B isolates the ATTRIBUTION shapes, not encodings
+    val e = spark.range(blocks.toLong * 64)
+      .selectExpr(
+        "((id div 64) * 8 + (id % 64) div 8) * 2 AS src",
+        "((id div 64) * 8 + (id % 64) % 8) * 2 + 1 AS dst")
+      .cache()
+    val nEdges = e.count()
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = ev.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    def settled(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
+      }
+      cur
+    }
+    def timedShuffle[A](f: => A): (A, Double, Double) = {
+      System.gc()
+      val b = settled(); val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      (r, sec, (settled() - b) / 1e6)
+    }
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // adaptive default: tier-1 bound must already pick windowed here
+    val (nAdaptive, adSec, adMb) =
+      timedShuffle(Butterfly.perVertexCounts(e, "src", "dst").count())
+    val (_, adWarmSec, adWarmMb) =
+      timedShuffle(Butterfly.perVertexCounts(e, "src", "dst").count())
+    // forced broadcast: lift both tiers so the probe materializes and
+    // broadcasts the wedge-sized pair table — the measured collapse
+    spark.conf.set(Butterfly.ProbePairBoundConf, "1000000000000")
+    spark.conf.set(Butterfly.BroadcastPairLimitConf, "1000000000000")
+    val (nForced, bcSec, bcMb) =
+      try timedShuffle(Butterfly.perVertexCounts(e, "src", "dst").count())
+      finally {
+        spark.conf.unset(Butterfly.ProbePairBoundConf)
+        spark.conf.unset(Butterfly.BroadcastPairLimitConf)
+      }
+    require(nForced == nAdaptive,
+      s"regime results diverged: $nAdaptive adaptive vs $nForced forced")
+    // every vertex is in C(8,2)·C(8,2)… butterflies: blocks*16 vertices
+    require(nAdaptive == blocks.toLong * 16,
+      s"expected ${blocks.toLong * 16} counted vertices, got $nAdaptive")
+    println(f"[densestress] blocks=$blocks edges=$nEdges " +
+      f"adaptive_windowed_cold=$adSec%.1f s/${adMb}%.1f MB " +
+      f"warm=$adWarmSec%.1f s/${adWarmMb}%.1f MB " +
+      f"forced_broadcast=$bcSec%.1f s/${bcMb}%.1f MB")
+    println(s"""{"metric":"densestress","blocks":$blocks,""" +
+      f""""edges":$nEdges,"adaptive_windowed_cold_sec":$adSec%.1f,""" +
+      f""""adaptive_windowed_warm_sec":$adWarmSec%.1f,""" +
+      f""""adaptive_windowed_warm_mb":$adWarmMb%.1f,""" +
+      f""""forced_broadcast_sec":$bcSec%.1f,"forced_broadcast_mb":$bcMb%.1f}""")
     spark.stop()
   }
 }

@@ -86,4 +86,20 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.settledWarm(boom, boom, rerun) === boom)
     assert(reran === 2)
   }
+
+  // VERDICT r9 #6: bench_full.json is overwritten each round, so
+  // cross-round per-query diffing was lossy; the detail line also lands
+  // in a round-stamped sibling inferred from the driver's artifacts.
+  test("detail file gets a round-stamped sibling named from BENCH_r artifacts") {
+    val files = Seq("BENCH_r01.json", "BENCH_r09.json", "CORRECTNESS_r09.json",
+      "bench_full.json", "notes.txt")
+    assert(Bench.roundStampedPath("bench_full.json", files)
+      === Some("bench_full_r10.json"))
+    // no driver artifacts (ad-hoc run outside the repo root) -> no stamp
+    assert(Bench.roundStampedPath("bench_full.json", Seq("whatever.json"))
+      === None)
+    // custom SPARK_GRAFT_BENCH_OUT paths stamp the same way
+    assert(Bench.roundStampedPath("/tmp/out.json", Seq("BENCH_r04.json"))
+      === Some("/tmp/out_r05.json"))
+  }
 }

@@ -19,6 +19,21 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Same computation through the dense-regime windowed shape (probe
+    * disabled), so every correctness fixture can pin BOTH regimes. */
+  private def countsWindowed(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    withConf(Butterfly.ProbePairBoundConf, "0") { counts(edges) }
+
   /** Naive oracle: for every same-side pair, C(|common neighbours|, 2)
     * butterflies attributed to both pair members. */
   private def naive(edges: Seq[(Long, Long)]): Map[Long, Long] = {
@@ -68,6 +83,45 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
     assert(counts(edges) == expected)
   }
 
+  test("broadcast and windowed attribution regimes agree with the oracle") {
+    val rnd = new scala.util.Random(9)
+    val edges = for {
+      a <- 1L to 35L; b <- 101L to 128L if rnd.nextDouble() < 0.2
+    } yield a -> b
+    val expected = naive(edges)
+    assert(expected.nonEmpty, "fixture should contain butterflies")
+    assert(counts(edges) == expected, "broadcast regime")
+    assert(countsWindowed(edges) == expected, "windowed regime")
+  }
+
+  test("ids past the packable range use the struct priority and stay exact") {
+    // ids ≥ 2^31 cannot ride the packed single-long priority — a silent
+    // wrap would scramble the ≻ order and miscount; the range check must
+    // route them through the struct encoding with identical results
+    val off = 3000000000L // > 2^31
+    val rnd = new scala.util.Random(13)
+    val edges = for {
+      a <- 1L to 30L; b <- 101L to 125L if rnd.nextDouble() < 0.2
+    } yield (a + off) -> (b + off)
+    val expected = naive(edges)
+    assert(expected.nonEmpty, "fixture should contain butterflies")
+    assert(counts(edges) == expected)
+    import spark.implicits._
+    val plan = Butterfly.wedges(edges.toDF("a", "b"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("shiftleft"),
+      s"out-of-range ids must not take the packed priority:\n${plan.take(2000)}")
+  }
+
+  test("in-range ids ride the packed single-long priority") {
+    import spark.implicits._
+    val edges = Seq(1L -> 101L, 1L -> 102L, 2L -> 101L, 2L -> 102L)
+    val plan = Butterfly.wedges(edges.toDF("a", "b"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("shiftleft"),
+      s"packable ids should use the 8-byte packed priority:\n${plan.take(2000)}")
+  }
+
   test("globalCount equals the naive total; null on butterfly-free graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
@@ -92,7 +146,7 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
     assert(wedgyNoButterfly.length == 1 && wedgyNoButterfly(0).isNullAt(0))
   }
 
-  test("per-vertex attribution moves the wedge set through ONE reused exchange") {
+  test("windowed regime moves the wedge set through ONE reused exchange") {
     // the scale property VERDICT r8 graded weak: the round-8 shape let
     // column pruning drop v from one branch's copy of the (u,w)
     // exchange, the structurally-different exchanges defeated reuse,
@@ -108,8 +162,9 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val edges = (for { a <- 1L to 20L; b <- 101L to 115L
         if (a * 7 + b) % 3 != 0 } yield (a, b)).toDF("a", "b")
-      val p = Butterfly.perVertexCounts(edges)
-        .queryExecution.executedPlan.toString
+      val p = withConf(Butterfly.ProbePairBoundConf, "0") {
+        Butterfly.perVertexCounts(edges)
+      }.queryExecution.executedPlan.toString
       val wedgeExchanges = p.linesIterator.count(l =>
         l.contains("Exchange hashpartitioning(u") &&
           !l.contains("ReusedExchange"))
@@ -117,6 +172,35 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
         s"wedge set must shuffle exactly once, found $wedgeExchanges:\n$p")
       assert(p.contains("ReusedExchange"),
         s"the second consumer branch must reuse the wedge exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("broadcast regime never hash-partitions the wedge set") {
+    // the adaptive path's point: when the probe proves the pair table
+    // small, the wedge set is joined map-side against the broadcast
+    // pair table and NEVER shuffled by (u, w); the pair table itself is
+    // served from the probe's cache (InMemoryTableScan), not re-agged
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val edges = (for { a <- 1L to 20L; b <- 101L to 115L
+        if (a * 7 + b) % 3 != 0 } yield (a, b)).toDF("a", "b")
+      val df = Butterfly.perVertexCounts(edges)
+      val p = df.queryExecution.executedPlan.toString
+      // the windowed shape's wedge movement is the REPARTITION_BY_COL
+      // (u, w) exchange + count window — neither may appear live here.
+      // (An ENSURE_REQUIREMENTS (u, w) exchange still shows inside the
+      // InMemoryRelation provenance text: that is the probe's already-
+      // materialized cache plan, not something this query re-executes.)
+      assert(!p.contains("REPARTITION_BY_COL"),
+        s"broadcast regime must not repartition the wedge set by (u, w):\n$p")
+      assert(!p.contains("Window"),
+        s"broadcast regime must not use the count window:\n$p")
+      assert(p.contains("BroadcastHashJoin [u"),
+        s"centers must join the broadcast pair table:\n$p")
+      assert(p.contains("InMemoryTableScan"),
+        s"the pair table must come from the probe's cache:\n$p")
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
