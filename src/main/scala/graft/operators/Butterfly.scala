@@ -61,11 +61,12 @@ import org.apache.spark.storage.StorageLevel
   *     dense regime out WITHOUT enumerating: bound over
   *     `spark.graft.butterfly.probePairBound` (default 16M, 0 forces
   *     the windowed shape) → windowed, no probe cost;
-  *  2. otherwise the pair table is computed ONCE, persisted, and
-  *     counted — a bounded materialization, and the SAME cached table
-  *     feeds the final plan (Spark's cache manager matches the
+  *  2. otherwise the wedge set AND its pair table are computed ONCE,
+  *     persisted (both provably sized by the tier-1 bound BEFORE
+  *     anything is enumerated), and the pairs counted; the SAME cached
+  *     tables feed the final plan (Spark's cache manager matches the
   *     canonicalized plan across rebuilds of the same query, so warm
-  *     builds skip the probe's enumeration entirely). Under
+  *     builds run zero enumeration). Under
   *     `spark.graft.butterfly.broadcastPairLimit` rows (default 4M,
   *     ~100 MB broadcast) → broadcast join-back; over → unpersist and
   *     fall back to the windowed single-exchange shape.
@@ -77,9 +78,12 @@ import org.apache.spark.storage.StorageLevel
 object Butterfly {
 
   /** Probe tier: run the exact pair-count probe only when the cheap
-    * dominated-edge bound proves the pair table under this many rows
-    * (the probe persists the pair table, so its worst case must stay
-    * bounded). 0 disables the probe → always the windowed shape. */
+    * dominated-edge bound proves the pair table under this many rows.
+    * The same bound caps the WEDGE rows at 2× this value, and the probe
+    * persists both the wedge set and the pair table — so the limit is
+    * also the cache-size commitment (default: ≤32M wedge rows ≈ ~800 MB
+    * executor storage). 0 disables the probe → always the windowed
+    * shape, which caches nothing. */
   val ProbePairBoundConf = "spark.graft.butterfly.probePairBound"
   val DefaultProbePairBound = 16000000L
 
@@ -97,7 +101,21 @@ object Butterfly {
     * px/py the ≻ comparators of each endpoint and dy the plain degree
     * of y (for the dominated-edge bound; pruned when unused). Runs ONE
     * driver-side aggregate over the degree table to size the degree
-    * broadcast and pick the priority encoding. */
+    * broadcast and pick the priority encoding.
+    *
+    * The deduped undirected edge set is PERSISTED (2 longs × 2E — the
+    * smallest table every downstream pass needs), the same
+    * partition-once-and-cache discipline as PageRank's edge cache:
+    * without it, the encoding action, the dominated-edge bound action,
+    * the probe's pair-table build, and the final plan each re-run the
+    * source scan + distinct exchange (measured ~1.5 s each at sf0.1 —
+    * the dominant cost of a warm perVertexCounts, and at 100 TB each
+    * re-run is a full shuffle of the edge list). The cache is keyed by
+    * canonicalized plan, so rebuilding the same query (cold/warm bench
+    * runs, probe + final plan) hits one entry; the `storageLevel`
+    * guard keeps re-persists of an already-cached plan warning-free.
+    * Long-lived sessions running MANY distinct graphs reclaim the
+    * entries via `unpersist`/`spark.catalog.clearCache()`. */
   private def adjacency(edges: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
     // simple-graph semantics: C(shared, 2) math assumes each edge once
@@ -105,7 +123,11 @@ object Butterfly {
     // input; correctness cannot be left to the caller)
     val e = edges.select(col(aCol).cast("long").as("x"),
       col(bCol).cast("long").as("y")).distinct()
-    val und = e.union(e.select(col("y"), col("x")))
+    val und0 = e.union(e.select(col("y"), col("x")))
+    val und =
+      if (und0.storageLevel == StorageLevel.NONE)
+        und0.persist(StorageLevel.MEMORY_AND_DISK)
+      else und0
     val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
       .select(col("x").as("id"), col("d"))
 
@@ -203,26 +225,36 @@ object Butterfly {
       // regimes blow this bound by construction and skip the probe.
       val wb = adj.filter(col("px") > col("py"))
         .agg(sum(col("dy") - 1).as("wb")).head
-      val pairBound = if (wb.isNullAt(0)) 0L else wb.getLong(0) / 2
-      if (pairBound <= probeBound) {
-        // tier 2 — exact: materialize the pair table once (bounded by
-        // tier 1), count it, and feed the SAME cached table to the
-        // final plan. Rebuilds of the same query hit the plan-matched
-        // cache, so warm builds skip the probe's enumeration.
-        val pc = pairCounts(wd).persist(StorageLevel.MEMORY_AND_DISK)
+      val wedgeBound = if (wb.isNullAt(0)) 0L else wb.getLong(0)
+      if (wedgeBound / 2 <= probeBound) {
+        // tier 2 — exact: materialize the wedge set AND its pair table
+        // once (both bounded by tier 1 — the dominated-edge sum bounds
+        // the wedge rows directly, so the cache is provably sized
+        // before anything is enumerated), count the pairs, and feed
+        // the SAME cached tables to the final plan. Rebuilds of the
+        // same query hit the plan-matched cache, so warm builds run
+        // ZERO enumeration — without the wedge cache, the broadcast
+        // join-back re-enumerated the wedge set every run, which was
+        // most of its warm cost (round-10 probe: ~5.6 of 10.5 s).
+        def cached(df: DataFrame): DataFrame =
+          if (df.storageLevel == StorageLevel.NONE)
+            df.persist(StorageLevel.MEMORY_AND_DISK)
+          else df // warm rebuild of the same plan: already cached
+        val wdP = cached(wd)
+        val pc = cached(pairCounts(wdP))
         val pairs = pc.count()
-        if (pairs <= bcastLimit) return attributeBroadcast(wd, pc)
+        if (pairs <= bcastLimit) return attributeBroadcast(wdP, pc)
         pc.unpersist()
+        wdP.unpersist()
       }
     }
     attributeWindowed(wd)
   }
 
-  /** Broadcast attribution: the wedge set is joined map-side against
-    * the cached-and-broadcast k ≥ 2 pair table — it is never
-    * hash-partitioned at all, so the plan's only exchanges are the
-    * enumeration's adjacency shuffle and the O(vertices) attribution
-    * partials (sf0.1: ~40 MB total vs the windowed shape's 169 MB). */
+  /** Broadcast attribution: the CACHED wedge set is joined map-side
+    * against the cached-and-broadcast k ≥ 2 pair table — it is never
+    * hash-partitioned (or re-enumerated) at all, so a warm run's only
+    * exchange is the O(vertices) attribution partials. */
   private def attributeBroadcast(wd: DataFrame, pc: DataFrame): DataFrame = {
     val pairTerms = pc
       .select(explode(array(col("u"), col("w"))).as("id"),
@@ -239,32 +271,42 @@ object Butterfly {
     * the wedge set, hash-partitioned by (u, w) once, with k computed
     * as a count window over the co-partitioned data (no join, no
     * broadcast dependence — on graphs where the pair table is
-    * wedge-sized, this is the shape that stays minimal). */
+    * wedge-sized, this is the shape that stays minimal).
+    *
+    * SINGLE-CONSUMER discipline: endpoint and center terms are both
+    * emitted from ONE projection above the window via a conditional
+    * explode — each wedge row yields its center term (v, k−1), and the
+    * per-pair representative (rn = 1) additionally yields the two
+    * endpoint terms (u, C(k,2)), (w, C(k,2)). The previous shape
+    * union-ed two branches over a reused exchange: the DATA moved
+    * once, but the 12.5M-row window sort above it executed once per
+    * branch — half the query's warm time recomputing an identical
+    * window (round-10 probe: 20 s warm → ~11 s). With one consumer
+    * there is nothing to reuse and nothing to recompute; ButterflySpec
+    * pins exactly one wedge exchange and exactly one window sort. */
   private def attributeWindowed(wd0: DataFrame): DataFrame = {
     val wd = wd0.repartition(col("u"), col("w"))
-    // The row_number ordered by v is load-bearing twice over: it marks
-    // one representative wedge per (u, w) pair (replacing a distinct),
-    // and — because its sort key is v — it forces v to stay in the
-    // endpoint branch's copy of the exchange. Without a live v
-    // reference there, column pruning drops v from that branch (a
-    // count(v) doesn't survive either: the optimizer rewrites count of
-    // a non-nullable column to count(1)), the two consumers' exchanges
-    // become structurally different, exchange reuse is defeated, and
-    // the wedge set shuffles — and enumerates — twice, which was
-    // round 8's 275 MB / 14.6 s defect. ButterflySpec pins the
-    // one-reused-exchange plan shape.
-    val byPair = Window.partitionBy("u", "w")
+    // row_number ordered by v marks one deterministic representative
+    // wedge per pair (replacing a distinct). The count rides the SAME
+    // (partition, order) spec with an explicit unbounded frame: a
+    // frame-less count would get its own window spec group and Spark
+    // would stack a second WindowExec — a second full pass over the
+    // wedge set for the same numbers (the single-Window shape is
+    // plan-gated in ButterflySpec).
+    val byPairOrdered = Window.partitionBy("u", "w").orderBy("v")
     val wdk = wd
-      .withColumn("k", count(lit(1)).over(byPair))
-      .withColumn("rn", row_number().over(byPair.orderBy("v")))
+      .withColumn("k", count(lit(1)).over(byPairOrdered
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("rn", row_number().over(byPairOrdered))
       .filter(col("k") >= 2) // k = 1 pairs contribute 0 everywhere
-    // endpoints: C(k,2) butterflies from pair (u, w) contain each once
-    val pairTerms = wdk.filter(col("rn") === 1)
-      .select(explode(array(col("u"), col("w"))).as("id"),
-        expr("k * (k - 1) div 2").as("bf"))
-    // centers: wedge (u, w, v) pairs v with the k-1 other centers
-    val centerTerms = wdk.select(col("v").as("id"), (col("k") - 1).as("bf"))
-    pairTerms.union(centerTerms)
+    val center = struct(col("v").as("id"), (col("k") - 1).as("bf"))
+    val endpoint = (side: Column) =>
+      struct(side.as("id"), expr("k * (k - 1) div 2").as("bf"))
+    wdk
+      .select(explode(when(col("rn") === 1,
+          array(center, endpoint(col("u")), endpoint(col("w"))))
+        .otherwise(array(center))).as("t"))
+      .select(col("t.id").as("id"), col("t.bf").as("bf"))
       .groupBy("id").agg(sum("bf").as("butterflies"))
       .filter(col("butterflies") > 0)
   }

@@ -1,31 +1,39 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicLong
-
 import graft.Tables
 import graft.operators.Butterfly
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Shuffle-byte decomposition of the butterfly per-vertex plan: times
-  * each stage (wedge enumeration, pair aggregation, full per-vertex
-  * counting) separately with its shuffle-write delta, so a regression in
-  * the one-exchange discipline shows up as a stage number, not a guess.
+/** Shape A/B for the butterfly operator on the REGISTRY graph (the
+  * purchase bipartition rel_graph_butterfly_vp runs on): times
+  * globalCount and both perVertexCounts attribution regimes
+  * back-to-back in one JVM, each twice (cold = plan+codegen+execute,
+  * warm = steady state), with per-phase shuffle-write bytes. This is
+  * measurement tooling only — it exists so regime decisions in
+  * operators/Butterfly.scala rest on measured numbers from the exact
+  * query graph, not on full-sweep bench deltas where JIT state and
+  * neighboring queries move the baseline.
   *
-  * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ButterflyProbe /root/testdata/sf0.1" }}}
+  * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.ButterflyProbe" }}}
   */
 object ButterflyProbe {
   def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Tables.pinDialect(Tables.localSession("bf-probe", cpus))
-    val shuffleBytes = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val m = e.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    })
+    val spark = Tables.pinDialect(Tables.localSession("graft-bfprobe", cpus))
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
     def settled(): Long = {
       var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
       while (cur != prev && spins < 40) {
@@ -33,95 +41,71 @@ object ButterflyProbe {
       }
       cur
     }
-    def stage(name: String)(f: => Long): Unit = {
+    def timed(label: String)(f: => Long): Unit = {
+      System.gc()
       val b = settled(); val t0 = System.nanoTime()
       val n = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[bfprobe] $name rows=$n sec=$sec%.2f shuffle_mb=${(settled() - b) / 1e6}%.1f")
+      val mb = (settled() - b) / 1e6
+      println(f"[bfprobe] $label%-28s $sec%6.2f s  $mb%8.1f MB  rows=$n")
     }
-    // exchange-reuse sanity check: a self-union of one aggregation
-    // should shuffle the input once, not twice
-    stage("reuse_single") {
-      spark.read.parquet(s"$src/lineitem.parquet")
-        .select("l_orderkey", "l_partkey").distinct().count()
-    }
-    stage("reuse_union") {
-      val d = spark.read.parquet(s"$src/lineitem.parquet")
-        .select("l_orderkey", "l_partkey").distinct()
-      d.union(d).count()
-    }
-    // optional second arg: hub-fixture scale (GraphStress's shape) for
-    // an on-box A/B of attribution shapes at stress volume
-    val stressScale = if (args.length > 1) args(1).toInt else 0
-    val edges = {
-      val base0 = Tables.load(spark, src, "lineitem")
-        .join(Tables.load(spark, src, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      if (stressScale <= 0)
-        base0.select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
-      else {
-        val base = base0.distinct()
-          .filter(pmod(xxhash64(col("c"), col("s")), lit(10)) === 0)
-        val mx = base.agg(max(col("s")), max(col("c"))).head
-        val (sStride, hubBase) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
-        val tail = base.crossJoin(
-            broadcast(spark.range(stressScale).toDF("rep")))
-          .select(col("c"), (col("s") + col("rep") * lit(sStride)).as("s"))
-        val hubs = tail.select(col("s")).distinct()
-          .crossJoin(broadcast(spark.range(10).toDF("h")))
-          .select((col("h") + lit(hubBase)).as("c"), col("s"))
-        tail.union(hubs)
-          .select((col("c") * 2).as("src"), (col("s") * 2 + 1).as("dst"))
-      }
-    }
-    // the round-8 attribution shape (window WITHOUT the shared
-    // repartition / count(v) reuse parity), for on-box comparison
-    def oldShape(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val wdo = Butterfly.wedges(e, "src", "dst")
-        .withColumn("k", count(lit(1)).over(Window.partitionBy("u", "w")))
-      val pairTerms = wdo.select(col("u"), col("w"), col("k")).distinct()
-        .select(explode(array(col("u"), col("w"))).as("id"),
-          expr("k * (k - 1) div 2").as("bf"))
-      val centerTerms = wdo.select(col("v").as("id"), (col("k") - 1).as("bf"))
-      pairTerms.union(centerTerms)
-        .groupBy("id").agg(sum("bf").as("butterflies"))
-        .filter(col("butterflies") > 0)
-    }
+
+    // the registry graph: parity-encoded purchase bipartition
+    def edges: DataFrame = Tables.load(spark, sfDir, "lineitem")
+      .join(Tables.load(spark, sfDir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+
     spark.range(1000000).selectExpr("sum(id)").collect()
-    if (stressScale > 0) {
-      val e = edges.cache()
-      stage("stress_edges")(e.count())
-      stage("old_shape_cold")(oldShape(e).count())
-      stage("old_shape_warm")(oldShape(e).count())
-      stage("new_shape_cold")(Butterfly.perVertexCounts(e, "src", "dst").count())
-      stage("new_shape_warm")(Butterfly.perVertexCounts(e, "src", "dst").count())
-      e.unpersist()
-      spark.stop()
-      return
+    // JIT warm-up on the same plan family, untimed
+    Butterfly.globalCount(edges, "src", "dst").count()
+
+    for (round <- 1 to 2) {
+      timed(s"globalCount #$round")(
+        Butterfly.globalCount(edges, "src", "dst").count())
     }
-    stage("wedges")(Butterfly.wedges(edges, "src", "dst").count())
-    stage("pairs_k2")(Butterfly.wedges(edges, "src", "dst")
-      .groupBy("u", "w").agg(count(lit(1)).as("k"))
-      .filter(col("k") >= 2).count())
-    stage("perVertex_cold")(Butterfly.perVertexCounts(edges, "src", "dst").count())
-    val pv = Butterfly.perVertexCounts(edges, "src", "dst")
-    stage("perVertex_warm")(pv.count())
-    // the graded registry query, with its executed (post-AQE) join types
-    val reg = graft.SparkEntry.queries("rel_graph_butterfly_vp")
-    stage("registry_cold")(reg(spark, src).count())
-    val regDf = reg(spark, src)
-    stage("registry_warm") { regDf.collect(); regDf.count() }
-    regDf.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Join ") || l.contains("hashpartitioning(u"))
-      .map(_.replaceAll("\\s+", " ").take(110))
-      .foreach(l => println(s"[bfplan] $l"))
-    // executed (post-AQE) plan: which joins actually ran as broadcast
-    val joins = pv.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("Join") || l.contains("Exchange"))
-      .map(_.replaceAll("\\s+", " ").take(120)).toSeq
-    joins.foreach(l => println(s"[bfplan] $l"))
+    // broadcast-vs-shuffle wedge join A/B: the und cache's accurate
+    // stats can flip the v-join to a broadcast of one leg
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    for (round <- 1 to 2) {
+      timed(s"globalCount noBcast #$round")(
+        Butterfly.globalCount(edges, "src", "dst").count())
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // phase decomposition of the attribution cost beyond enumeration
+    def wd: DataFrame = Butterfly.wedges(edges, "src", "dst")
+    def pc0: DataFrame = wd.groupBy("u", "w")
+      .agg(count(lit(1)).as("k")).filter(col("k") >= 2)
+    for (round <- 1 to 2) timed(s"wedges.count #$round")(wd.count())
+    for (round <- 1 to 2) timed(s"pairCounts.count #$round")(pc0.count())
+    val pcCached = pc0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    timed("pc persist+count (build)")(pcCached.count())
+    timed("pc count (cached)")(pcCached.count())
+    for (round <- 1 to 2) {
+      timed(s"joinback vs cached pc #$round")(
+        wd.join(broadcast(pcCached), Seq("u", "w"))
+          .select(col("v").as("id"), (col("k") - 1).as("bf"))
+          .groupBy("id").agg(sum("bf")).count())
+    }
+    pcCached.unpersist()
+    for (round <- 1 to 2) {
+      timed(s"joinback vs inline pc #$round")(
+        wd.join(broadcast(pc0), Seq("u", "w"))
+          .select(col("v").as("id"), (col("k") - 1).as("bf"))
+          .groupBy("id").agg(sum("bf")).count())
+    }
+    for (round <- 1 to 2) {
+      timed(s"vp adaptive(bcast) #$round")(
+        Butterfly.perVertexCounts(edges, "src", "dst").count())
+    }
+    spark.conf.set(Butterfly.ProbePairBoundConf, "0")
+    for (round <- 1 to 2) {
+      timed(s"vp windowed #$round")(
+        Butterfly.perVertexCounts(edges, "src", "dst").count())
+    }
+    spark.conf.unset(Butterfly.ProbePairBoundConf)
     spark.stop()
   }
 }
