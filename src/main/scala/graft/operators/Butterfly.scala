@@ -189,6 +189,24 @@ object Butterfly {
     wd.groupBy("u", "w").agg(count(lit(1)).as("k"))
       .filter(col("k") >= 2)
 
+  /** Tier-1 dominated-edge bound, one O(E) driver action with NO
+    * enumeration (cheap: `adj` reads the cached undirected edge set):
+    * every enumerated wedge (u, v, w) consumes a dominated edge
+    * (u ≻ v) and one OTHER neighbor of v, so
+    * wedges ≤ Σ_{(u,v): u≻v} (deg(v) − 1); every k ≥ 2 pair consumes
+    * ≥ 2 wedges, so pairs ≤ that sum / 2. Dense regimes blow this
+    * bound by construction and skip all bounded materialization. */
+  private def dominatedWedgeBound(adj: DataFrame): Long = {
+    val wb = adj.filter(col("px") > col("py"))
+      .agg(sum(col("dy") - 1).as("wb")).head
+    if (wb.isNullAt(0)) 0L else wb.getLong(0)
+  }
+
+  private def cachedIfCold(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+    else df // warm rebuild of the same canonical plan: already cached
+
   /** Single-row global butterfly total. Every butterfly is enumerated
     * exactly once — from its ≻-maximal vertex u paired with its unique
     * same-side partner w — so summing C(k, 2) over the distinct
@@ -198,12 +216,24 @@ object Butterfly {
     * graphs, since [[pairCounts]] drops k = 1 pairs — matching SQL
     * `sum` over an empty set (the DuckDB oracle's HAVING count(*) >= 2
     * produces the same empty input; ButterflySpec pins the case).
-    * When a [[perVertexCounts]] probe has already cached the identical
-    * pair-table plan, the cache manager serves it here for free. */
+    *
+    * When the tier-1 bound proves the wedge set cache-sized, the wedge
+    * and pair tables are persisted lazily with EXACTLY the plans
+    * [[perVertexCounts]]' probe uses: a session running the natural
+    * pair of queries (global total, then per-vertex attribution — or
+    * either one twice) enumerates ONCE and serves every later run
+    * from the bounded caches. Dense regimes cache nothing. */
   def globalCount(edges: DataFrame, aCol: String = "a",
-      bCol: String = "b"): DataFrame =
-    pairCounts(wedges(edges, aCol, bCol))
-      .agg(sum(expr("k * (k - 1) div 2")).cast("long").as("butterflies"))
+      bCol: String = "b"): DataFrame = {
+    val adj = adjacency(edges, aCol, bCol)
+    val wd = wedgesFrom(adj)
+    val probeBound = confLong(edges, ProbePairBoundConf, DefaultProbePairBound)
+    val pc =
+      if (probeBound > 0 && dominatedWedgeBound(adj) / 2 <= probeBound)
+        cachedIfCold(pairCounts(cachedIfCold(wd)))
+      else pairCounts(wd)
+    pc.agg(sum(expr("k * (k - 1) div 2")).cast("long").as("butterflies"))
+  }
 
   /** (id, butterflies) for every vertex participating in at least one
     * butterfly — exact counts, both sides of the bipartition, via the
@@ -217,36 +247,22 @@ object Butterfly {
     val probeBound = confLong(edges, ProbePairBoundConf, DefaultProbePairBound)
     val bcastLimit =
       confLong(edges, BroadcastPairLimitConf, DefaultBroadcastPairLimit)
-    if (probeBound > 0) {
-      // tier 1 — one O(E) pass, no enumeration: every enumerated wedge
-      // (u, v, w) consumes a dominated edge (u ≻ v) and one OTHER
-      // neighbor of v, so wedges ≤ Σ_{(u,v): u≻v} (deg(v) − 1); every
-      // k ≥ 2 pair consumes ≥ 2 wedges, so pairs ≤ that sum / 2. Dense
-      // regimes blow this bound by construction and skip the probe.
-      val wb = adj.filter(col("px") > col("py"))
-        .agg(sum(col("dy") - 1).as("wb")).head
-      val wedgeBound = if (wb.isNullAt(0)) 0L else wb.getLong(0)
-      if (wedgeBound / 2 <= probeBound) {
-        // tier 2 — exact: materialize the wedge set AND its pair table
-        // once (both bounded by tier 1 — the dominated-edge sum bounds
-        // the wedge rows directly, so the cache is provably sized
-        // before anything is enumerated), count the pairs, and feed
-        // the SAME cached tables to the final plan. Rebuilds of the
-        // same query hit the plan-matched cache, so warm builds run
-        // ZERO enumeration — without the wedge cache, the broadcast
-        // join-back re-enumerated the wedge set every run, which was
-        // most of its warm cost (round-10 probe: ~5.6 of 10.5 s).
-        def cached(df: DataFrame): DataFrame =
-          if (df.storageLevel == StorageLevel.NONE)
-            df.persist(StorageLevel.MEMORY_AND_DISK)
-          else df // warm rebuild of the same plan: already cached
-        val wdP = cached(wd)
-        val pc = cached(pairCounts(wdP))
-        val pairs = pc.count()
-        if (pairs <= bcastLimit) return attributeBroadcast(wdP, pc)
-        pc.unpersist()
-        wdP.unpersist()
-      }
+    if (probeBound > 0 && dominatedWedgeBound(adj) / 2 <= probeBound) {
+      // tier 2 — exact: materialize the wedge set AND its pair table
+      // once (both bounded by tier 1 — the dominated-edge sum bounds
+      // the wedge rows directly, so the cache is provably sized
+      // before anything is enumerated), count the pairs, and feed
+      // the SAME cached tables to the final plan. Rebuilds of the
+      // same query hit the plan-matched cache, so warm builds run
+      // ZERO enumeration — without the wedge cache, the broadcast
+      // join-back re-enumerated the wedge set every run, which was
+      // most of its warm cost (round-10 probe: ~5.6 of 10.5 s).
+      val wdP = cachedIfCold(wd)
+      val pc = cachedIfCold(pairCounts(wdP))
+      val pairs = pc.count()
+      if (pairs <= bcastLimit) return attributeBroadcast(wdP, pc)
+      pc.unpersist()
+      wdP.unpersist()
     }
     attributeWindowed(wd)
   }

@@ -212,6 +212,23 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("globalCount primes the bounded caches perVertexCounts reuses") {
+    // the natural query pair (global total, then per-vertex counts)
+    // must enumerate once: when tier 1 proves the wedge set
+    // cache-sized, globalCount persists the same canonical wedge/pair
+    // plans the perVertexCounts probe uses, so the second query's
+    // probe and final plan are cache reads. The observable pin: after
+    // a globalCount ACTION, the canonical wedge plan reports a live
+    // storage level (cache-manager lookup by canonicalized plan).
+    import spark.implicits._
+    val edges = (for { a <- 1L to 18L; b <- 101L to 113L
+      if (a * 5 + b) % 4 != 0 } yield (a, b)).toDF("a", "b")
+    Butterfly.globalCount(edges).collect()
+    assert(Butterfly.wedges(edges).storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE,
+      "globalCount must leave the bounded wedge cache primed")
+  }
+
   test("hub wedges are walked from the hub, not squared through it") {
     // hub customer 1 with 60 suppliers; customer 2 shares two of them.
     // Naive wedge volume through shared suppliers is sum_b C(deg_b, 2)
