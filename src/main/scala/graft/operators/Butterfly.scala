@@ -116,18 +116,21 @@ object Butterfly {
     * guard keeps re-persists of an already-cached plan warning-free.
     * Long-lived sessions running MANY distinct graphs reclaim the
     * entries via `unpersist`/`spark.catalog.clearCache()`. */
-  private def adjacency(edges: DataFrame, aCol: String, bCol: String)
+  /** Deduped undirected edge set — simple-graph semantics: C(shared, 2)
+    * math assumes each edge once (map-side combine absorbs the dedup's
+    * shuffle on already-distinct input; correctness cannot be left to
+    * the caller). Pure plan, no persist — [[adjacency]] caches it,
+    * [[releaseCaches]] uses the same canonical plan to drop it. */
+  private def undirected(edges: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
-    // simple-graph semantics: C(shared, 2) math assumes each edge once
-    // (map-side combine absorbs the dedup's shuffle on already-distinct
-    // input; correctness cannot be left to the caller)
     val e = edges.select(col(aCol).cast("long").as("x"),
       col(bCol).cast("long").as("y")).distinct()
-    val und0 = e.union(e.select(col("y"), col("x")))
-    val und =
-      if (und0.storageLevel == StorageLevel.NONE)
-        und0.persist(StorageLevel.MEMORY_AND_DISK)
-      else und0
+    e.union(e.select(col("y"), col("x")))
+  }
+
+  private def adjacency(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val und = cachedIfCold(undirected(edges, aCol, bCol))
     val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
       .select(col("x").as("id"), col("d"))
 
@@ -265,6 +268,25 @@ object Butterfly {
       wdP.unpersist()
     }
     attributeWindowed(wd)
+  }
+
+  /** Release every bounded cache [[globalCount]] / [[perVertexCounts]]
+    * may have persisted for THIS edge set (the undirected adjacency,
+    * the wedge set, the pair table) — the lifecycle hook for long-lived
+    * sessions iterating over many graphs, where per-graph entries would
+    * otherwise accumulate until `spark.catalog.clearCache()` (which
+    * would also evict unrelated caches). Unpersisting is by
+    * canonicalized-plan match, so this is a no-op for plans never
+    * cached; the rebuild of the wedge plan re-runs the O(1)-row sizing
+    * action, which is the cheap price of not holding plan references in
+    * a registry. Blocking so storage is actually free on return. */
+  def releaseCaches(edges: DataFrame, aCol: String = "a",
+      bCol: String = "b"): Unit = {
+    val adj = adjacency(edges, aCol, bCol) // re-primes und; dropped below
+    val wd = wedgesFrom(adj)
+    pairCounts(wd).unpersist(blocking = true)
+    wd.unpersist(blocking = true)
+    undirected(edges, aCol, bCol).unpersist(blocking = true)
   }
 
   /** Broadcast attribution: the CACHED wedge set is joined map-side

@@ -160,7 +160,14 @@ object GraphStress {
     * bound (≈ 7·E/2 = 44.8M) is over the probe bound, so
     * `perVertexCounts` must route to the windowed shape WITHOUT paying
     * an enumeration probe. The A/B then forces the broadcast shape via
-    * its confs and measures the collapse directly.
+    * its confs. Round-10 finding (BASELINE.md): the ROUTING evidence is
+    * what this fixture delivers — forced broadcast does NOT collapse in
+    * wall-clock on one JVM, because a same-process broadcast of the
+    * 11.2M-row (~270 MB) pair table is nearly free. The collapse is
+    * structural at cluster fan-out (that broadcast × every executor,
+    * growing with the wedge set past Spark's 8 GB broadcast hard
+    * limit), which is exactly the budget the 4M-row
+    * broadcastPairLimit encodes.
     *
     * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.GraphStress dense" }}}
     */

@@ -227,6 +227,12 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
     assert(Butterfly.wedges(edges).storageLevel !=
         org.apache.spark.storage.StorageLevel.NONE,
       "globalCount must leave the bounded wedge cache primed")
+    // lifecycle hook: a long-lived session iterating many graphs drops
+    // THIS graph's entries without touching unrelated caches
+    Butterfly.releaseCaches(edges)
+    assert(Butterfly.wedges(edges).storageLevel ==
+        org.apache.spark.storage.StorageLevel.NONE,
+      "releaseCaches must drop the wedge cache")
   }
 
   test("hub wedges are walked from the hub, not squared through it") {
