@@ -128,9 +128,19 @@ object Butterfly {
     e.union(e.select(col("y"), col("x")))
   }
 
-  private def adjacency(edges: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
-    val und = cachedIfCold(undirected(edges, aCol, bCol))
+  private def adjacency(edges: DataFrame, aCol: String, bCol: String,
+      cacheUnd: Boolean = true): DataFrame = {
+    // Standard persisted-Dataset semantics apply: the cache serves the
+    // data vintage read at first materialization, so a caller that
+    // REWRITES the files under `edges` mid-session must releaseCaches
+    // first (the same staleness class Tables' ts-stats path
+    // fingerprint guards against for scan stats). cacheUnd=false
+    // builds the plan without (re)persisting — the releaseCaches path,
+    // which must not re-materialize what it is about to drop; an
+    // existing cache entry still serves the plan via the cache
+    // manager's subplan rewrite.
+    val und0 = undirected(edges, aCol, bCol)
+    val und = if (cacheUnd) cachedIfCold(und0) else und0
     val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
       .select(col("x").as("id"), col("d"))
 
@@ -202,7 +212,11 @@ object Butterfly {
   private def dominatedWedgeBound(adj: DataFrame): Long = {
     val wb = adj.filter(col("px") > col("py"))
       .agg(sum(col("dy") - 1).as("wb")).head
-    if (wb.isNullAt(0)) 0L else wb.getLong(0)
+    val b = if (wb.isNullAt(0)) 0L else wb.getLong(0)
+    // non-ANSI sum wraps silently past 2^63; a wrapped (negative) bound
+    // comes only from a graph astronomically past every cache budget,
+    // and must read as "over", never route INTO the bounded probe
+    if (b < 0) Long.MaxValue else b
   }
 
   private def cachedIfCold(df: DataFrame): DataFrame =
@@ -277,12 +291,15 @@ object Butterfly {
     * otherwise accumulate until `spark.catalog.clearCache()` (which
     * would also evict unrelated caches). Unpersisting is by
     * canonicalized-plan match, so this is a no-op for plans never
-    * cached; the rebuild of the wedge plan re-runs the O(1)-row sizing
-    * action, which is the cheap price of not holding plan references in
-    * a registry. Blocking so storage is actually free on return. */
+    * cached. Rebuilding the wedge plan re-runs the sizing action (a
+    * 1-row result whose scan is O(E) — served from the still-live und
+    * cache in the normal release path, a plain scan when nothing was
+    * cached); `cacheUnd = false` keeps this from re-materializing the
+    * very cache it is dropping. Blocking so storage is actually free
+    * on return. */
   def releaseCaches(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): Unit = {
-    val adj = adjacency(edges, aCol, bCol) // re-primes und; dropped below
+    val adj = adjacency(edges, aCol, bCol, cacheUnd = false)
     val wd = wedgesFrom(adj)
     pairCounts(wd).unpersist(blocking = true)
     wd.unpersist(blocking = true)

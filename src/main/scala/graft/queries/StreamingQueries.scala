@@ -42,6 +42,12 @@ object StreamingQueries {
     * on a shared memory-sink table name. */
   private val runSeq = new AtomicInteger
 
+  /** Default state-partition count for every streaming run here (both
+    * harness paths below): tracks fixture state volume, not core count
+    * — see runToMemory's sizing note. One constant so the next
+    * retuning is one edit. */
+  private val DefaultStateParts = "4"
+
   /** Run `df` (a streaming frame) to completion under AvailableNow into
     * a memory sink; returns the sink table. The temp checkpoint dir is
     * removed by Spark on clean stop.
@@ -69,13 +75,12 @@ object StreamingQueries {
     * `sparkSession.newSession()` per streaming run instead — not done
     * today because the memory-sink table and downstream joins would
     * then live in different analyzer sessions. */
-  private def runToMemory(df: DataFrame, mode: String,
-      defaultParts: String = "4"): DataFrame = {
+  private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val sess = df.sparkSession
     val prev = sess.conf.get("spark.sql.shuffle.partitions")
     val stateParts = sess.conf.getOption("spark.graft.stream.statePartitions")
-      .getOrElse(defaultParts)
+      .getOrElse(DefaultStateParts)
     sess.conf.set("spark.sql.shuffle.partitions", stateParts)
     try withoutCompleteModeNoDataBatch(sess, mode) {
       val q = df.writeStream.format("memory").queryName(name)
@@ -156,7 +161,7 @@ object StreamingQueries {
     graft.sources.GraftGen.committed.remove(table)
     val prev = sess.conf.get("spark.sql.shuffle.partitions")
     val stateParts = sess.conf.getOption("spark.graft.stream.statePartitions")
-      .getOrElse("4")
+      .getOrElse(DefaultStateParts)
     sess.conf.set("spark.sql.shuffle.partitions", stateParts)
     try withoutCompleteModeNoDataBatch(sess, mode) {
       val ck = java.nio.file.Files

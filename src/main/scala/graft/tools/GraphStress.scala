@@ -132,6 +132,11 @@ object GraphStress {
         col("src").as("dst")))
       val (_, prSec) = timed(PageRank.run(und, 3).count())
       val (_, lpaSec) = timed(LabelPropagation.run(und, 3).count())
+      // drop THIS scale's butterfly caches (undirected adjacency +
+      // bounded wedge/pair entries) before the next, larger scale is
+      // measured — accumulated storage from earlier scales would
+      // otherwise contend with the multi-GB shuffles being timed
+      Butterfly.releaseCaches(enc, "src", "dst")
       e.unpersist()
       println(f"[graphstress] scale=$k edges=$nEdges " +
         f"naive_wedges=$naiveWedges vp_wedges=$vpWedges " +
