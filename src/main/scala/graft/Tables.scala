@@ -68,19 +68,57 @@ object Tables {
     l == "ts" || l.endsWith("_ts")
   }
 
-  /** (min, max) per `<path>@<fingerprint>#<column>`, so the unit sniff
+  /** (fingerprint, (min, max)) per `<path>#<column>`, so the unit sniff
     * runs one tiny single-column aggregate per table VERSION per JVM,
-    * not one per query. The fingerprint (file count + max mtime + total
-    * length, [[pathFingerprint]]) keys out rewrites: a long-lived JVM
-    * whose path is rewritten or whose scale directory grows must re-sniff
-    * against the fresh files, not trust a stale min/max (ADVICE r9). */
+    * not one per query. The per-file digest ([[pathFingerprint]]) keys
+    * out rewrites: a long-lived JVM whose path is rewritten or whose
+    * scale directory grows must re-sniff against the fresh files, not
+    * trust a stale min/max (ADVICE r9). Keyed by PATH with the
+    * fingerprint in the value (not in the key) so a re-key REPLACES the
+    * superseded vintage's entry instead of accumulating one per vintage
+    * forever (VERDICT r10 #1's leak class, applied to every
+    * fingerprint-keyed map). */
   private val tsStatsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, (Long, Long))]()
+
+  /** Fingerprint-validated memo lookup shared by the path-keyed caches:
+    * compute-and-replace when the stored fingerprint differs (evicting
+    * the superseded vintage), straight computation with NO cache
+    * insert when the fingerprint is an error stamp. `onEvict` sees the
+    * superseded value (release persisted state) and `onMiss` runs
+    * before compute (invalidate deeper cache layers). */
+  private[graft] def memoized[V](cache: java.util.concurrent.ConcurrentHashMap[
+        String, (String, V)], key: String, fp: String)(compute: => V)(
+      onEvict: V => Unit = (_: V) => (), onMiss: () => Unit = () => ()): V =
+    if (isErrorFingerprint(fp)) { onMiss(); compute }
+    else cache.compute(key, (_, prev) =>
+      if (prev != null && prev._1 == fp) prev
+      else {
+        if (prev != null) onEvict(prev._2)
+        onMiss()
+        (fp, compute)
+      })._2
+
+  private val fpErrSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Cheap version stamp for a file or directory of part files: one
     * driver-side metadata listing (the same listing the parquet reader
-    * does at plan time), never a data read. Unreadable paths stamp "?" —
-    * the subsequent read will surface the real error. */
+    * does at plan time), never a data read. The stamp is a per-file
+    * (name, length, mtime) digest over the name-sorted listing — the
+    * coarser (count, max mtime, total length) triple missed a rewrite
+    * that shuffles bytes BETWEEN part files within mtime granularity
+    * (HDFS reports ms; object stores can be coarser — VERDICT r10 #3),
+    * which would have served a stale memoized artifact. Same O(files)
+    * driver cost.
+    *
+    * Unreadable paths stamp a NEVER-MATCHING nonce (`!err-N`): a
+    * transient listing failure (flaky object store) must not produce a
+    * STABLE key — two vintages whose listings both threw would
+    * otherwise share it and one could serve the other's cached
+    * artifact (VERDICT r10 #2). Memo call sites test
+    * [[isErrorFingerprint]] and bypass their caches entirely for such
+    * stamps, so repeated errors neither serve stale entries nor grow
+    * the maps; the subsequent data read surfaces the real error. */
   private[graft] def pathFingerprint(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -89,8 +127,21 @@ object Tables {
       val statuses = if (st.isDirectory) fs.listStatus(p) else Array(st)
       val mtime = if (statuses.isEmpty) 0L
         else statuses.map(_.getModificationTime).max
-      s"${statuses.length}:$mtime:${statuses.map(_.getLen).sum}"
-    } catch { case scala.util.control.NonFatal(_) => "?" }
+      var h = 1125899906842597L // 64-bit FNV-style fold, order-pinned by sort
+      statuses.sortBy(_.getPath.getName).foreach { s =>
+        h = h * 31 + s.getPath.getName.hashCode
+        h = h * 31 + s.getLen
+        h = h * 31 + s.getModificationTime
+      }
+      s"${statuses.length}:$mtime:${statuses.map(_.getLen).sum}:" +
+        java.lang.Long.toHexString(h)
+    } catch {
+      case scala.util.control.NonFatal(_) => s"!err-${fpErrSeq.incrementAndGet()}"
+    }
+
+  /** True for the never-matching error stamps [[pathFingerprint]] emits
+    * when the listing fails — callers must compute WITHOUT caching. */
+  private[graft] def isErrorFingerprint(fp: String): Boolean = fp.startsWith("!")
 
   // epoch-micros bounds of the plausible-instant window [1850, 2200] —
   // a converted range landing outside is a mis-sniffed unit, not data
@@ -199,9 +250,8 @@ object Tables {
           }
           val (lo, hi) =
             if (source.isEmpty) compute
-            else tsStatsCache.computeIfAbsent(
-              s"$source@${pathFingerprint(df.sparkSession, source)}#${f.name}",
-              _ => compute)
+            else memoized(tsStatsCache, s"$source#${f.name}",
+              pathFingerprint(df.sparkSession, source))(compute)()
           acc.withColumn(f.name, longEpochToTimestamp(f.name, lo, hi, source))
         case _ => acc
       }
@@ -220,13 +270,13 @@ object Tables {
     * and batch plans see the same rows. At scale the path is a growing
     * directory of part files; here it is the driver's single file.
     */
-  /** Footer-derived schema per `<path>@<fingerprint>` — every
+  /** (fingerprint, footer-derived schema) per `<path>` — every
     * `loadStream` call otherwise pays a fresh driver-side footer read
     * just to hand the file source its required schema (~50-100 ms × one
-    * per streaming query per run). Same fingerprint invalidation
-    * discipline as [[tsStatsCache]]. */
+    * per streaming query per run). Same fingerprint-in-value
+    * invalidation/eviction discipline as [[tsStatsCache]]. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    String, (String, org.apache.spark.sql.types.StructType)]()
 
   def loadStream(spark: SparkSession, dir: String, name: String): DataFrame = {
     pinDialect(spark)
@@ -238,8 +288,8 @@ object Tables {
     // directory of part files (the scale layout) also works through the
     // same glob.
     lazy val batch = spark.read.parquet(path)
-    val schema = schemaCache.computeIfAbsent(
-      s"$path@${pathFingerprint(spark, path)}", _ => batch.schema)
+    val schema =
+      memoized(schemaCache, path, pathFingerprint(spark, path))(batch.schema)()
     val df = spark.readStream
       .schema(schema)
       .parquet(s"$dir/{$name.parquet}")

@@ -229,4 +229,37 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       .as[java.sql.Timestamp].collect().toSeq
     assert(streamed == batchRows && streamed.nonEmpty)
   }
+
+  test("pathFingerprint sees a rewrite that preserves count, total length AND mtime") {
+    // the coarse (count, max mtime, total length) triple missed a
+    // rewrite shuffling bytes BETWEEN part files inside mtime
+    // granularity (VERDICT r10 #3) — the per-file digest must not
+    val dir = Files.createTempDirectory("fp-granularity-")
+    val t = java.nio.file.attribute.FileTime.fromMillis(1700000000000L)
+    def write(aBytes: Int, bBytes: Int): Unit = {
+      Files.write(dir.resolve("part-a"), Array.fill[Byte](aBytes)('x'))
+      Files.write(dir.resolve("part-b"), Array.fill[Byte](bBytes)('x'))
+      Files.setLastModifiedTime(dir.resolve("part-a"), t)
+      Files.setLastModifiedTime(dir.resolve("part-b"), t)
+    }
+    write(3, 5)
+    val fp1 = Tables.pathFingerprint(spark, dir.toString)
+    write(5, 3) // same file count, same TOTAL bytes, same mtimes
+    val fp2 = Tables.pathFingerprint(spark, dir.toString)
+    val coarse = (fp: String) => fp.split(":").take(3).toSeq
+    assert(coarse(fp1) == coarse(fp2),
+      "fixture broken: the coarse triple should be identical")
+    assert(fp1 != fp2,
+      "per-file digest must distinguish the between-file rewrite")
+  }
+
+  test("pathFingerprint on a listing error is a never-matching stamp, not a constant") {
+    // two vintages whose listings both throw must NOT share a stable
+    // key ('?') under which one could serve the other's cached
+    // artifact (VERDICT r10 #2)
+    val f1 = Tables.pathFingerprint(spark, "nosuchscheme://bucket/x")
+    val f2 = Tables.pathFingerprint(spark, "nosuchscheme://bucket/x")
+    assert(Tables.isErrorFingerprint(f1) && Tables.isErrorFingerprint(f2))
+    assert(f1 != f2, "error stamps must never match each other")
+  }
 }
