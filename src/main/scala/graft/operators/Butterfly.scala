@@ -83,7 +83,8 @@ object Butterfly {
     * persists both the wedge set and the pair table — so the limit is
     * also the cache-size commitment (default: ≤32M wedge rows ≈ ~800 MB
     * executor storage). 0 disables the probe → always the windowed
-    * shape, which caches nothing. */
+    * shape, which skips the wedge/pair caches (the O(2E) undirected
+    * edge set is still persisted by [[adjacency]] in every regime). */
   val ProbePairBoundConf = "spark.graft.butterfly.probePairBound"
   val DefaultProbePairBound = 16000000L
 
@@ -239,7 +240,15 @@ object Butterfly {
     * [[perVertexCounts]]' probe uses: a session running the natural
     * pair of queries (global total, then per-vertex attribution — or
     * either one twice) enumerates ONCE and serves every later run
-    * from the bounded caches. Dense regimes cache nothing. */
+    * from the bounded caches. Dense regimes skip the wedge/pair caches.
+    *
+    * NOT a pure plan builder (ADVICE r10): calling this runs the
+    * adjacency-sizing and dominated-bound driver actions eagerly (two
+    * O(E) aggregates) and, in the bounded regime, registers lazy cache
+    * entries (≤ ~800 MB once materialized) plus the undirected edge
+    * cache as side effects — even if the returned DataFrame is never
+    * executed. Callers iterating over MANY graphs in one session
+    * should [[releaseCaches]] per graph. */
   def globalCount(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame = {
     val adj = adjacency(edges, aCol, bCol)
@@ -278,8 +287,14 @@ object Butterfly {
       val pc = cachedIfCold(pairCounts(wdP))
       val pairs = pc.count()
       if (pairs <= bcastLimit) return attributeBroadcast(wdP, pc)
+      // middle regime (bounded but too big to broadcast): drop only the
+      // pair table — the windowed shape re-derives k itself — and keep
+      // the ALREADY-MATERIALIZED wedge cache feeding it, instead of
+      // re-enumerating the full wedge set in exactly the path where the
+      // probe guessed wrong (ADVICE r10). The wedge cache is tier-1
+      // bounded; [[releaseCaches]] is its lifecycle, as everywhere.
       pc.unpersist()
-      wdP.unpersist()
+      return attributeWindowed(wdP)
     }
     attributeWindowed(wd)
   }
@@ -296,14 +311,30 @@ object Butterfly {
     * cache in the normal release path, a plain scan when nothing was
     * cached); `cacheUnd = false` keeps this from re-materializing the
     * very cache it is dropping. Blocking so storage is actually free
-    * on return. */
+    * on return.
+    *
+    * When nothing was ever cached for this edge set the undirected-plan
+    * probe (a cache-manager lookup, NO action) short-circuits the
+    * whole release — the wedge/pair caches only ever exist above a live
+    * undirected cache, so rebuilding their plans (which runs the O(E)
+    * sizing aggregate) would be pure waste (ADVICE r10).
+    *
+    * Caveat: unpersist matches by CANONICALIZED PLAN, and the wedge
+    * plan bakes in plan-shaping confs read at build time
+    * (`spark.graft.pagerank.broadcastNodeLimit` routes the degree
+    * joins through broadcast or shuffle). A caller that changes such a
+    * conf between build and release rebuilds a DIFFERENT plan and the
+    * original entries stay cached — release with the same session
+    * confs the build ran under. */
   def releaseCaches(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): Unit = {
+    val und = undirected(edges, aCol, bCol)
+    if (und.storageLevel == StorageLevel.NONE) return
     val adj = adjacency(edges, aCol, bCol, cacheUnd = false)
     val wd = wedgesFrom(adj)
     pairCounts(wd).unpersist(blocking = true)
     wd.unpersist(blocking = true)
-    undirected(edges, aCol, bCol).unpersist(blocking = true)
+    und.unpersist(blocking = true)
   }
 
   /** Broadcast attribution: the CACHED wedge set is joined map-side

@@ -81,6 +81,17 @@ object ButterflyProbe {
     timed("vp adaptive warm (cached)")(
       Butterfly.perVertexCounts(edges, "src", "dst").count())
 
+    // phase 2b: the rel_graph_butterfly cold attribution (VERDICT r10
+    // #4): the family's alphabetically-first bench query absorbs the
+    // one-time enumeration + cache build. cold − warm = the prime
+    // share; warm = the steady per-query cost. BASELINE.md reports the
+    // split from these two lines.
+    Butterfly.releaseCaches(edges, "src", "dst")
+    timed("globalCount cold (family prime)")(
+      Butterfly.globalCount(edges, "src", "dst").count())
+    timed("globalCount warm (primed)")(
+      Butterfly.globalCount(edges, "src", "dst").count())
+
     // phase 3: true windowed regime — probe disabled AND caches
     // dropped, so the wedge set is genuinely re-enumerated per run
     // (the dense-regime cost model; with caches live the windowed plan

@@ -235,6 +235,45 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
       "releaseCaches must drop the wedge cache")
   }
 
+  test("middle regime keeps the materialized wedge cache feeding the windowed shape") {
+    // probe allowed, broadcast forbidden (bcastLimit 0): the probe
+    // materializes the wedge cache to count pairs, guesses wrong, and
+    // falls back to the windowed shape — which must CONSUME the cache
+    // it just paid for, not unpersist it and re-enumerate (ADVICE r10)
+    import spark.implicits._
+    val edges = (for { a <- 1L to 18L; b <- 101L to 113L
+      if (a * 3 + b) % 4 != 0 } yield (a, b)).toDF("a", "b")
+    try withConf(Butterfly.BroadcastPairLimitConf, "0") {
+      val expected = naive(for { a <- 1L to 18L; b <- 101L to 113L
+        if (a * 3 + b) % 4 != 0 } yield (a, b))
+      val got = Butterfly.perVertexCounts(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, "middle regime must stay exact")
+      assert(Butterfly.wedges(edges).storageLevel !=
+          org.apache.spark.storage.StorageLevel.NONE,
+        "windowed fallback must keep the probe's wedge cache")
+    } finally Butterfly.releaseCaches(edges)
+  }
+
+  test("releaseCaches on a never-cached graph runs zero jobs") {
+    // the O(E) sizing aggregate inside adjacency would be pure waste
+    // when there is nothing to release; the undirected-plan probe must
+    // short-circuit before any action (ADVICE r10)
+    import spark.implicits._
+    val edges = Seq(7L -> 701L, 8L -> 701L, 7L -> 702L, 8L -> 702L)
+      .toDF("a", "b")
+    // group-scoped job count: suites share one SparkContext and may
+    // run in parallel, so a global listener would see THEIR jobs too
+    val group = "bf-release-nocache"
+    spark.sparkContext.setJobGroup(group, "ButterflySpec")
+    try Butterfly.releaseCaches(edges)
+    finally spark.sparkContext.clearJobGroup()
+    val jobs =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+    assert(jobs == 0,
+      s"releaseCaches with nothing cached ran $jobs job(s)")
+  }
+
   test("hub wedges are walked from the hub, not squared through it") {
     // hub customer 1 with 60 suppliers; customer 2 shares two of them.
     // Naive wedge volume through shared suppliers is sum_b C(deg_b, 2)
