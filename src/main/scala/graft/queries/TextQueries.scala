@@ -77,15 +77,27 @@ object TextQueries {
     * mtime + total length), so a rewritten or grown corpus retrains
     * instead of serving stale merges; the cached value is O(numMerges)
     * driver-side rows, never data. */
-  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[(Int, String, Long)], Seq[(String, String)])]()
+  private[queries] val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Seq[(Int, String, Long)], Seq[(String, String)]))]()
 
   private def bpeMergesFor(s: SparkSession, dir: String)
       : (Seq[(Int, String, Long)], Seq[(String, String)]) = {
     val path = s"$dir/documents.parquet"
-    val key = s"$path@${graft.Tables.pathFingerprint(s, path)}#m$TrainMerges"
-    bpeCache.computeIfAbsent(key, _ => bpeTrainRaw(t(s, dir, "documents")))
+    // fingerprint in the VALUE: a rewritten corpus replaces (never
+    // accumulates) the superseded vintage's merges, and a listing
+    // error retrains without memoizing (VERDICT r10 #1-2). The merges
+    // are pure driver-side data — deterministic in the corpus — so the
+    // key needs no session scoping, only the merge count.
+    graft.Tables.memoized(bpeCache, s"$path#m$TrainMerges",
+      graft.Tables.pathFingerprint(s, path))(
+      bpeTrainRaw(t(s, dir, "documents")))()
   }
+
+  /** Lifecycle hook (see [[DedupQueries.releaseMemos]]): drop the
+    * memoized merge table for `dir`. Driver-side rows only — nothing
+    * persisted to release. */
+  def releaseMemos(dir: String): Unit =
+    bpeCache.remove(s"$dir/documents.parquet#m$TrainMerges")
 
   /** As [[bpeTrain]], but also returns the raw per-step
     * (placeholder-form pair, placeholder) list — what [[td_bpe_encode]]
@@ -104,17 +116,46 @@ object TextQueries {
     * posture as ConnectedComponents. */
   private val CheckpointEvery = 10
 
+  /** Vocabulary row bound under which the merge loop runs DRIVER-SIDE
+    * (0 disables — always distributed). The distributed loop is 50
+    * sequential ~120 ms Spark jobs over a few-thousand-row vocab
+    * (6-7 s cold, VERDICT r10 #2 backlog): each merge is inherently
+    * sequential, so at small vocab the cost is pure job-scheduling
+    * machinery. Under the bound the vocab (distinct words + counts —
+    * already aggregated, ≤ ~50 MB at the default) is collected ONCE
+    * and the IDENTICAL loop runs in Scala; above it (real 100 TB
+    * corpora: vocab can hold hundreds of millions of distinct
+    * tokens/typos) the distributed loop is retained unchanged. Both
+    * paths are bit-equal — pinned by BpeTrainSpec's dual-path property
+    * sweep, incl. UTF-8-byte argmax tie-breaks on supplementary-plane
+    * symbols. */
+  val LocalVocabLimitConf = "spark.graft.bpe.localVocabLimit"
+  val DefaultLocalVocabLimit = 1000000
+
   private[graft] def bpeTrainRaw(docs: DataFrame,
       numMerges: Int = TrainMerges)
       : (Seq[(Int, String, Long)], Seq[(String, String)]) = {
     require(numMerges >= 1 && numMerges <= 6400,
       s"numMerges=$numMerges outside the private-use placeholder range")
-    val wordFreq = docs
+    val wordFreq0 = docs
       .select(explode(words(col("text"))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(col("word").as("repr"), col("freq"))
-      .cache()
+    val localLimit = docs.sparkSession.conf
+      .getOption(LocalVocabLimitConf).map(_.toInt)
+      .getOrElse(DefaultLocalVocabLimit)
+    if (localLimit > 0) {
+      // limit(n+1) returns min(n+1, total) rows: ≤ n rows back means
+      // this IS the whole vocabulary (order irrelevant — the trainer
+      // aggregates), one job instead of a count() action plus a
+      // second full collect
+      val head = wordFreq0.limit(localLimit + 1).collect()
+      if (head.length <= localLimit)
+        return bpeTrainLocal(
+          head.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    }
+    val wordFreq = wordFreq0.cache()
     def bestPair(repr: DataFrame): Option[(String, Long)] =
       repr
         .filter(length(col("repr")) >= 2)
@@ -151,6 +192,101 @@ object TextQueries {
       }
     }
     wordFreq.unpersist()
+    (merges.result(), rawPairs.result())
+  }
+
+  /** UTF-8 unsigned-byte order — the string order Spark (UTF8String
+    * .compareTo) and DuckDB (binary collation over UTF-8) share. Java's
+    * `String.compareTo` is UTF-16 code-UNIT order, which disagrees
+    * exactly on supplementary-plane characters (their UTF-16 surrogates
+    * 0xD800-0xDFFF sort BELOW 0xE000-0xFFFF chars, while their UTF-8
+    * lead byte 0xF0 sorts ABOVE every BMP sequence) — using it for the
+    * argmax tie-break would silently pick a different merge than the
+    * distributed/oracle path on such vocab (BASELINE.md r10 backlog
+    * caveat; property-pinned in BpeTrainSpec). */
+  private[queries] def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The driver-side merge loop: semantics identical operation-for-
+    * operation to the distributed one —
+    *   - pairs are adjacent CODE-POINT bigrams ([[CharNGrams]] walks
+    *     code points, so a supplementary char is ONE symbol);
+    *   - pair totals sum word frequencies over every overlapping
+    *     occurrence (a word "aaa" contributes its freq to "aa" twice);
+    *   - argmax is (total desc, pair asc in UTF-8 BYTE order) — see
+    *     [[utf8Less]];
+    *   - replacement is literal, non-overlapping, left-to-right
+    *     (`String.replace` ≡ UTF8String replace: both scan forward and
+    *     restart after each match);
+    *   - exhaustion when no repr holds ≥ 2 code points.
+    * O(vocab × avg-len) per merge in one JVM — microseconds against
+    * the distributed path's per-job scheduling floor. */
+  private[queries] def bpeTrainLocal(vocab: Array[(String, Long)], numMerges: Int)
+      : (Seq[(Int, String, Long)], Seq[(String, String)]) = {
+    val reprs = vocab.map(_._1)
+    val freqs = vocab.map(_._2)
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    val rawPairs = Seq.newBuilder[(String, String)]
+    val expand = scala.collection.mutable.LinkedHashMap[String, String]()
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val counts = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i < reprs.length) {
+        val s = reprs(i)
+        val f = freqs(i)
+        if (s.length >= 2) { // cheap pre-filter; cp walk below is exact
+          var a = 0
+          var b = Character.charCount(s.codePointAt(0))
+          // emit [a, c) for every adjacent code-point pair; the last
+          // bigram's c lands exactly on s.length and the guard exits
+          while (b < s.length) {
+            val c = b + Character.charCount(s.codePointAt(b))
+            counts.merge(s.substring(a, c), f, java.lang.Long.sum(_, _))
+            a = b
+            b = c
+          }
+        }
+        i += 1
+      }
+      var bestPair: String = null
+      var bestTotal = 0L
+      counts.forEach { (pair, total) =>
+        if (bestPair == null || total > bestTotal ||
+            (total == bestTotal && utf8Less(pair, bestPair))) {
+          bestPair = pair
+          bestTotal = total
+        }
+      }
+      if (bestPair == null) exhausted = true
+      else {
+        val expanded = expand.toSeq.reverse.foldLeft(bestPair) {
+          case (p, (ph, ex)) => p.replace(ph, ex)
+        }
+        merges += ((step, expanded, bestTotal))
+        rawPairs += ((bestPair, bpePh(step)))
+        expand(bpePh(step)) = expanded
+        val ph = bpePh(step)
+        var j = 0
+        while (j < reprs.length) {
+          if (reprs(j).contains(bestPair))
+            reprs(j) = reprs(j).replace(bestPair, ph)
+          j += 1
+        }
+        step += 1
+      }
+    }
     (merges.result(), rawPairs.result())
   }
 

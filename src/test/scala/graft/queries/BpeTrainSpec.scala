@@ -93,5 +93,46 @@ class BpeTrainSpec extends AnyFunSuite with SparkTestSession {
       .orderBy("step").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == expected)
+    // the DISTRIBUTED loop (forced by disabling the driver-side path)
+    // must produce the identical table — the two paths may never drift
+    val gotDistributed = withConf(TextQueries.LocalVocabLimitConf, "0") {
+      TextQueries.bpeTrain(docs(lines: _*), 60)
+        .orderBy("step").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(gotDistributed == expected)
+  }
+
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("argmax ties break in UTF-8 byte order on supplementary-plane pairs, both paths") {
+    // one word "a�", one word "a𐐀" (U+10400), equal
+    // freq: the two candidate pairs TIE at total 1. Java UTF-16 char
+    // order puts the surrogate pair (0xD801...) FIRST; Spark/DuckDB
+    // UTF-8 byte order puts "a�" (EF BF BD < F0 90 90 80) first.
+    // The learned step-1 merge must be the UTF-8-smaller pair in BOTH
+    // paths — a UTF-16 tie-break here is exactly the silent divergence
+    // the round-10 backlog warned about.
+    val supp = new String(Character.toChars(0x10400))
+    val corpus = docs(s"a� $supp a$supp �")
+    // distinct words: "a�"(1), supp(1), "a"+supp(1), "�"(1)
+    // pairs: "a�" -> 1, "a"+supp -> 1 — a genuine tie
+    val local = TextQueries.bpeTrain(corpus, 1).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val dist = withConf(TextQueries.LocalVocabLimitConf, "0") {
+      TextQueries.bpeTrain(corpus, 1).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    }
+    assert(local == Seq((1, "a�", 1L)),
+      s"local path must pick the UTF-8-smaller pair, got $local")
+    assert(dist == local, "distributed and local paths diverged on the tie")
   }
 }
