@@ -6,13 +6,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Scale-cliff probe for the RELATIONAL layer (the td_ layer has
-  * [[StressSmoke]]): blows `orders`/`lineitem` up by an integer factor —
-  * distributed generation via a crossJoin with a broadcast replica
-  * index, with `o_orderkey`/`l_orderkey` remapped consistently
-  * (`key + rep * (maxKey+1)`) so the fact-fact join fans out linearly,
-  * not quadratically — then times every `rel_*` registry query against
-  * the scaled copy. Dimension tables stay unscaled (their joins grow on
-  * the probe side only, like real dims at 100 TB).
+  * [[StressSmoke]]): blows the fact tables `orders`/`lineitem`/`events`
+  * up by an integer factor — distributed generation via a crossJoin
+  * with a broadcast replica index, with `o_orderkey`/`l_orderkey`/
+  * `event_id`/`user_id` remapped consistently (`key + rep *
+  * (maxKey+1)`) so fact-fact and windowed joins fan out linearly, not
+  * quadratically — then times every `rel_*` registry query against
+  * the scaled copy. Dimension tables stay unscaled (their joins grow
+  * on the probe side only, like real dims at 100 TB).
   *
   * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.RelStress 10" }}}
   */
@@ -44,13 +45,49 @@ object RelStress {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // events scales too (VERDICT r10 #5: the asof/range/skew/session/
+    // resample paths are events-driven), under the USER-UNIVERSE growth
+    // model: each replica is an independent population (`user_id + rep
+    // * stride`), per-user behavior unchanged. That is the one model
+    // under which every windowed shape scales linearly: a per-rep TIME
+    // shift blows up span-based resampling (a user's hourly grid then
+    // covers all replicas' spans — measured 30 s on rel_resample_ffill
+    // at 10×), and an unshifted same-user stack makes 24 h range joins
+    // quadratic in the factor. Dims stay unscaled — including
+    // `customer`: replicating it would duplicate every c_name
+    // verbatim, and the fuzzy self-joins' OUTPUT is then quadratic in
+    // the factor (measured 120 s on rel_fuzzy_join_sig at 10×) — a
+    // fixture artifact no engine scales; graft.tools.FuzzyStress
+    // covers fuzzy scaling with properly perturbed corpora. Rep > 0
+    // users simply have no customer row (probe-side growth with
+    // misses, like late-arriving users before a dim refresh).
+    val events = Tables.load(spark, src, "events")
+    val evStride = events.agg(max(col("event_id"))).head.getLong(0) + 1
+    val userStride = events.agg(max(col("user_id"))).head.getLong(0) + 1
+    events.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * lit(evStride))
+      .withColumn("user_id", col("user_id") + col("rep") * lit(userStride))
+      .drop("rep")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     for (name <- Seq("region", "nation", "customer", "supplier", "part",
-        "events", "documents", "embeddings")) {
+        "documents", "embeddings")) {
       val from = java.nio.file.Paths.get(s"$src/$name.parquet")
-      if (java.nio.file.Files.exists(from))
-        java.nio.file.Files.copy(from,
-          java.nio.file.Paths.get(s"$out/$name.parquet"),
+      val to = java.nio.file.Paths.get(s"$out/$name.parquet")
+      if (java.nio.file.Files.exists(from)) {
+        // a reused out dir may hold a DIRECTORY here (a prior vintage's
+        // Spark write); REPLACE_EXISTING cannot overwrite a non-empty
+        // dir, so clear it first
+        if (java.nio.file.Files.isDirectory(to)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(to).sorted(
+              java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+        java.nio.file.Files.copy(from, to,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     }
 
     val shuffleBytes = new AtomicLong

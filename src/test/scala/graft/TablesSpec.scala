@@ -253,6 +253,26 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       "per-file digest must distinguish the between-file rewrite")
   }
 
+  test("memoized: hit on same fingerprint, evict-and-replace on re-key, bypass on error") {
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+    var computes = 0
+    var evicted: Option[Int] = None
+    var misses = 0
+    def get(fp: String): Int =
+      Tables.memoized(cache, "k", fp)({ computes += 1; computes })(
+        onEvict = v => evicted = Some(v), onMiss = () => misses += 1)
+    assert(get("v1") == 1 && misses == 1)
+    assert(get("v1") == 1 && computes == 1 && misses == 1, "same fp must hit")
+    assert(get("v2") == 2 && evicted.contains(1) && misses == 2,
+      "re-key must evict the superseded value and replace it")
+    assert(cache.size == 1, "one entry per key, never one per vintage")
+    assert(get("!err-9") == 3 && misses == 3,
+      "error stamp must compute fresh (and fire onMiss)")
+    assert(cache.get("k") == ("v2", 2),
+      "error stamp must not disturb or insert cache entries")
+    assert(get("v2") == 2 && computes == 3, "the good vintage still serves")
+  }
+
   test("pathFingerprint on a listing error is a never-matching stamp, not a constant") {
     // two vintages whose listings both throw must NOT share a stable
     // key ('?') under which one could serve the other's cached
