@@ -6,7 +6,8 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Scale-cliff probe for the RELATIONAL layer (the td_ layer has
-  * [[StressSmoke]]): blows the fact tables `orders`/`lineitem`/`events`
+  * [[StressSmoke]], the streaming layer [[graft.tools.StreamStress]]):
+  * blows the fact tables `orders`/`lineitem`/`events`
   * up by an integer factor — distributed generation via a crossJoin
   * with a broadcast replica index, with `o_orderkey`/`l_orderkey`/
   * `event_id`/`user_id` remapped consistently (`key + rep *
@@ -26,7 +27,17 @@ object RelStress {
       else s"${System.getProperty("java.io.tmpdir")}/graft-relstress-x$scale"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.pinDialect(Tables.localSession("graft-relstress", cpus))
+    scaleTo(spark, src, out, scale, cpus.toInt)
+    sweep(spark, out, "rel_", "relstress_total", scale)
+    spark.stop()
+  }
 
+  /** Write the factor-`scale` copy of `src` into `out`: facts
+    * replicated with consistent key remaps, dims byte-copied. Shared
+    * with [[graft.tools.StreamStress]] so both layers stress the SAME
+    * growth model. */
+  def scaleTo(spark: org.apache.spark.sql.SparkSession, src: String,
+      out: String, scale: Int, cpus: Int): Unit = {
     val orders = Tables.load(spark, src, "orders")
     val keyStride = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
     val reps = broadcast(spark.range(scale).toDF("rep"))
@@ -35,14 +46,14 @@ object RelStress {
       .withColumn("o_orderkey",
         col("o_orderkey") + col("rep") * lit(keyStride))
       .drop("rep")
-      .repartition(cpus.toInt)
+      .repartition(cpus)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     Tables.load(spark, src, "lineitem").crossJoin(reps)
       .withColumn("l_orderkey",
         col("l_orderkey") + col("rep") * lit(keyStride))
       .drop("rep")
-      .repartition(cpus.toInt)
+      .repartition(cpus)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
     // events scales too (VERDICT r10 #5: the asof/range/skew/session/
@@ -68,7 +79,7 @@ object RelStress {
       .withColumn("event_id", col("event_id") + col("rep") * lit(evStride))
       .withColumn("user_id", col("user_id") + col("rep") * lit(userStride))
       .drop("rep")
-      .repartition(cpus.toInt)
+      .repartition(cpus)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     for (name <- Seq("region", "nation", "customer", "supplier", "part",
@@ -89,7 +100,15 @@ object RelStress {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
+  }
 
+  /** Time every registry query whose name starts with `prefix` against
+    * `dir` (cold + warm + settled shuffle-write delta), print one
+    * parseable JSON line. The same harness discipline as [[Bench]]
+    * minus the job-group scoping — stress runs are strictly
+    * sequential, so the global task-end counter attributes cleanly. */
+  def sweep(spark: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String, metric: String, scale: Int): Unit = {
     val shuffleBytes = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
@@ -107,21 +126,22 @@ object RelStress {
     def timed(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, out).count(); Right((System.nanoTime() - t0) / 1e9) }
+      try { fn(spark, dir).count(); Right((System.nanoTime() - t0) / 1e9) }
       catch {
         case e: Throwable => Left(s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").take(160))
       }
     }
 
-    val targets = SparkEntry.queries.filter(_._1.startsWith("rel_"))
+    val targets = SparkEntry.queries.filter(_._1.startsWith(prefix))
       .toSeq.sortBy(_._1)
+    val tag = metric.stripSuffix("_total")
     val results = targets.map { case (name, fn) =>
       val cold = timed(fn)
       val before = settled()
       val warm = if (cold.isRight) timed(fn) else cold
       val mb = (settled() - before) / 1e6
-      println(f"[relstress] $name cold=${cold.fold(_ => -1.0, identity)}%.1fs " +
+      println(f"[$tag] $name cold=${cold.fold(_ => -1.0, identity)}%.1fs " +
         f"warm=${warm.fold(_ => -1.0, identity)}%.1fs shuffle=$mb%.1fMB" +
         cold.left.toOption.map(e => s" ERROR $e").getOrElse(""))
       (name, cold, warm, mb)
@@ -137,7 +157,6 @@ object RelStress {
     val ok = results.filter(_._2.isRight)
     val total = ok.map(_._2.getOrElse(0.0)).sum
     val warmTotal = ok.flatMap(_._3.toOption).sum
-    println(s"""{"metric":"relstress_total","value":$total,"unit":"sec","warm_total":$warmTotal,"scale":$scale,"n_errors":${results.size - ok.size},"queries":${jm(_._2)},"warm":${jm(_._3)},"warm_shuffle_mb":$shuffles,"errors":$errs}""")
-    spark.stop()
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","warm_total":$warmTotal,"scale":$scale,"n_errors":${results.size - ok.size},"queries":${jm(_._2)},"warm":${jm(_._3)},"warm_shuffle_mb":$shuffles,"errors":$errs}""")
   }
 }

@@ -87,7 +87,18 @@ object StreamingQueries {
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally sess.conf.set("spark.sql.shuffle.partitions", prev)
-    sess.table(name)
+    // Scope the sink rows' lifetime to the RETURNED DataFrame, not the
+    // JVM: the memory sink holds every emitted row on the driver heap,
+    // and leaving the temp view registered pins each run's full result
+    // forever — across a 22-query cold+warm sweep that accumulation is
+    // unbounded (measured: executor OOM at StreamStress 50×, ~40 sinks
+    // deep). Forcing analysis FIRST resolves the view into the plan, so
+    // the frame stays consumable (any number of times) after the drop,
+    // and GC reclaims the rows when the caller lets the frame go.
+    val out = sess.table(name)
+    out.queryExecution.analyzed
+    sess.catalog.dropTempView(name)
+    out
   }
 
   /** Run `body` with the RocksDB state-store provider AND changelog
