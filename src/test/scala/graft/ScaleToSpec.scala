@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the invariants of [[RelStress.scaleTo]]'s user-universe growth
+  * model, which both scale harnesses (RelStress, tools.StreamStress)
+  * and their committed BASELINE.md sweep tables rest on: a factor-k
+  * copy must multiply fact rows by exactly k, keep each replica's
+  * remapped keys DISJOINT (so fact-fact and windowed joins fan out
+  * linearly, never across replicas), preserve per-user behavior
+  * (event-time spans unshifted), and leave dimension tables
+  * byte-identical. A silent violation — overlapping key ranges, a
+  * shifted clock — would turn the sweeps' "linear growth" readings
+  * into fixture artifacts. */
+class ScaleToSpec extends AnyFunSuite with SparkTestSession {
+
+  private val src = "/root/testdata/sf0.001"
+  private lazy val out = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scaleto-spec-").toString
+    RelStress.scaleTo(spark, src, dir, scale = 3, cpus = 4)
+    dir
+  }
+
+  test("fact row counts multiply by exactly the factor") {
+    for (t <- Seq("orders", "lineitem", "events")) {
+      val n0 = Tables.load(spark, src, t).count()
+      assert(Tables.load(spark, out, t).count() == 3 * n0, t)
+    }
+  }
+
+  test("replica key ranges are disjoint and reconstruct the base") {
+    val base = Tables.load(spark, src, "events")
+    val stride = base.agg(max(col("event_id"))).head.getLong(0) + 1
+    val scaled = Tables.load(spark, out, "events")
+    // every scaled key maps back into the base range, 3 replicas deep
+    val reps = scaled
+      .select((col("event_id") / lit(stride)).cast("long").as("rep"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(reps == Seq(0L, 1L, 2L))
+    // replica 0 IS the base fact, bit-for-bit (same columns, same rows)
+    val cols = base.columns.sorted.map(col).toSeq
+    assert(scaled.filter(col("event_id") < stride).select(cols: _*)
+      .exceptAll(base.select(cols: _*)).isEmpty)
+  }
+
+  test("user universes are independent but event-time spans unshifted") {
+    val base = Tables.load(spark, src, "events")
+    val scaled = Tables.load(spark, out, "events")
+    val uStride = base.agg(max(col("user_id"))).head.getLong(0) + 1
+    // users partition into 3 disjoint populations of the base size
+    assert(scaled.select(countDistinct(col("user_id"))).head.getLong(0)
+      == 3 * base.select(countDistinct(col("user_id"))).head.getLong(0))
+    // each replica's time span equals the base span — no per-rep shift
+    val baseSpan = base.agg(min(col("ts")), max(col("ts"))).head
+    (0L until 3L).foreach { r =>
+      val span = scaled
+        .filter(col("user_id") >= r * uStride &&
+          col("user_id") < (r + 1) * uStride)
+        .agg(min(col("ts")), max(col("ts"))).head
+      assert(span == baseSpan, s"rep $r time span shifted")
+    }
+  }
+
+  test("dimension tables pass through byte-identical") {
+    for (t <- Seq("customer", "nation", "documents")) {
+      val a = java.nio.file.Paths.get(s"$src/$t.parquet")
+      val b = java.nio.file.Paths.get(s"$out/$t.parquet")
+      assert(java.nio.file.Files.exists(b), t)
+      assert(java.util.Arrays.equals(java.nio.file.Files.readAllBytes(a),
+        java.nio.file.Files.readAllBytes(b)), s"$t not byte-identical")
+    }
+  }
+}
