@@ -184,6 +184,15 @@ object StreamingQueries {
     } finally sess.conf.set("spark.sql.shuffle.partitions", prev)
     val rows = graft.sources.GraftGen.committed
       .getOrDefault(table, Vector.empty)
+    // Same lifetime discipline as runToMemory's sink views: the rows
+    // are copied into the returned LOCAL dataset, so drop the store
+    // entry (and its epoch-ledger keys) — each run here uses a fresh
+    // runSeq-suffixed table name, and without the removal every run's
+    // committed vector stays in the JVM-wide map forever (the
+    // memory-sink leak class, connector edition).
+    graft.sources.GraftGen.committed.remove(table)
+    graft.sources.GraftGen.committedEpochs.keySet()
+      .removeIf((k: String) => k.startsWith(table + "#"))
     import sess.implicits._
     sess.createDataset(rows).toDF("id", "text", "val")
   }

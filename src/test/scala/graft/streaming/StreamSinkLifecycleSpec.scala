@@ -29,6 +29,24 @@ class StreamSinkLifecycleSpec extends AnyFunSuite with SparkTestSession {
         s"${after.mkString(", ")} (before: $before)")
   }
 
+  test("a DSv2-sink registry run leaves no committed-store entry behind") {
+    val out = SparkEntry.queries("st_sink_append")(spark, dir)
+    val n = out.count()
+    assert(n > 0)
+    // the connector edition of the same class: runToGraftGen copies the
+    // committed rows into a local dataset and must drop the JVM-wide
+    // store entry (fresh runSeq table name per run → otherwise every
+    // run's vector is retained forever) plus its epoch-ledger keys
+    import scala.jdk.CollectionConverters._
+    val leftover = graft.sources.GraftGen.committed.keySet().asScala
+      .filter(_.startsWith("st_sink_"))
+    assert(leftover.isEmpty, s"committed store leaked: $leftover")
+    val ledger = graft.sources.GraftGen.committedEpochs.keySet().asScala
+      .filter(_.startsWith("st_sink_"))
+    assert(ledger.isEmpty, s"epoch ledger leaked: $ledger")
+    assert(out.count() == n) // still consumable after the removal
+  }
+
   test("the returned frame stays consumable after the view drop") {
     val out = SparkEntry.queries("st_window_agg")(spark, dir)
     // two actions + a derived frame: the resolved plan must not depend
