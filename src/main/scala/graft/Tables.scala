@@ -86,18 +86,41 @@ object Tables {
     * the superseded vintage), straight computation with NO cache
     * insert when the fingerprint is an error stamp. `onEvict` sees the
     * superseded value (release persisted state) and `onMiss` runs
-    * before compute (invalidate deeper cache layers). */
+    * before compute (invalidate deeper cache layers).
+    *
+    * Concurrency: single-flight PER KEY via a per-key monitor, never
+    * under the ConcurrentHashMap's bin lock — `compute` here can be a
+    * multi-minute Spark job (the dedup label build), and running it
+    * inside `CHM.compute` would block every unrelated key hashing to
+    * the same bin (and violate that method's short-and-simple
+    * contract). Two threads asking for the same key serialize (the
+    * second reuses the first's result); different keys never contend.
+    * The fast path is a lock-free read of a current entry. The monitor
+    * map grows one Object per distinct key — the same bounded key set
+    * as the cache itself. */
+  private val memoLocks =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, Object]()
+
   private[graft] def memoized[V](cache: java.util.concurrent.ConcurrentHashMap[
         String, (String, V)], key: String, fp: String)(compute: => V)(
-      onEvict: V => Unit = (_: V) => (), onMiss: () => Unit = () => ()): V =
-    if (isErrorFingerprint(fp)) { onMiss(); compute }
-    else cache.compute(key, (_, prev) =>
-      if (prev != null && prev._1 == fp) prev
+      onEvict: V => Unit = (_: V) => (), onMiss: () => Unit = () => ()): V = {
+    if (isErrorFingerprint(fp)) { onMiss(); return compute }
+    val fresh = cache.get(key)
+    if (fresh != null && fresh._1 == fp) return fresh._2
+    // monitors are scoped per (cache, key): the same path key in two
+    // DIFFERENT memo maps (ts-stats vs schema) must not serialize
+    memoLocks.computeIfAbsent((cache, key), _ => new Object).synchronized {
+      val prev = cache.get(key)
+      if (prev != null && prev._1 == fp) prev._2
       else {
         if (prev != null) onEvict(prev._2)
         onMiss()
-        (fp, compute)
-      })._2
+        val v = compute
+        cache.put(key, (fp, v))
+        v
+      }
+    }
+  }
 
   private val fpErrSeq = new java.util.concurrent.atomic.AtomicLong()
 

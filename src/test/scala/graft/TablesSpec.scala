@@ -273,6 +273,44 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(get("v2") == 2 && computes == 3, "the good vintage still serves")
   }
 
+  test("memoized: a long compute never blocks a DIFFERENT key, and same-key is single-flight") {
+    // the dedup label build runs minutes inside `compute` — it must
+    // hold only ITS key's monitor, never a structure-wide lock (the
+    // round-11 backlog caveat, closed). Deterministic schedule: key A's
+    // compute parks on a latch; key B must complete WHILE A is parked;
+    // a second key-A caller must reuse A's single computed value.
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+    val aEntered = new java.util.concurrent.CountDownLatch(1)
+    val aRelease = new java.util.concurrent.CountDownLatch(1)
+    val aComputes = new java.util.concurrent.atomic.AtomicInteger
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Tables.memoized(cache, "a", "fp")({
+          aEntered.countDown(); aRelease.await()
+          aComputes.incrementAndGet()
+        })()
+      })
+      assert(aEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      // B proceeds while A's compute is parked — would deadlock the
+      // 10 s get below if memoized serialized across keys
+      val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Tables.memoized(cache, "b", "fp")(42)()
+      })
+      assert(fb.get(10, java.util.concurrent.TimeUnit.SECONDS) == 42)
+      val fa2 = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Tables.memoized(cache, "a", "fp")({
+          aComputes.incrementAndGet()
+        })()
+      })
+      aRelease.countDown()
+      assert(fa.get(10, java.util.concurrent.TimeUnit.SECONDS) == 1)
+      assert(fa2.get(10, java.util.concurrent.TimeUnit.SECONDS) == 1,
+        "second same-key caller must reuse the in-flight result")
+      assert(aComputes.get == 1, "same key must compute exactly once")
+    } finally pool.shutdownNow()
+  }
+
   test("pathFingerprint on a listing error is a never-matching stamp, not a constant") {
     // two vintages whose listings both throw must NOT share a stable
     // key ('?') under which one could serve the other's cached
