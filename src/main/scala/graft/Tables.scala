@@ -101,6 +101,23 @@ object Tables {
   private val memoLocks =
     new java.util.concurrent.ConcurrentHashMap[AnyRef, Object]()
 
+  /** Monitor-map key with IDENTITY semantics for the cache reference:
+    * a plain `(cache, key)` tuple would delegate to the
+    * ConcurrentHashMap's own content-based hashCode, which CHANGES as
+    * entries come and go — a later lookup of the same (cache, key)
+    * could then miss the existing monitor (breaking single-flight) and
+    * leak a fresh Object per content state. `identityHashCode` is
+    * stable for an object's lifetime; equality is reference equality
+    * on the cache plus string equality on the key. */
+  private final class MemoLockKey(val cache: AnyRef, val key: String) {
+    override def hashCode: Int =
+      System.identityHashCode(cache) * 31 + key.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case m: MemoLockKey => (m.cache eq cache) && m.key == key
+      case _ => false
+    }
+  }
+
   private[graft] def memoized[V](cache: java.util.concurrent.ConcurrentHashMap[
         String, (String, V)], key: String, fp: String)(compute: => V)(
       onEvict: V => Unit = (_: V) => (), onMiss: () => Unit = () => ()): V = {
@@ -109,7 +126,8 @@ object Tables {
     if (fresh != null && fresh._1 == fp) return fresh._2
     // monitors are scoped per (cache, key): the same path key in two
     // DIFFERENT memo maps (ts-stats vs schema) must not serialize
-    memoLocks.computeIfAbsent((cache, key), _ => new Object).synchronized {
+    memoLocks.computeIfAbsent(new MemoLockKey(cache, key),
+        _ => new Object).synchronized {
       val prev = cache.get(key)
       if (prev != null && prev._1 == fp) prev._2
       else {

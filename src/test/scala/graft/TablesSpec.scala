@@ -308,6 +308,35 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       assert(fa2.get(10, java.util.concurrent.TimeUnit.SECONDS) == 1,
         "second same-key caller must reuse the in-flight result")
       assert(aComputes.get == 1, "same key must compute exactly once")
+
+      // single-flight must survive CACHE MUTATION between monitor
+      // acquisitions: the monitor key hashes the cache by IDENTITY — a
+      // content-based hash (a plain (cache, key) tuple) changes as
+      // entries land, so a later same-key caller would miss the parked
+      // thread's monitor and compute concurrently
+      val cEntered = new java.util.concurrent.CountDownLatch(1)
+      val cRelease = new java.util.concurrent.CountDownLatch(1)
+      val cComputes = new java.util.concurrent.atomic.AtomicInteger
+      val fc = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Tables.memoized(cache, "a", "fp2")({
+          cEntered.countDown(); cRelease.await()
+          cComputes.incrementAndGet(); 7
+        })()
+      })
+      assert(cEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      Tables.memoized(cache, "mutator", "fp")(99)() // content hash changes
+      val fc2 = pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = Tables.memoized(cache, "a", "fp2")({
+          cComputes.incrementAndGet(); 8
+        })()
+      })
+      cRelease.countDown()
+      assert(fc.get(10, java.util.concurrent.TimeUnit.SECONDS) == 7)
+      assert(fc2.get(10, java.util.concurrent.TimeUnit.SECONDS) == 7,
+        "post-mutation same-key caller must serialize behind the parked " +
+          "compute and reuse its result")
+      assert(cComputes.get == 1, "re-key must compute exactly once even " +
+        "after unrelated cache mutation")
     } finally pool.shutdownNow()
   }
 
