@@ -9,6 +9,10 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// surface deprecations at every compile (the main tree is warning-free
+// as of round 11; keep it that way without -Xfatal-warnings, which a
+// future Spark API deprecation would turn into a build break)
+ThisBuild / scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

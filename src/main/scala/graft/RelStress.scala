@@ -39,7 +39,7 @@ object RelStress {
   def scaleTo(spark: org.apache.spark.sql.SparkSession, src: String,
       out: String, scale: Int, cpus: Int): Unit = {
     val orders = Tables.load(spark, src, "orders")
-    val keyStride = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+    val keyStride = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
     val reps = broadcast(spark.range(scale).toDF("rep"))
 
     orders.crossJoin(reps)
@@ -73,8 +73,8 @@ object RelStress {
     // users simply have no customer row (probe-side growth with
     // misses, like late-arriving users before a dim refresh).
     val events = Tables.load(spark, src, "events")
-    val evStride = events.agg(max(col("event_id"))).head.getLong(0) + 1
-    val userStride = events.agg(max(col("user_id"))).head.getLong(0) + 1
+    val evStride = events.agg(max(col("event_id"))).head().getLong(0) + 1
+    val userStride = events.agg(max(col("user_id"))).head().getLong(0) + 1
     events.crossJoin(reps)
       .withColumn("event_id", col("event_id") + col("rep") * lit(evStride))
       .withColumn("user_id", col("user_id") + col("rep") * lit(userStride))

@@ -56,7 +56,7 @@ object StressSmoke {
 
     val emb = Tables.load(spark, src, "embeddings")
     val nVecs = emb.count()
-    val nLabels = emb.agg(max(col("label"))).head.getInt(0) + 1
+    val nLabels = emb.agg(max(col("label"))).head().getInt(0) + 1
     emb.crossJoin(broadcast(reps))
       .select(
         (col("vec_id") + col("rep") * lit(nVecs)).as("vec_id"),

@@ -264,14 +264,14 @@ object Tables {
         case LongType if isTsName(f.name) =>
           // the thunk defers the batch-side footer read to an actual
           // tsStatsCache miss — a warm loadStream never materializes it
-          def statsDf = statsSide.map(_.apply).getOrElse(
+          def statsDf = statsSide.map(_.apply()).getOrElse(
             if (df.isStreaming) sys.error(
               s"$source: streaming frame with int64 ts column `${f.name}` " +
                 "needs a batch stats side to sniff the epoch unit")
             else df)
           def compute: (Long, Long) = {
             val r = statsDf.agg(min(col(s"`${f.name}`")),
-              max(col(s"`${f.name}`"))).head
+              max(col(s"`${f.name}`"))).head()
             if (r.isNullAt(0)) {
               // Empty/all-null stats: fine for a BATCH frame (there are
               // no rows to convert, so the baked unit is never applied),

@@ -89,7 +89,7 @@ object CopyStaging {
       val aggs = checks.map { case (k, pred) =>
         sum(when(pred, 1L).otherwise(0L)).as(k)
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val row = df.agg(aggs.head, scala.collection.immutable.ArraySeq.unsafeWrapArray(aggs.tail): _*).head()
       checks.indices
         .map(i => checks(i)._1 -> (if (row.isNullAt(i)) 0L else row.getLong(i)))
         .filter(_._2 > 0).toMap

@@ -29,7 +29,7 @@ object CsvIO {
     try {
       val tmpDir = tmpRoot.toString + "/out"
       val engineCols = df.columns.filter(_.startsWith("_"))
-      val out = df.orderBy(col("_ord")).drop(engineCols: _*)
+      val out = df.orderBy(col("_ord")).drop(scala.collection.immutable.ArraySeq.unsafeWrapArray(engineCols): _*)
       out.write
         .option("header", false)
         .option("emptyValue", "")

@@ -46,7 +46,7 @@ object BloomRuntime {
     var i = 0
     while (i < numHashes) {
       val bit = java.lang.Math.floorMod(h1 + i * h2, nbits)
-      bits((bit >>> 3).toInt) = (bits((bit >>> 3).toInt) | (1 << (bit & 7)).toByte).toByte
+      bits((bit >>> 3).toInt) = (bits((bit >>> 3).toInt) | (1 << (bit & 7).toInt).toByte).toByte
       i += 1
     }
   }
@@ -71,7 +71,7 @@ object BloomRuntime {
     var i = 0
     while (i < numHashes) {
       val bit = java.lang.Math.floorMod(h1 + i * h2, nbits)
-      if (((sketch(4 + (bit >>> 3).toInt) >> (bit & 7)) & 1) == 0) return false
+      if (((sketch(4 + (bit >>> 3).toInt) >> (bit & 7).toInt) & 1) == 0) return false
       i += 1
     }
     true

@@ -151,7 +151,7 @@ object Butterfly {
     // one action: node count (degree-broadcast decision) + id/degree
     // ranges (packed-priority decision)
     val r = deg.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
-      max(col("id")).as("hi"), max(col("d")).as("dmax")).head
+      max(col("id")).as("hi"), max(col("d")).as("dmax")).head()
     val n = r.getLong(0)
     val small = n <= limit
     def bcast(df: DataFrame) = if (small) broadcast(df) else df
@@ -212,7 +212,7 @@ object Butterfly {
     * bound by construction and skip all bounded materialization. */
   private def dominatedWedgeBound(adj: DataFrame): Long = {
     val wb = adj.filter(col("px") > col("py"))
-      .agg(sum(col("dy") - 1).as("wb")).head
+      .agg(sum(col("dy") - 1).as("wb")).head()
     val b = if (wb.isNullAt(0)) 0L else wb.getLong(0)
     // non-ANSI sum wraps silently past 2^63; a wrapped (negative) bound
     // comes only from a graph astronomically past every cache budget,

@@ -250,7 +250,7 @@ object ConnectedComponents {
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(false)
     var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     var converged = false
     while (!converged) {
       val msgs = bi.join(labels, col("src") === col("id"))
@@ -259,7 +259,7 @@ object ConnectedComponents {
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .localCheckpoint(false)
       val after = next.agg(coalesce(sum(col("label")), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
       labels = next
       converged = after == prevSum
       prevSum = after

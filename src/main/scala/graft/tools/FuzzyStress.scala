@@ -45,7 +45,7 @@ object FuzzyStress {
 
     val base = Tables.load(spark, src, "customer")
       .select(col("c_custkey"), col("c_nationkey"))
-    val stride = base.agg(max(col("c_custkey"))).head.getLong(0) + 1
+    val stride = base.agg(max(col("c_custkey"))).head().getLong(0) + 1
 
     def scaled(s: Int): DataFrame =
       base.crossJoin(broadcast(spark.range(s).toDF("rep")))
@@ -56,7 +56,7 @@ object FuzzyStress {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
 
     def pairVolume(blocks: DataFrame): Long =
-      blocks.agg(sum(col("m") * (col("m") - 1))).head.getLong(0) / 2
+      blocks.agg(sum(col("m") * (col("m") - 1))).head().getLong(0) / 2
 
     val lines = scales.map { s =>
       val c = scaled(s).cache()

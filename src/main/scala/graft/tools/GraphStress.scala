@@ -59,7 +59,7 @@ object GraphStress {
       .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
       .distinct()
       .filter(pmod(xxhash64(col("c"), col("s")), lit(10)) === 0)
-    val mx = base.agg(max(col("s")), max(col("c"))).head
+    val mx = base.agg(max(col("s")), max(col("c"))).head()
     val (sStride, hubBase) = (mx.getLong(0) + 1, mx.getLong(1) + 1)
     val nHubs = 10
 
@@ -120,7 +120,7 @@ object GraphStress {
       // what the naive self-join on the shared customer would emit,
       // from the degree distribution — never materialized
       val naiveWedges = e.groupBy("c").agg(count(lit(1)).as("d"))
-        .agg(sum(expr("d * (d - 1) div 2"))).head.getLong(0)
+        .agg(sum(expr("d * (d - 1) div 2"))).head().getLong(0)
       // bipartite one-id-space encoding, as rel_graph_butterfly_vp
       val enc = e.select((col("c") * 2).as("src"),
         (col("s") * 2 + 1).as("dst"))
