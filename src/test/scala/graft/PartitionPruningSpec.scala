@@ -67,7 +67,7 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestSession {
     // ...and the touched partition fully replaced, not appended
     assert(after.filter(col("lang") === "en").count() == enOnly.count())
     assert(after.filter(col("lang") === "en")
-      .agg(min(col("n_chars"))).head.getLong(0) >= 1000000)
+      .agg(min(col("n_chars"))).head().getLong(0) >= 1000000)
   }
 
   test("dynamic partition pruning fires on a dim-filtered join") {
@@ -86,7 +86,7 @@ class PartitionPruningSpec extends AnyFunSuite with SparkTestSession {
     // predicate cannot be constant-propagated onto the join key as a
     // static partition filter — only a runtime subquery can prune
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-    val cutoff = counts.agg(max(col("n_docs"))).head.getLong(0)
+    val cutoff = counts.agg(max(col("n_docs"))).head().getLong(0)
     val dim = counts.filter(col("n_docs") === cutoff)
     assert(dim.count() < counts.count(),
       "fixture needs the cutoff to select a strict subset of langs")

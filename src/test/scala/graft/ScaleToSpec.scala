@@ -32,7 +32,7 @@ class ScaleToSpec extends AnyFunSuite with SparkTestSession {
 
   test("replica key ranges are disjoint and reconstruct the base") {
     val base = Tables.load(spark, src, "events")
-    val stride = base.agg(max(col("event_id"))).head.getLong(0) + 1
+    val stride = base.agg(max(col("event_id"))).head().getLong(0) + 1
     val scaled = Tables.load(spark, out, "events")
     // every scaled key maps back into the base range, 3 replicas deep
     val reps = scaled
@@ -48,17 +48,17 @@ class ScaleToSpec extends AnyFunSuite with SparkTestSession {
   test("user universes are independent but event-time spans unshifted") {
     val base = Tables.load(spark, src, "events")
     val scaled = Tables.load(spark, out, "events")
-    val uStride = base.agg(max(col("user_id"))).head.getLong(0) + 1
+    val uStride = base.agg(max(col("user_id"))).head().getLong(0) + 1
     // users partition into 3 disjoint populations of the base size
-    assert(scaled.select(countDistinct(col("user_id"))).head.getLong(0)
-      == 3 * base.select(countDistinct(col("user_id"))).head.getLong(0))
+    assert(scaled.select(countDistinct(col("user_id"))).head().getLong(0)
+      == 3 * base.select(countDistinct(col("user_id"))).head().getLong(0))
     // each replica's time span equals the base span — no per-rep shift
-    val baseSpan = base.agg(min(col("ts")), max(col("ts"))).head
+    val baseSpan = base.agg(min(col("ts")), max(col("ts"))).head()
     (0L until 3L).foreach { r =>
       val span = scaled
         .filter(col("user_id") >= r * uStride &&
           col("user_id") < (r + 1) * uStride)
-        .agg(min(col("ts")), max(col("ts"))).head
+        .agg(min(col("ts")), max(col("ts"))).head()
       assert(span == baseSpan, s"rep $r time span shifted")
     }
   }

@@ -29,8 +29,8 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(stream.schema == batch.schema) // incl. the nanos→µs ts dialect
     val streamed = drain(stream, "tables_ls_events")
     assert(streamed.count() == batch.count() && batch.count() > 0)
-    assert(streamed.agg(max("ts")).head.getTimestamp(0) ==
-      batch.agg(max("ts")).head.getTimestamp(0))
+    assert(streamed.agg(max("ts")).head().getTimestamp(0) ==
+      batch.agg(max("ts")).head().getTimestamp(0))
   }
 
   test("loadStream streams a directory of part files (the scale layout)") {

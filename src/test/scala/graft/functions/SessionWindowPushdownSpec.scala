@@ -33,7 +33,7 @@ class SessionWindowPushdownSpec extends AnyFunSuite with SparkTestSession {
   }
 
   private def mx = Tables.load(spark, "/root/testdata/sf0.001", "events")
-    .agg(max(col("ts"))).head.getTimestamp(0)
+    .agg(max(col("ts"))).head().getTimestamp(0)
 
   /** Filters beneath the plan's Aggregate vs above it. */
   private def split(df: org.apache.spark.sql.DataFrame) = {

@@ -13,7 +13,7 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
   private lazy val events = {
     val raw = Tables.load(spark, "/root/testdata/sf0.01", "events")
     val (maxId, maxUser) = {
-      val r = raw.agg(max("event_id"), max("user_id")).head
+      val r = raw.agg(max("event_id"), max("user_id")).head()
       (r.getLong(0), r.getLong(1))
     }
     raw.select(col("event_id"),
@@ -27,7 +27,7 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
       ZOrder.zValue(lit(1L), lit(0L)).as("z10"),
       ZOrder.zValue(lit(0L), lit(1L)).as("z01"),
       ZOrder.zValue(lit(65535L), lit(65535L)).as("zmax"),
-      ZOrder.zValue(lit(0xFFL), lit(0L)).as("zff")).head
+      ZOrder.zValue(lit(0xFFL), lit(0L)).as("zff")).head()
     assert(rows.getLong(0) == 0L)
     assert(rows.getLong(1) == 1L) // a in even bits
     assert(rows.getLong(2) == 2L) // b in odd bits
@@ -43,7 +43,7 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
       ZOrder.normalize16(lit(0L), big).as("lo"),
       ZOrder.normalize16(lit(big / 2), big).as("mid"),
       ZOrder.normalize16(lit(big), big).as("hi"),
-      ZOrder.normalize16(lit(1L << 50), big).as("past47")).head
+      ZOrder.normalize16(lit(1L << 50), big).as("past47")).head()
     assert(r.getLong(0) == 0L)
     assert(r.getLong(1) == 32767L || r.getLong(1) == 32768L)
     assert(r.getLong(2) == 65535L)
@@ -84,7 +84,7 @@ class ZOrderSpec extends AnyFunSuite with SparkTestSession {
     assert(zHit * 2 <= nFiles,
       s"z-layout should prune at least half the files, hit $zHit/$nFiles")
     // both layouts hold identical data
-    assert(spark.read.parquet(zDir).agg(sum("event_id")).head.getLong(0) ==
-      spark.read.parquet(aDir).agg(sum("event_id")).head.getLong(0))
+    assert(spark.read.parquet(zDir).agg(sum("event_id")).head().getLong(0) ==
+      spark.read.parquet(aDir).agg(sum("event_id")).head().getLong(0))
   }
 }

@@ -128,7 +128,7 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
       .linesIterator.find(_.contains("graftgen")).get
     assert(scanLine.contains("columns=val"), scanLine)
     val expected = (0 until 100).map(i => ((i * 7) % 100).toDouble / 10.0).sum
-    assert(df.head.getDouble(0) == expected)
+    assert(df.head().getDouble(0) == expected)
   }
 
   test("equality pushdown plans a single one-row partition") {
@@ -263,7 +263,7 @@ class GraftGenSpec extends AnyFunSuite with SparkTestSession {
       progress.map(_.numInputRows).mkString(","))
     val first = spark.read.parquet(out)
     assert(first.count() == 1000)
-    assert(first.agg(sum(col("id"))).head.getLong(0) == 499500L)
+    assert(first.agg(sum(col("id"))).head().getLong(0) == 499500L)
     // second incarnation from the same checkpoint: offsets are committed,
     // the bounded source is drained -> zero new rows, no re-emit
     runOnce()

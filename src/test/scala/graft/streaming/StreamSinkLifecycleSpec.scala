@@ -52,7 +52,8 @@ class StreamSinkLifecycleSpec extends AnyFunSuite with SparkTestSession {
     // two actions + a derived frame: the resolved plan must not depend
     // on the dropped catalog entry
     assert(out.count() == out.count())
-    assert(out.select(out.columns.map(org.apache.spark.sql.functions.col): _*)
-      .count() == out.count())
+    val cols = scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(out.columns.map(org.apache.spark.sql.functions.col))
+    assert(out.select(cols: _*).count() == out.count())
   }
 }

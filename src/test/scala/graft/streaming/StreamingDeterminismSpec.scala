@@ -156,7 +156,7 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("value_cents"))
-    val mx = events.agg(max(col("ts"))).head.getTimestamp(0)
+    val mx = events.agg(max(col("ts"))).head().getTimestamp(0)
     // noPushdown: a bare filter on the merged session end is pushed
     // below MergingSessions onto the per-row windows (unsound — it
     // fabricates shorter sessions; see SessionWindowPushdownSpec)
