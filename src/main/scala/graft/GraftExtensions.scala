@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankingFilterToTopK)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteDeferredBuild)
   }
 }

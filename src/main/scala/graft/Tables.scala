@@ -28,6 +28,11 @@ object Tables {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.RewriteRankingFilterToTopK
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.RewriteDeferredBuild))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RewriteDeferredBuild
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // Wide-string rows make the columnar cache's per-batch column

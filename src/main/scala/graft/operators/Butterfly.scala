@@ -1,8 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.plans.{DeferredBuild, RewriteDeferredBuild}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanShim
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Exact per-vertex butterfly (2×2 biclique) counting over a bipartite
@@ -98,6 +103,68 @@ object Butterfly {
   private def confLong(df: DataFrame, key: String, dflt: Long): Long =
     df.sparkSession.conf.getOption(key).map(_.toLong).getOrElse(dflt)
 
+  /** Persisted-entry registry, keyed by the canonicalized undirected-
+    * edge plan (one key per distinct edge set): every DataFrame this
+    * operator persists is recorded here at persist time, so
+    * [[releaseCaches]] unpersists EXACTLY what was cached — no
+    * re-derivation of the wedge plan (which would run the O(E) sizing
+    * aggregate) and no dependence on rebuilding an identical canonical
+    * plan under identical session confs (the ADVICE r11 caveat: a
+    * plan-shaping conf changed between build and release used to
+    * silently strand the original entries). Entries live until their
+    * edge set's release; a warm rebuild that finds its plan already
+    * cached registers nothing (the original run's frames already stand
+    * for those cache entries). Benign race: two concurrent cold builds
+    * of one edge set may register duplicate frames — release unpersists
+    * the same plan twice, the second a no-op. */
+  private val persistedCaches = new java.util.concurrent.ConcurrentHashMap[
+    LogicalPlan, List[DataFrame]]()
+
+  /** The registry key for an edge set: canonicalized analyzed plan of
+    * its undirected projection — analysis only, never a job, and
+    * independent of plan-shaping confs (the undirected plan is a
+    * project + distinct + union, no join to re-route), so build-time
+    * and release-time keys always agree. */
+  private def undKey(edges: DataFrame, aCol: String, bCol: String)
+      : LogicalPlan =
+    undirected(edges, aCol, bCol).queryExecution.analyzed.canonicalized
+
+  /** Test-only visibility: whether the registry holds persisted
+    * entries for this edge set (ButterflySpec pins the
+    * compose-free / release-complete lifecycle). */
+  private[operators] def hasPersistedEntries(edges: DataFrame,
+      aCol: String = "a", bCol: String = "b"): Boolean =
+    persistedCaches.containsKey(undKey(edges, aCol, bCol))
+
+  /** Fixed output schemas of the two public results — declared up
+    * front so [[deferred]] can hand callers a composable frame before
+    * any sizing job has chosen the plan shape behind it. Everything
+    * nullable (sum-over-empty is NULL; the built plan may be
+    * stricter). */
+  private val GlobalSchema =
+    StructType(Seq(StructField("butterflies", LongType)))
+  private val PerVertexSchema = StructType(Seq(
+    StructField("id", LongType), StructField("butterflies", LongType)))
+
+  /** Wrap a plan builder behind a [[graft.plans.DeferredBuild]] leaf
+    * (VERDICT r11 #5): the returned DataFrame is immediately
+    * composable — schema fixed, zero Spark jobs, zero cache
+    * registration — and `mk` runs exactly once, when the first action
+    * (or explain) forces Catalyst to optimize the query. The memo
+    * lives in the closure, not the node: each action clones the
+    * logical plan, and clones share only the closure. */
+  private def deferred(spark: SparkSession, schema: StructType,
+      label: String)(mk: => DataFrame): DataFrame = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteDeferredBuild))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDeferredBuild
+    lazy val inner: LogicalPlan = mk.queryExecution.optimizedPlan
+    PlanShim.ofRows(spark, DeferredBuild(
+      schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+        .toSeq,
+      label, () => inner))
+  }
+
   /** Priority-annotated undirected adjacency: (x, y, px, py, dy) with
     * px/py the ≻ comparators of each endpoint and dy the plain degree
     * of y (for the dominated-edge bound; pruned when unused). Runs ONE
@@ -129,19 +196,15 @@ object Butterfly {
     e.union(e.select(col("y"), col("x")))
   }
 
-  private def adjacency(edges: DataFrame, aCol: String, bCol: String,
-      cacheUnd: Boolean = true): DataFrame = {
+  private def adjacency(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
     // Standard persisted-Dataset semantics apply: the cache serves the
     // data vintage read at first materialization, so a caller that
     // REWRITES the files under `edges` mid-session must releaseCaches
     // first (the same staleness class Tables' ts-stats path
-    // fingerprint guards against for scan stats). cacheUnd=false
-    // builds the plan without (re)persisting — the releaseCaches path,
-    // which must not re-materialize what it is about to drop; an
-    // existing cache entry still serves the plan via the cache
-    // manager's subplan rewrite.
+    // fingerprint guards against for scan stats).
     val und0 = undirected(edges, aCol, bCol)
-    val und = if (cacheUnd) cachedIfCold(und0) else und0
+    val und = cachedIfCold(und0.queryExecution.analyzed.canonicalized, und0)
     val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
       .select(col("x").as("id"), col("d"))
 
@@ -220,10 +283,28 @@ object Butterfly {
     if (b < 0) Long.MaxValue else b
   }
 
-  private def cachedIfCold(df: DataFrame): DataFrame =
-    if (df.storageLevel == StorageLevel.NONE)
+  private def cachedIfCold(key: LogicalPlan, df: DataFrame): DataFrame = {
+    if (df.storageLevel == StorageLevel.NONE) {
       df.persist(StorageLevel.MEMORY_AND_DISK)
-    else df // warm rebuild of the same canonical plan: already cached
+      persistedCaches.compute(key, (_, old) =>
+        df :: (if (old == null) Nil else old))
+    } // else: warm rebuild of the same canonical plan — already cached
+      // AND already registered by the run that persisted it
+    df
+  }
+
+  /** Drop one cache this run decided against (the middle regime's pair
+    * table) from both the cache manager and the registry — matched by
+    * canonical plan, so a warm run dropping a frame a PREVIOUS run
+    * registered removes that run's entry too. */
+  private def unpersistAndDeregister(key: LogicalPlan, df: DataFrame): Unit = {
+    df.unpersist()
+    val canon = df.queryExecution.analyzed.canonicalized
+    persistedCaches.computeIfPresent(key, (_, l) => {
+      val rest = l.filterNot(_.queryExecution.analyzed.canonicalized == canon)
+      if (rest.isEmpty) null else rest
+    })
+  }
 
   /** Single-row global butterfly total. Every butterfly is enumerated
     * exactly once — from its ≻-maximal vertex u paired with its unique
@@ -242,100 +323,95 @@ object Butterfly {
     * either one twice) enumerates ONCE and serves every later run
     * from the bounded caches. Dense regimes skip the wedge/pair caches.
     *
-    * NOT a pure plan builder (ADVICE r10): calling this runs the
-    * adjacency-sizing and dominated-bound driver actions eagerly (two
-    * O(E) aggregates) and, in the bounded regime, registers lazy cache
-    * entries (≤ ~800 MB once materialized) plus the undirected edge
-    * cache as side effects — even if the returned DataFrame is never
-    * executed. Callers iterating over MANY graphs in one session
-    * should [[releaseCaches]] per graph. */
+    * A PURE plan builder since round 12 (VERDICT r11 #5): the returned
+    * frame is a [[graft.plans.DeferredBuild]] over the declared
+    * (butterflies BIGINT) schema — composing it runs ZERO Spark jobs
+    * and registers ZERO caches (spec-pinned in ButterflySpec). The
+    * adjacency-sizing and dominated-bound aggregates (and, in the
+    * bounded regime, the cache registrations) run once, at the first
+    * action that forces optimization. Callers iterating over MANY
+    * graphs in one session should still [[releaseCaches]] per graph
+    * once they have EXECUTED the queries. */
   def globalCount(edges: DataFrame, aCol: String = "a",
-      bCol: String = "b"): DataFrame = {
-    val adj = adjacency(edges, aCol, bCol)
-    val wd = wedgesFrom(adj)
-    val probeBound = confLong(edges, ProbePairBoundConf, DefaultProbePairBound)
-    val pc =
-      if (probeBound > 0 && dominatedWedgeBound(adj) / 2 <= probeBound)
-        cachedIfCold(pairCounts(cachedIfCold(wd)))
-      else pairCounts(wd)
-    pc.agg(sum(expr("k * (k - 1) div 2")).cast("long").as("butterflies"))
-  }
+      bCol: String = "b"): DataFrame =
+    deferred(edges.sparkSession, GlobalSchema, "butterfly_global") {
+      val key = undKey(edges, aCol, bCol)
+      val adj = adjacency(edges, aCol, bCol)
+      val wd = wedgesFrom(adj)
+      val probeBound =
+        confLong(edges, ProbePairBoundConf, DefaultProbePairBound)
+      val pc =
+        if (probeBound > 0 && dominatedWedgeBound(adj) / 2 <= probeBound)
+          cachedIfCold(key, pairCounts(cachedIfCold(key, wd)))
+        else pairCounts(wd)
+      pc.agg(sum(expr("k * (k - 1) div 2")).cast("long").as("butterflies"))
+    }
 
   /** (id, butterflies) for every vertex participating in at least one
     * butterfly — exact counts, both sides of the bipartition, via the
     * adaptive attribution described in the class doc: broadcast
     * join-back when the pair table is provably-then-actually small,
-    * windowed single-exchange otherwise. */
+    * windowed single-exchange otherwise. Like [[globalCount]], a pure
+    * plan builder: the probe runs at first execution, behind the
+    * deferred leaf. */
   def perVertexCounts(edges: DataFrame, aCol: String = "a",
-      bCol: String = "b"): DataFrame = {
-    val adj = adjacency(edges, aCol, bCol)
-    val wd = wedgesFrom(adj)
-    val probeBound = confLong(edges, ProbePairBoundConf, DefaultProbePairBound)
-    val bcastLimit =
-      confLong(edges, BroadcastPairLimitConf, DefaultBroadcastPairLimit)
-    if (probeBound > 0 && dominatedWedgeBound(adj) / 2 <= probeBound) {
-      // tier 2 — exact: materialize the wedge set AND its pair table
-      // once (both bounded by tier 1 — the dominated-edge sum bounds
-      // the wedge rows directly, so the cache is provably sized
-      // before anything is enumerated), count the pairs, and feed
-      // the SAME cached tables to the final plan. Rebuilds of the
-      // same query hit the plan-matched cache, so warm builds run
-      // ZERO enumeration — without the wedge cache, the broadcast
-      // join-back re-enumerated the wedge set every run, which was
-      // most of its warm cost (round-10 probe: ~5.6 of 10.5 s).
-      val wdP = cachedIfCold(wd)
-      val pc = cachedIfCold(pairCounts(wdP))
-      val pairs = pc.count()
-      if (pairs <= bcastLimit) return attributeBroadcast(wdP, pc)
-      // middle regime (bounded but too big to broadcast): drop only the
-      // pair table — the windowed shape re-derives k itself — and keep
-      // the ALREADY-MATERIALIZED wedge cache feeding it, instead of
-      // re-enumerating the full wedge set in exactly the path where the
-      // probe guessed wrong (ADVICE r10). The wedge cache is tier-1
-      // bounded; [[releaseCaches]] is its lifecycle, as everywhere.
-      pc.unpersist()
-      return attributeWindowed(wdP)
+      bCol: String = "b"): DataFrame =
+    deferred(edges.sparkSession, PerVertexSchema, "butterfly_pervertex") {
+      val key = undKey(edges, aCol, bCol)
+      val adj = adjacency(edges, aCol, bCol)
+      val wd = wedgesFrom(adj)
+      val probeBound =
+        confLong(edges, ProbePairBoundConf, DefaultProbePairBound)
+      val bcastLimit =
+        confLong(edges, BroadcastPairLimitConf, DefaultBroadcastPairLimit)
+      if (probeBound > 0 && dominatedWedgeBound(adj) / 2 <= probeBound) {
+        // tier 2 — exact: materialize the wedge set AND its pair table
+        // once (both bounded by tier 1 — the dominated-edge sum bounds
+        // the wedge rows directly, so the cache is provably sized
+        // before anything is enumerated), count the pairs, and feed
+        // the SAME cached tables to the final plan. Rebuilds of the
+        // same query hit the plan-matched cache, so warm builds run
+        // ZERO enumeration — without the wedge cache, the broadcast
+        // join-back re-enumerated the wedge set every run, which was
+        // most of its warm cost (round-10 probe: ~5.6 of 10.5 s).
+        val wdP = cachedIfCold(key, wd)
+        val pc = cachedIfCold(key, pairCounts(wdP))
+        val pairs = pc.count()
+        if (pairs <= bcastLimit) attributeBroadcast(wdP, pc)
+        else {
+          // middle regime (bounded but too big to broadcast): drop only
+          // the pair table — the windowed shape re-derives k itself —
+          // and keep the ALREADY-MATERIALIZED wedge cache feeding it,
+          // instead of re-enumerating the full wedge set in exactly the
+          // path where the probe guessed wrong (ADVICE r10). The wedge
+          // cache is tier-1 bounded; [[releaseCaches]] is its
+          // lifecycle, as everywhere.
+          unpersistAndDeregister(key, pc)
+          attributeWindowed(wdP)
+        }
+      } else attributeWindowed(wd)
     }
-    attributeWindowed(wd)
-  }
 
   /** Release every bounded cache [[globalCount]] / [[perVertexCounts]]
-    * may have persisted for THIS edge set (the undirected adjacency,
-    * the wedge set, the pair table) — the lifecycle hook for long-lived
-    * sessions iterating over many graphs, where per-graph entries would
-    * otherwise accumulate until `spark.catalog.clearCache()` (which
-    * would also evict unrelated caches). Unpersisting is by
-    * canonicalized-plan match, so this is a no-op for plans never
-    * cached. Rebuilding the wedge plan re-runs the sizing action (a
-    * 1-row result whose scan is O(E) — served from the still-live und
-    * cache in the normal release path, a plain scan when nothing was
-    * cached); `cacheUnd = false` keeps this from re-materializing the
-    * very cache it is dropping. Blocking so storage is actually free
-    * on return.
-    *
-    * When nothing was ever cached for this edge set the undirected-plan
-    * probe (a cache-manager lookup, NO action) short-circuits the
-    * whole release — the wedge/pair caches only ever exist above a live
-    * undirected cache, so rebuilding their plans (which runs the O(E)
-    * sizing aggregate) would be pure waste (ADVICE r10).
-    *
-    * Caveat: unpersist matches by CANONICALIZED PLAN, and the wedge
-    * plan bakes in plan-shaping confs read at build time
-    * (`spark.graft.pagerank.broadcastNodeLimit` routes the degree
-    * joins through broadcast or shuffle). A caller that changes such a
-    * conf between build and release rebuilds a DIFFERENT plan and the
-    * original entries stay cached — release with the same session
-    * confs the build ran under. */
+    * / [[wedges]] persisted for THIS edge set (the undirected
+    * adjacency, the wedge set, the pair table) — the lifecycle hook for
+    * long-lived sessions iterating over many graphs, where per-graph
+    * entries would otherwise accumulate until
+    * `spark.catalog.clearCache()` (which would also evict unrelated
+    * caches). Releases through the [[persistedCaches]] registry (ADVICE
+    * r11): the EXACT frames that were persisted are unpersisted, so the
+    * release runs zero jobs in every case (the registry key is an
+    * analysis-only canonical plan), never rebuilds the wedge plan, and
+    * no longer depends on re-deriving an identical plan under identical
+    * session confs — a plan-shaping conf changed since build (e.g.
+    * `spark.graft.pagerank.broadcastNodeLimit`) can no longer strand
+    * entries. A never-cached edge set has no registry entry and the
+    * release is a pure map lookup. Blocking so storage is actually
+    * free on return. */
   def releaseCaches(edges: DataFrame, aCol: String = "a",
-      bCol: String = "b"): Unit = {
-    val und = undirected(edges, aCol, bCol)
-    if (und.storageLevel == StorageLevel.NONE) return
-    val adj = adjacency(edges, aCol, bCol, cacheUnd = false)
-    val wd = wedgesFrom(adj)
-    pairCounts(wd).unpersist(blocking = true)
-    wd.unpersist(blocking = true)
-    und.unpersist(blocking = true)
-  }
+      bCol: String = "b"): Unit =
+    Option(persistedCaches.remove(undKey(edges, aCol, bCol)))
+      .foreach(_.foreach(_.unpersist(blocking = true)))
 
   /** Broadcast attribution: the CACHED wedge set is joined map-side
     * against the cached-and-broadcast k ≥ 2 pair table — it is never

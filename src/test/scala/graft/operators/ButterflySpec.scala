@@ -163,9 +163,12 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val edges = (for { a <- 1L to 20L; b <- 101L to 115L
         if (a * 7 + b) % 3 != 0 } yield (a, b)).toDF("a", "b")
+      // executedPlan forced INSIDE withConf: the deferred build reads
+      // plan-shaping confs when the plan is first demanded, not when
+      // the frame is composed
       val p = withConf(Butterfly.ProbePairBoundConf, "0") {
-        Butterfly.perVertexCounts(edges)
-      }.queryExecution.executedPlan.toString
+        Butterfly.perVertexCounts(edges).queryExecution.executedPlan.toString
+      }
       val wedgeExchanges = p.linesIterator.count(l =>
         l.contains("Exchange hashpartitioning(u") &&
           !l.contains("ReusedExchange"))
@@ -253,6 +256,58 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
           org.apache.spark.storage.StorageLevel.NONE,
         "windowed fallback must keep the probe's wedge cache")
     } finally Butterfly.releaseCaches(edges)
+  }
+
+  test("globalCount/perVertexCounts compose with zero jobs and zero caches (VERDICT r11 #5)") {
+    // plan composition must be free: the sizing aggregates, the
+    // dominated-edge bound, and the probe all defer to the first
+    // action, and nothing is persisted or registered until then
+    import spark.implicits._
+    val edges = Seq(31L -> 901L, 31L -> 902L, 32L -> 901L, 32L -> 902L)
+      .toDF("a", "b")
+    val group = "bf-lazy-build"
+    spark.sparkContext.setJobGroup(group, "ButterflySpec")
+    val (g, pv) = try {
+      (Butterfly.globalCount(edges), Butterfly.perVertexCounts(edges))
+    } finally spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "plan composition must run zero Spark jobs")
+    assert(!Butterfly.hasPersistedEntries(edges),
+      "plan composition must register zero caches")
+    // the frames are fully composable before execution: fixed schema,
+    // downstream operators resolve against it
+    assert(g.columns.toSeq == Seq("butterflies"))
+    assert(pv.columns.toSeq == Seq("id", "butterflies"))
+    val derived = pv.filter(org.apache.spark.sql.functions.col("id") < 900L)
+      .orderBy("id")
+    // first action pays the deferred sizing/probe work, results exact
+    assert(g.collect()(0).getLong(0) == 1L)
+    assert(derived.collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      == Seq(31L -> 1L, 32L -> 1L))
+    assert(pv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(31L -> 1L, 32L -> 1L, 901L -> 1L, 902L -> 1L))
+    assert(Butterfly.hasPersistedEntries(edges),
+      "execution in the bounded regime registers its caches")
+    Butterfly.releaseCaches(edges)
+    assert(!Butterfly.hasPersistedEntries(edges))
+  }
+
+  test("releaseCaches survives plan-shaping conf changes between build and release") {
+    // ADVICE r11: release used to re-derive the wedge plan under the
+    // CURRENT confs and unpersist by canonical-plan match — a conf
+    // changed since build rebuilt a different plan and stranded the
+    // original entries. The registry releases the exact frames that
+    // were persisted, so the conf change is irrelevant.
+    import spark.implicits._
+    val edges = Seq(41L -> 911L, 41L -> 912L, 42L -> 911L, 42L -> 912L)
+      .toDF("a", "b")
+    Butterfly.perVertexCounts(edges).collect()
+    assert(Butterfly.hasPersistedEntries(edges))
+    withConf("spark.graft.pagerank.broadcastNodeLimit", "0") {
+      Butterfly.releaseCaches(edges)
+    }
+    assert(!Butterfly.hasPersistedEntries(edges),
+      "a conf change between build and release must not strand entries")
   }
 
   test("releaseCaches on a never-cached graph runs zero jobs") {
