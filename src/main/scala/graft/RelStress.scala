@@ -109,13 +109,25 @@ object RelStress {
     * sequential, so the global task-end counter attributes cleanly. */
   def sweep(spark: org.apache.spark.sql.SparkSession, dir: String,
       prefix: String, metric: String, scale: Int): Unit = {
+    // counter + listener are PER CALL and detached in the finally below
+    // (ADVICE r11): a second sweep on the same session (the two-family
+    // harnesses, or an engine-vs-harness A/B pair) must not leave the
+    // first sweep's listener double-counting into a shared counter
     val shuffleBytes = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try sweepWith(spark, dir, prefix, metric, scale, shuffleBytes)
+    finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def sweepWith(spark: org.apache.spark.sql.SparkSession, dir: String,
+      prefix: String, metric: String, scale: Int,
+      shuffleBytes: AtomicLong): Unit = {
     def settled(): Long = {
       var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
       while (cur != prev && spins < 40) {

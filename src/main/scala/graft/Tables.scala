@@ -136,7 +136,14 @@ object Tables {
       val prev = cache.get(key)
       if (prev != null && prev._1 == fp) prev._2
       else {
-        if (prev != null) onEvict(prev._2)
+        // REMOVE before evicting (ADVICE r11): onEvict releases the
+        // superseded value's persisted state, so if `compute` then
+        // throws, an entry left in place would be evicted-but-present —
+        // its old fingerprint still valid-looking while its storage is
+        // gone, and a retry would run onEvict on the same value twice
+        // (double unpersist). With the entry removed first, a failed
+        // recompute leaves a clean miss and the retry sees prev == null.
+        if (prev != null) { cache.remove(key); onEvict(prev._2) }
         onMiss()
         val v = compute
         cache.put(key, (fp, v))
@@ -144,6 +151,34 @@ object Tables {
       }
     }
   }
+
+  /** Release a memo entry AND its monitor (VERDICT r11 #6): the cache
+    * entry is removed and returned (caller unpersists any held state),
+    * and the matching [[memoLocks]] monitor is dropped with it — taken
+    * first, so an in-flight compute for the same key finishes before
+    * the release, and removed while held (safe: computeIfAbsent hands
+    * later callers a FRESH monitor). The monitor map thereafter holds
+    * nothing for a released (cache, key), restoring O(live entries)
+    * instead of O(all keys ever seen). Benign race: a caller that
+    * fetched the old monitor just before this release re-creates one
+    * and may recompute alongside a post-release caller — duplicate
+    * work once, never a stale or double-released value. */
+  private[graft] def releaseMemo[V](cache: java.util.concurrent.ConcurrentHashMap[
+      String, (String, V)], key: String): Option[V] = {
+    val lk = new MemoLockKey(cache, key)
+    val monitor = memoLocks.get(lk)
+    if (monitor == null) Option(cache.remove(key)).map(_._2)
+    else monitor.synchronized {
+      memoLocks.remove(lk)
+      Option(cache.remove(key)).map(_._2)
+    }
+  }
+
+  /** Test-only visibility: whether a monitor is currently held in the
+    * lock map for (cache, key) — TablesSpec pins that [[releaseMemo]]
+    * drops it. */
+  private[graft] def memoLockExists(cache: AnyRef, key: String): Boolean =
+    memoLocks.containsKey(new MemoLockKey(cache, key))
 
   private val fpErrSeq = new java.util.concurrent.atomic.AtomicLong()
 

@@ -227,8 +227,11 @@ object DedupQueries {
     * return. */
   def releaseMemos(s: SparkSession, dir: String): Unit = {
     val path = s"$dir/documents.parquet"
-    Option(labelsCache.remove(s"${sessionId(s)}/$path"))
-      .foreach(_._2.unpersist(blocking = true))
+    // releaseMemo drops the entry AND its per-key monitor (VERDICT r11
+    // #6) — a long-lived session releasing many corpora must not retain
+    // one Object per key it ever memoized
+    graft.Tables.releaseMemo(labelsCache, s"${sessionId(s)}/$path")
+      .foreach(_.unpersist(blocking = true))
     // same canonical-plan unpersist discipline as Butterfly: the lazy
     // re-persist inside the builder materializes nothing before the
     // unpersist drops the entry

@@ -97,7 +97,7 @@ object TextQueries {
     * memoized merge table for `dir`. Driver-side rows only — nothing
     * persisted to release. */
   def releaseMemos(dir: String): Unit =
-    bpeCache.remove(s"$dir/documents.parquet#m$TrainMerges")
+    graft.Tables.releaseMemo(bpeCache, s"$dir/documents.parquet#m$TrainMerges")
 
   /** As [[bpeTrain]], but also returns the raw per-step
     * (placeholder-form pair, placeholder) list — what [[td_bpe_encode]]
@@ -145,17 +145,25 @@ object TextQueries {
     val localLimit = docs.sparkSession.conf
       .getOption(LocalVocabLimitConf).map(_.toInt)
       .getOrElse(DefaultLocalVocabLimit)
+    // the vocab table is cached BEFORE the size probe: both outcomes
+    // consume it (the local path collects it, the distributed loop
+    // iterates over it), so the probe's materialization is never wasted
+    val wordFreq = wordFreq0.cache()
     if (localLimit > 0) {
-      // limit(n+1) returns min(n+1, total) rows: ≤ n rows back means
-      // this IS the whole vocabulary (order irrelevant — the trainer
-      // aggregates), one job instead of a count() action plus a
-      // second full collect
-      val head = wordFreq0.limit(localLimit + 1).collect()
-      if (head.length <= localLimit)
+      // probe with a count over limit(n+1) — min(n+1, total), ≤ n means
+      // this IS the whole vocabulary. The count moves ZERO row data to
+      // the driver, so the over-the-bound case (real corpora: hundreds
+      // of millions of distinct tokens) no longer collects-and-discards
+      // up to ~1M (word, freq) rows just to learn it must stay
+      // distributed (ADVICE r11); the under-the-bound collect below
+      // reads the just-cached aggregate, not a recompute.
+      if (wordFreq.limit(localLimit + 1).count() <= localLimit) {
+        val head = wordFreq.collect()
+        wordFreq.unpersist()
         return bpeTrainLocal(
           head.map(r => (r.getString(0), r.getLong(1))), numMerges)
+      }
     }
-    val wordFreq = wordFreq0.cache()
     def bestPair(repr: DataFrame): Option[(String, Long)] =
       repr
         .filter(length(col("repr")) >= 2)

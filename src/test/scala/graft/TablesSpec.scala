@@ -273,6 +273,46 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(get("v2") == 2 && computes == 3, "the good vintage still serves")
   }
 
+  test("memoized: a failed recompute never leaves an evicted-but-present entry") {
+    // ADVICE r11: onEvict releases the superseded value's persisted
+    // state, so if compute then throws, an entry left in place would
+    // look valid under its old fingerprint while its storage is gone —
+    // and a retry would fire onEvict on the same value twice (double
+    // unpersist). The entry must be REMOVED before onEvict runs.
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+    val evicts = scala.collection.mutable.ArrayBuffer[Int]()
+    Tables.memoized(cache, "k", "v1")(1)(onEvict = evicts += _)
+    intercept[RuntimeException] {
+      Tables.memoized(cache, "k", "v2")(
+        sys.error("compute failed"): Int)(onEvict = evicts += _)
+    }
+    assert(evicts.toSeq == Seq(1), "the superseded value evicts exactly once")
+    assert(!cache.containsKey("k"),
+      "a failed recompute must leave a clean miss, not a stale entry " +
+        "whose persisted state was already released")
+    // the retry recomputes from scratch and must NOT re-evict value 1
+    assert(Tables.memoized(cache, "k", "v2")(2)(onEvict = evicts += _) == 2)
+    assert(evicts.toSeq == Seq(1), "no double eviction on retry")
+  }
+
+  test("releaseMemo drops the entry AND its per-key monitor (VERDICT r11 #6)") {
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+    assert(Tables.memoized(cache, "k", "v1")(7)() == 7)
+    assert(Tables.memoLockExists(cache, "k"),
+      "a computed entry holds a monitor while live")
+    assert(Tables.releaseMemo(cache, "k").contains(7),
+      "release must hand back the value so callers can unpersist it")
+    assert(!cache.containsKey("k"))
+    assert(!Tables.memoLockExists(cache, "k"),
+      "the lock map must hold no entry for a released (cache, key)")
+    // releasing a never-memoized key is a no-op, not an NPE
+    assert(Tables.releaseMemo(cache, "never").isEmpty)
+    // the key stays fully usable after release: fresh monitor, fresh value
+    assert(Tables.memoized(cache, "k", "v1")(8)() == 8)
+    assert(Tables.memoLockExists(cache, "k"))
+    Tables.releaseMemo(cache, "k")
+  }
+
   test("memoized: a long compute never blocks a DIFFERENT key, and same-key is single-flight") {
     // the dedup label build runs minutes inside `compute` — it must
     // hold only ITS key's monitor, never a structure-wide lock (the
