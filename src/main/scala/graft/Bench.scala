@@ -293,17 +293,25 @@ object Bench {
   }
 
   /** Heap-aging guard for per-query warm timings: when the first warm
-    * run exceeds 1.5× its own cold (r8 evidence: rel_pivot 1.44 → 6.97 s
-    * warm on an idle box, pure JVM aging), take the min with ONE
+    * run exceeds its own cold AT ALL, take the min with ONE
     * re-measurement (the caller GCs first, mirroring the canary's
-    * min-after-GC discipline). Within the bound, or on any error, the
-    * first warm stands — the retry only spends time where the number
-    * would otherwise be unusable. */
+    * min-after-GC discipline). A warm run has the cold run's plan,
+    * codegen, and caches already in place — it should essentially never
+    * be the slower of the two, so any inversion is measurement noise
+    * (JVM heap aging, a GC landing mid-query) until the re-run says
+    * otherwise. The original 1.5× threshold (r8 evidence: rel_pivot
+    * 1.44 → 6.97 s warm on an idle box) let moderate inversions
+    * through: labelprop's 5.67 warm vs 4.12 cold (1.38×) escaped
+    * re-measure and cost a cross-round watch cycle as a phantom
+    * regression (VERDICT r11 #2) — now it settles in-run. Below cold,
+    * or on any error, the first warm stands — the retry only spends
+    * time where the number would otherwise be unusable, and a genuinely
+    * regressed query stays slow on the re-run and is reported as is. */
   private[graft] def settledWarm(cold: Either[String, Double],
       warm0: Either[String, Double],
       rerun: () => Either[String, Double]): Either[String, Double] =
     (cold, warm0) match {
-      case (Right(c), Right(w)) if w > c * 1.5 =>
+      case (Right(c), Right(w)) if w > c =>
         rerun() match {
           case Right(w2) => Right(math.min(w, w2))
           case _ => warm0

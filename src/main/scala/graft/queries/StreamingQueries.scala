@@ -75,6 +75,25 @@ object StreamingQueries {
     * `sparkSession.newSession()` per streaming run instead — not done
     * today because the memory-sink table and downstream joins would
     * then live in different analyzer sessions. */
+  /** Engine-vs-harness A/B knob (VERDICT r11 #1):
+    * `spark.graft.stream.sink=noop` routes every streaming run here
+    * through Spark's NOOP sink instead of the memory/DSv2 sink and
+    * returns an EMPTY frame of the sink's schema. The full streaming
+    * plan — file source, state machinery, micro-batch commit protocol —
+    * still runs; what disappears is exactly the driver-side collection
+    * of the emitted rows that only the oracle/verification harness
+    * needs (a production job writes a distributed sink and never pays
+    * it). StreamStress runs each scale rung in both modes so the
+    * committed tables separate state-machinery cost from
+    * harness-collection cost; correctness runs never set the conf. */
+  private def noopSink(sess: SparkSession): Boolean =
+    sess.conf.getOption("spark.graft.stream.sink").contains("noop")
+
+  private def emptyLike(sess: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    sess.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val sess = df.sparkSession
@@ -83,10 +102,18 @@ object StreamingQueries {
       .getOrElse(DefaultStateParts)
     sess.conf.set("spark.sql.shuffle.partitions", stateParts)
     try withoutCompleteModeNoDataBatch(sess, mode) {
-      val q = df.writeStream.format("memory").queryName(name)
-        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      val q =
+        if (noopSink(sess))
+          df.writeStream.format("noop")
+            .option("checkpointLocation", java.nio.file.Files
+              .createTempDirectory("graft-noop-ck-").toString)
+            .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        else
+          df.writeStream.format("memory").queryName(name)
+            .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally sess.conf.set("spark.sql.shuffle.partitions", prev)
+    if (noopSink(sess)) return emptyLike(sess, df.schema)
     // Scope the sink rows' lifetime to the RETURNED DataFrame, not the
     // JVM: the memory sink holds every emitted row on the driver heap,
     // and leaving the temp view registered pins each run's full result
@@ -174,10 +201,14 @@ object StreamingQueries {
     val stateParts = sess.conf.getOption("spark.graft.stream.statePartitions")
       .getOrElse(DefaultStateParts)
     sess.conf.set("spark.sql.shuffle.partitions", stateParts)
+    // noop A/B (see [[noopSink]]): the committed store is this
+    // connector's in-JVM stand-in for an external system — engine-only
+    // measurement drops it with the sink, same as the memory sink legs
+    val sinkFmt = if (noopSink(sess)) "noop" else "graftgen"
     try withoutCompleteModeNoDataBatch(sess, mode) {
       val ck = java.nio.file.Files
         .createTempDirectory("graft-dsv2-sink-ck-").toString
-      val q = df.writeStream.format("graftgen").option("table", table)
+      val q = df.writeStream.format(sinkFmt).option("table", table)
         .option("checkpointLocation", ck).outputMode(mode)
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

@@ -26,7 +26,17 @@ import graft.{RelStress, Tables}
   * operator would watch to decide when to re-shard. Pass a 4th arg to
   * override for an A/B.
   *
+  * A 5th arg `noop` runs the sweep ENGINE-ONLY (VERDICT r11 #1):
+  * every query's streaming plan runs through Spark's noop sink via
+  * `spark.graft.stream.sink=noop`, so the committed scale tables can
+  * separate state-machinery cost from the memory-sink collection the
+  * oracle harness pays (and a production sink never does). Run each
+  * (rung, mode) in its own JVM so neither sweep warms the other; the
+  * metric name distinguishes the records
+  * (`streamstress_engine_total` vs `streamstress_total`).
+  *
   * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.StreamStress 10" }}}
+  * {{{ sbt "runMain graft.tools.StreamStress 10 /root/testdata/sf0.1 /tmp/x10 4 noop" }}}
   */
 object StreamStress {
 
@@ -38,10 +48,14 @@ object StreamStress {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark =
       Tables.pinDialect(Tables.localSession("graft-streamstress", cpus))
-    if (args.length > 3)
+    if (args.length > 3 && args(3).nonEmpty)
       spark.conf.set("spark.graft.stream.statePartitions", args(3))
+    val engineOnly = args.length > 4 && args(4) == "noop"
+    if (engineOnly) spark.conf.set("spark.graft.stream.sink", "noop")
     RelStress.scaleTo(spark, src, out, scale, cpus.toInt)
-    RelStress.sweep(spark, out, "st_", "streamstress_total", scale)
+    RelStress.sweep(spark, out, "st_",
+      if (engineOnly) "streamstress_engine_total" else "streamstress_total",
+      scale)
     spark.stop()
   }
 }
