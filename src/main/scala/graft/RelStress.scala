@@ -36,6 +36,23 @@ object RelStress {
     * replicated with consistent key remaps, dims byte-copied. Shared
     * with [[graft.tools.StreamStress]] so both layers stress the SAME
     * growth model. */
+  /** [[scaleTo]], skipped when `out` already holds a completed copy at
+    * this exact (src, scale) — marked by the sentinel [[scaleTo]]
+    * writes LAST, so a crashed half-write never passes for done. Lets
+    * an A/B pair of single-JVM sweeps (e.g. StreamStress verify vs
+    * noop) share one generated directory instead of regenerating the
+    * 50× copy per mode. */
+  def scaleToIfAbsent(spark: org.apache.spark.sql.SparkSession, src: String,
+      out: String, scale: Int, cpus: Int): Unit = {
+    if (!java.nio.file.Files.exists(markerPath(out, src, scale)))
+      scaleTo(spark, src, out, scale, cpus)
+  }
+
+  private def markerPath(out: String, src: String, scale: Int)
+      : java.nio.file.Path =
+    java.nio.file.Paths.get(
+      s"$out/_graft_scaled_${scale}x_${src.replaceAll("[^A-Za-z0-9.]", "_")}")
+
   def scaleTo(spark: org.apache.spark.sql.SparkSession, src: String,
       out: String, scale: Int, cpus: Int): Unit = {
     val orders = Tables.load(spark, src, "orders")
@@ -100,6 +117,15 @@ object RelStress {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
     }
+    // completion sentinel, written last (see scaleToIfAbsent); a
+    // re-scale to a DIFFERENT factor into the same dir overwrites the
+    // data and leaves only its own marker valid
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+    try listing.filter(p =>
+        p.getFileName.toString.startsWith("_graft_scaled_"))
+      .forEach(java.nio.file.Files.delete(_))
+    finally listing.close()
+    java.nio.file.Files.createFile(markerPath(out, src, scale))
   }
 
   /** Time every registry query whose name starts with `prefix` against

@@ -52,7 +52,7 @@ object StreamStress {
       spark.conf.set("spark.graft.stream.statePartitions", args(3))
     val engineOnly = args.length > 4 && args(4) == "noop"
     if (engineOnly) spark.conf.set("spark.graft.stream.sink", "noop")
-    RelStress.scaleTo(spark, src, out, scale, cpus.toInt)
+    RelStress.scaleToIfAbsent(spark, src, out, scale, cpus.toInt)
     RelStress.sweep(spark, out, "st_",
       if (engineOnly) "streamstress_engine_total" else "streamstress_total",
       scale)
