@@ -177,8 +177,20 @@ object RelStress {
     val results = targets.map { case (name, fn) =>
       val cold = timed(fn)
       val before = settled()
-      val warm = if (cold.isRight) timed(fn) else cold
+      val warm0 = if (cold.isRight) timed(fn) else cold
+      // shuffle window closes around the FIRST warm run only — the
+      // settle re-run below would otherwise double-count this query's
+      // warm shuffle into its own column
       val mb = (settled() - before) / 1e6
+      // same warm discipline as the bench (Bench.settledWarm): any
+      // warm > cold is JVM noise until a GC'd re-run says otherwise —
+      // at stress scales the COLD run's collected sink rows (verify
+      // mode: ~10M at the 100× rung) become garbage exactly when the
+      // warm run starts, so un-settled warm readings bill the cold
+      // run's GC debt to the warm number (observed: sessionize
+      // 21.8 cold → 28.3 warm at 100×/p16 verify, r12)
+      val warm = Bench.settledWarm(cold, warm0,
+        () => { System.gc(); timed(fn) })
       println(f"[$tag] $name cold=${cold.fold(_ => -1.0, identity)}%.1fs " +
         f"warm=${warm.fold(_ => -1.0, identity)}%.1fs shuffle=$mb%.1fMB" +
         cold.left.toOption.map(e => s" ERROR $e").getOrElse(""))
