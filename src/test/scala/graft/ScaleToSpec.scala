@@ -63,6 +63,37 @@ class ScaleToSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  test("scaleToIfAbsent reuses a completed copy and re-scales on a factor change") {
+    // the sweep-ladder contract (round 12): an A/B pair of single-JVM
+    // runs over one rung shares one generated directory via the
+    // completion sentinel — written LAST, so a crashed half-write
+    // (no marker) regenerates, and a different factor into the same
+    // dir invalidates the old marker
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scaleto-reuse-").toString
+    RelStress.scaleToIfAbsent(spark, src, dir, scale = 2, cpus = 4)
+    val n0 = Tables.load(spark, src, "orders").count()
+    assert(Tables.load(spark, dir, "orders").count() == 2 * n0)
+    val marker = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.getFileName.toString.startsWith("_graft_scaled_"))
+      .findFirst().get()
+    val stamp = java.nio.file.Files.getLastModifiedTime(marker)
+    // second call with the same (src, scale): pure lookup, no rewrite
+    RelStress.scaleToIfAbsent(spark, src, dir, scale = 2, cpus = 4)
+    assert(java.nio.file.Files.getLastModifiedTime(marker) == stamp,
+      "a completed copy must be reused, not regenerated")
+    // marker gone -> a half-written dir regenerates
+    java.nio.file.Files.delete(marker)
+    RelStress.scaleToIfAbsent(spark, src, dir, scale = 2, cpus = 4)
+    assert(java.nio.file.Files.exists(marker),
+      "a missing sentinel (crashed half-write) must regenerate")
+    // a DIFFERENT factor invalidates: data and marker both replaced
+    RelStress.scaleToIfAbsent(spark, src, dir, scale = 3, cpus = 4)
+    assert(!java.nio.file.Files.exists(marker),
+      "a re-scale must drop the old factor's sentinel")
+    assert(Tables.load(spark, dir, "orders").count() == 3 * n0)
+  }
+
   test("dimension tables pass through byte-identical") {
     for (t <- Seq("customer", "nation", "documents")) {
       val a = java.nio.file.Paths.get(s"$src/$t.parquet")
