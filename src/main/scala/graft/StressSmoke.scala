@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Scale-cliff probe for the training-data layer: blows the synthetic
@@ -80,53 +77,15 @@ object StressSmoke {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
 
-    val shuffleBytes = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-        val m = e.taskMetrics
-        if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    })
-    def settled(): Long = {
-      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
-      while (cur != prev && spins < 40) {
-        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
-      }
-      cur
-    }
-    def timed(fn: (org.apache.spark.sql.SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): Either[String, Double] = {
-      val t0 = System.nanoTime()
-      try { fn(spark, out).count(); Right((System.nanoTime() - t0) / 1e9) }
-      catch {
-        case e: Throwable => Left(s"${e.getClass.getSimpleName}: " +
-          Option(e.getMessage).getOrElse("").take(160))
-      }
-    }
-
-    val targets = SparkEntry.queries.filter(_._1.startsWith("td_"))
-      .toSeq.sortBy(_._1)
-    val results = targets.map { case (name, fn) =>
-      val cold = timed(fn)
-      val before = settled()
-      val warm = if (cold.isRight) timed(fn) else cold
-      val mb = (settled() - before) / 1e6
-      println(f"[stress] $name cold=${cold.fold(_ => -1.0, identity)}%.1fs " +
-        f"warm=${warm.fold(_ => -1.0, identity)}%.1fs shuffle=$mb%.1fMB" +
-        cold.left.toOption.map(e => s" ERROR $e").getOrElse(""))
-      (name, cold, warm, mb)
-    }
-    def jm(sel: ((String, Either[String, Double], Either[String, Double],
-        Double)) => Either[String, Double]) =
-      results.map(r => Json.str(r._1) + ":" + sel(r).fold(_ => "-1", _.toString))
-        .mkString("{", ",", "}")
-    val errs = results.collect { case (n, Left(e), _, _) =>
-      Json.str(n) + ":" + Json.str(e) }.mkString("{", ",", "}")
-    val shuffles = results.map(r => Json.str(r._1) + ":" + f"${r._4}%.2f")
-      .mkString("{", ",", "}")
-    val total = results.map(_._2.getOrElse(0.0)).sum
-    val warmTotal = results.map(_._3.getOrElse(0.0)).sum
-    println(s"""{"metric":"stress_total","value":$total,"unit":"sec","warm_total":$warmTotal,"scale":$scale,"docs":${nDocs * scale},"vecs":${nVecs * scale},"queries":${jm(_._2)},"warm":${jm(_._3)},"warm_shuffle_mb":$shuffles,"errors":$errs}""")
+    // fixture sizes on their own line (RelStress.sweep's JSON carries
+    // metric/scale/queries; docs/vecs are td_-specific)
+    println(s"""{"metric":"stress_fixture","scale":$scale,""" +
+      s""""docs":${nDocs * scale},"vecs":${nVecs * scale}}""")
+    // measurement delegates to the shared sweep harness: per-call
+    // shuffle listener detached on exit, and the settled-warm
+    // discipline (GC + re-measure on any warm > cold, min kept) —
+    // this tool predates both and carried its own copy
+    RelStress.sweep(spark, out, "td_", "stress_total", scale)
     spark.stop()
   }
 }
