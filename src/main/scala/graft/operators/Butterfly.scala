@@ -149,20 +149,37 @@ object Butterfly {
   /** Wrap a plan builder behind a [[graft.plans.DeferredBuild]] leaf
     * (VERDICT r11 #5): the returned DataFrame is immediately
     * composable — schema fixed, zero Spark jobs, zero cache
-    * registration — and `mk` runs exactly once, when the first action
-    * (or explain) forces Catalyst to optimize the query. The memo
-    * lives in the closure, not the node: each action clones the
-    * logical plan, and clones share only the closure. */
+    * registration — and `mk` (which runs the sizing aggregates, the
+    * probe, and the cache registrations) runs exactly once, when the
+    * first action (or explain) forces Catalyst to optimize the query.
+    * The memo lives in the closure, not the node: each action clones
+    * the logical plan, and clones share only the closure.
+    *
+    * What is memoized is the BUILT DataFrame (the expensive driver
+    * actions), NOT its optimized plan: optimization bakes in cache
+    * substitution (`QueryExecution.withCachedData` resolves
+    * InMemoryRelations BEFORE the optimizer runs), so a memoized
+    * optimized plan would freeze the cache state of the first action.
+    * A frame executed, then [[releaseCaches]]'d, then executed again
+    * would silently recompute through stale InMemoryRelation nodes —
+    * and re-persist storage the registry no longer tracks. Deriving a
+    * FRESH QueryExecution per build call (driver-side only, no jobs)
+    * keeps every action's substitution honest against the live cache
+    * manager: before release it hits the operator's bounded caches,
+    * after release it degrades to a plain recompute with no cache
+    * resurrection (spec-pinned in ButterflySpec). */
   private def deferred(spark: SparkSession, schema: StructType,
       label: String)(mk: => DataFrame): DataFrame = {
     if (!spark.experimental.extraOptimizations.contains(RewriteDeferredBuild))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDeferredBuild
-    lazy val inner: LogicalPlan = mk.queryExecution.optimizedPlan
+    lazy val innerDf: DataFrame = mk
     PlanShim.ofRows(spark, DeferredBuild(
       schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
         .toSeq,
-      label, () => inner))
+      label,
+      () => PlanShim.ofRows(spark, innerDf.queryExecution.logical)
+        .queryExecution.optimizedPlan))
   }
 
   /** Priority-annotated undirected adjacency: (x, y, px, py, dy) with

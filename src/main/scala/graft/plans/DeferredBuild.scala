@@ -22,9 +22,15 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * `build` must return an OPTIMIZED plan producing the declared column
   * count and dataTypes (nullability may be stricter), and must memoize
-  * itself — optimization can run more than once per query (one
+  * its EXPENSIVE work (driver-side sizing actions, cache
+  * registrations) — optimization can run more than once per query (one
   * QueryExecution per action, each cloning the logical plan), and the
-  * clone shares only the closure, not any node-level state.
+  * clone shares only the closure, not any node-level state. Do NOT
+  * memoize the optimized plan itself: optimization bakes in cache
+  * substitution, so a frozen plan would pin the first action's cache
+  * state (stale InMemoryRelations after an unpersist). Memoize the
+  * logical plan / DataFrame and derive a fresh QueryExecution per call
+  * — driver-side only, no jobs (see Butterfly.deferred).
   */
 case class DeferredBuild(output: Seq[Attribute], label: String,
     build: () => LogicalPlan) extends LeafNode {

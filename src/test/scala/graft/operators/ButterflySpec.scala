@@ -292,6 +292,30 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
     assert(!Butterfly.hasPersistedEntries(edges))
   }
 
+  test("re-executing a frame after releaseCaches recomputes without resurrecting caches") {
+    // the deferral must not freeze the first action's cache state: the
+    // build memoizes the expensive sizing work, but cache substitution
+    // re-resolves per action. After release, a pre-release frame must
+    // (a) still answer correctly, and (b) run as a plain recompute —
+    // no stale InMemoryRelation re-persisting storage the registry no
+    // longer tracks (a second release could never free it)
+    import spark.implicits._
+    val edges = Seq(51L -> 921L, 51L -> 922L, 52L -> 921L, 52L -> 922L,
+      53L -> 921L, 53L -> 922L).toDF("a", "b")
+    val g = Butterfly.globalCount(edges)
+    assert(g.collect()(0).getLong(0) == 3L) // C(3,2) hub pairs
+    assert(Butterfly.hasPersistedEntries(edges))
+    Butterfly.releaseCaches(edges)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    assert(g.collect()(0).getLong(0) == 3L,
+      "a pre-release frame must stay correct after release")
+    assert(!Butterfly.hasPersistedEntries(edges),
+      "re-execution must not re-register registry entries")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty,
+      s"re-execution resurrected unmanaged cache storage: $leaked")
+  }
+
   test("releaseCaches survives plan-shaping conf changes between build and release") {
     // ADVICE r11: release used to re-derive the wedge plan under the
     // CURRENT confs and unpersist by canonical-plan match — a conf
