@@ -48,10 +48,19 @@ object RelStress {
       scaleTo(spark, src, out, scale, cpus)
   }
 
-  private def markerPath(out: String, src: String, scale: Int)
-      : java.nio.file.Path =
-    java.nio.file.Paths.get(
-      s"$out/_graft_scaled_${scale}x_${src.replaceAll("[^A-Za-z0-9.]", "_")}")
+  /** Sentinel name carries the readable sanitized src AND a hash of
+    * the RAW (src, scale) pair (ADVICE r12): sanitization alone mapped
+    * distinct sources differing only in punctuation (`/data/sf0.1` vs
+    * `/data_sf0.1`) to one sentinel, and scaleToIfAbsent would then
+    * have accepted data generated from the WRONG corpus as complete. */
+  private[graft] def markerPath(out: String, src: String, scale: Int)
+      : java.nio.file.Path = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s"$scale|$src".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    java.nio.file.Paths.get(s"$out/_graft_scaled_${scale}x_" +
+      s"${src.replaceAll("[^A-Za-z0-9.]", "_")}_$digest")
+  }
 
   def scaleTo(spark: org.apache.spark.sql.SparkSession, src: String,
       out: String, scale: Int, cpus: Int): Unit = {
@@ -174,7 +183,15 @@ object RelStress {
     val targets = SparkEntry.queries.filter(_._1.startsWith(prefix))
       .toSeq.sortBy(_._1)
     val tag = metric.stripSuffix("_total")
-    val results = targets.map { case (name, fn) =>
+    // the same start/mid/end contention canary the bench stamps
+    // (VERDICT r12 #7): stress-octave tables are compared across
+    // rounds too, and without the stamp every rung's comparability
+    // had to be argued from prose
+    Bench.canaryProbe(spark) // JIT warm-up, untimed
+    val canaryStart = Bench.canaryProbe(spark)
+    var canaryMid = 0.0
+    val results = targets.zipWithIndex.map { case ((name, fn), i) =>
+      if (i == targets.size / 2) canaryMid = Bench.canaryProbe(spark)
       val cold = timed(fn)
       val before = settled()
       val warm0 = if (cold.isRight) timed(fn) else cold
@@ -204,9 +221,18 @@ object RelStress {
       Json.str(n) + ":" + Json.str(e) }.mkString("{", ",", "}")
     val shuffles = results.map(r => Json.str(r._1) + ":" + f"${r._4}%.2f")
       .mkString("{", ",", "}")
+    val canaryEnd = Bench.canaryProbe(spark)
+    val canaries = Seq(canaryStart, canaryMid, canaryEnd).filter(_ > 0)
+    val drift =
+      if (canaries.nonEmpty && canaries.min > 0)
+        f"${canaries.max / canaries.min}%.3f"
+      else "-1"
     val ok = results.filter(_._2.isRight)
+    val anchorEligible = canaries.nonEmpty &&
+      canaries.max / canaries.min <= 1.15 && ok.size == results.size
+    val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = ok.map(_._2.getOrElse(0.0)).sum
     val warmTotal = ok.flatMap(_._3.toOption).sum
-    println(s"""{"metric":"$metric","value":$total,"unit":"sec","warm_total":$warmTotal,"scale":$scale,"n_errors":${results.size - ok.size},"queries":${jm(_._2)},"warm":${jm(_._3)},"warm_shuffle_mb":$shuffles,"errors":$errs}""")
+    println(s"""{"metric":"$metric","value":$total,"unit":"sec","warm_total":$warmTotal,"scale":$scale,"n_errors":${results.size - ok.size},"canary":$canaryJson,"canary_drift":$drift,"anchor_eligible":$anchorEligible,"queries":${jm(_._2)},"warm":${jm(_._3)},"warm_shuffle_mb":$shuffles,"errors":$errs}""")
   }
 }

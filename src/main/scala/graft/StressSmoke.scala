@@ -25,67 +25,108 @@ import org.apache.spark.sql.functions._
   * each cell 50x and the in-cell pair volume 2500x — a fixture
   * artifact no production index exhibits, not a design property.
   *
+  * A 4th arg `fixedq` (VERDICT r12 #2) sweeps ONLY the ANN family
+  * (`td_ann_*`) with the query set pinned at the 1× fixture's count
+  * via `spark.graft.ann.queryIdBound` — the PRODUCTION serving regime
+  * (fixed query batch over a growing corpus, O(n) per batch), where
+  * the default sweep's q ∝ n coupling grows work ~n² per octave.
+  * Bench-only knob: the driver's correctness gate never sets the
+  * conf, so oracle hashes are untouched. Both modes share one
+  * generated directory (completion sentinel, written last).
+  *
   * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.StressSmoke 50" }}}
+  * {{{ sbt "runMain graft.StressSmoke 100 /root/testdata/sf0.1 /tmp/x100 fixedq" }}}
   */
 object StressSmoke {
+
+  /** Completion sentinel for the td_ fixture generation — same
+    * collision-proofing as RelStress.markerPath (hash of the RAW
+    * (src, scale) pair), distinct prefix so a dir can never satisfy
+    * the OTHER harness's growth model. */
+  private def markerPath(out: String, src: String, scale: Int)
+      : java.nio.file.Path = {
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s"$scale|$src".getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    java.nio.file.Paths.get(s"$out/_graft_tdscaled_${scale}x_$digest")
+  }
 
   def main(args: Array[String]): Unit = {
     val scale = args.headOption.map(_.toInt).getOrElse(50)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val out = if (args.length > 2) args(2)
       else s"${System.getProperty("java.io.tmpdir")}/graft-stress-x$scale"
+    val mode = if (args.length > 3) args(3) else ""
+    require(Set("", "fixedq").contains(mode),
+      s"unknown mode '$mode' (expected fixedq)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.pinDialect(Tables.localSession("graft-stress", cpus))
-    import spark.implicits._
 
     val docs = Tables.load(spark, src, "documents")
     val nDocs = docs.count()
-    val reps = spark.range(scale).toDF("rep")
-    docs.crossJoin(broadcast(reps))
-      .select(
-        (col("doc_id") + col("rep") * lit(nDocs)).as("doc_id"),
-        when(col("rep") % 2 === 0, col("text"))
-          .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$out/documents.parquet")
-
     val emb = Tables.load(spark, src, "embeddings")
     val nVecs = emb.count()
-    val nLabels = emb.agg(max(col("label"))).head().getInt(0) + 1
-    emb.crossJoin(broadcast(reps))
-      .select(
-        (col("vec_id") + col("rep") * lit(nVecs)).as("vec_id"),
-        transform(col("embedding"),
-          x => x + (col("rep") % 7).cast("float") * lit(0.001f))
-          .as("embedding"),
-        // numeric so label arithmetic (PQ's label % 10 code) still works
-        (col("label") + col("rep").cast("int") * lit(nLabels))
-          .cast("int").as("label"))
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // td_* queries that touch other tables (events for the distinct
-    // sketch) read them unscaled from the source dir
-    for (name <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events")) {
-      val from = java.nio.file.Paths.get(s"$src/$name.parquet")
-      if (java.nio.file.Files.exists(from))
-        java.nio.file.Files.copy(from,
-          java.nio.file.Paths.get(s"$out/$name.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (!java.nio.file.Files.exists(markerPath(out, src, scale))) {
+      val reps = spark.range(scale).toDF("rep")
+      docs.crossJoin(broadcast(reps))
+        .select(
+          (col("doc_id") + col("rep") * lit(nDocs)).as("doc_id"),
+          when(col("rep") % 2 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" r"), col("rep"))).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+      val nLabels = emb.agg(max(col("label"))).head().getInt(0) + 1
+      emb.crossJoin(broadcast(reps))
+        .select(
+          (col("vec_id") + col("rep") * lit(nVecs)).as("vec_id"),
+          transform(col("embedding"),
+            x => x + (col("rep") % 7).cast("float") * lit(0.001f))
+            .as("embedding"),
+          // numeric so label arithmetic (PQ's label % 10 code) still works
+          (col("label") + col("rep").cast("int") * lit(nLabels))
+            .cast("int").as("label"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+      // td_* queries that touch other tables (events for the distinct
+      // sketch) read them unscaled from the source dir
+      for (name <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events")) {
+        val from = java.nio.file.Paths.get(s"$src/$name.parquet")
+        if (java.nio.file.Files.exists(from))
+          java.nio.file.Files.copy(from,
+            java.nio.file.Paths.get(s"$out/$name.parquet"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      // sentinel written LAST (a crashed half-write never passes for
+      // done); stale sentinels of other (src, scale) pairs cleared so
+      // only this generation's marker stands
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      try listing.filter(p =>
+          p.getFileName.toString.startsWith("_graft_tdscaled_"))
+        .forEach(java.nio.file.Files.delete(_))
+      finally listing.close()
+      java.nio.file.Files.createFile(markerPath(out, src, scale))
     }
 
     // fixture sizes on their own line (RelStress.sweep's JSON carries
-    // metric/scale/queries; docs/vecs are td_-specific)
+    // metric/scale/queries; docs/vecs are td_-specific). In fixedq
+    // mode, q is the 1× query count however far the corpus scales.
+    val q = if (mode == "fixedq") nVecs / 50 else nVecs * scale / 50
     println(s"""{"metric":"stress_fixture","scale":$scale,""" +
-      s""""docs":${nDocs * scale},"vecs":${nVecs * scale}}""")
+      s""""docs":${nDocs * scale},"vecs":${nVecs * scale},"ann_q":$q}""")
     // measurement delegates to the shared sweep harness: per-call
-    // shuffle listener detached on exit, and the settled-warm
-    // discipline (GC + re-measure on any warm > cold, min kept) —
-    // this tool predates both and carried its own copy
-    RelStress.sweep(spark, out, "td_", "stress_total", scale)
+    // shuffle listener detached on exit, the settled-warm discipline
+    // (GC + re-measure on any warm > cold, min kept), and the canary
+    // drift stamp
+    if (mode == "fixedq") {
+      spark.conf.set("spark.graft.ann.queryIdBound", nVecs.toString)
+      RelStress.sweep(spark, out, "td_ann_", "stress_fixedq_total", scale)
+    } else RelStress.sweep(spark, out, "td_", "stress_total", scale)
     spark.stop()
   }
 }

@@ -146,8 +146,22 @@ object Tables {
         if (prev != null) { cache.remove(key); onEvict(prev._2) }
         onMiss()
         val v = compute
-        cache.put(key, (fp, v))
-        v
+        // putIfAbsent, not put (ADVICE r12): a caller that fetched the
+        // OLD monitor just before a releaseMemo can compute here
+        // concurrently with a post-release caller holding the FRESH
+        // monitor — the two computes are serialized by DIFFERENT
+        // monitors, so a blind put would overwrite the other thread's
+        // value without onEvict and leak its persisted state until JVM
+        // exit. If a same-vintage value raced in first, keep IT and
+        // release OURS; a different-vintage racer is superseded the
+        // normal way (remove + evict + insert ours).
+        val raced = cache.putIfAbsent(key, (fp, v))
+        if (raced == null) v
+        else if (raced._1 == fp) { onEvict(v); raced._2 }
+        else {
+          cache.remove(key); onEvict(raced._2)
+          cache.put(key, (fp, v)); v
+        }
       }
     }
   }

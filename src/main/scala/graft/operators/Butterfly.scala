@@ -136,6 +136,53 @@ object Butterfly {
       aCol: String = "a", bCol: String = "b"): Boolean =
     persistedCaches.containsKey(undKey(edges, aCol, bCol))
 
+  /** Built-frame memo ACROSS closures (VERDICT r12 #1, second half):
+    * the closure-level `lazy val` makes repeat actions on ONE returned
+    * frame free, but every `globalCount`/`perVertexCounts` CALL mints
+    * a fresh closure — and a bench's warm run (or any session asking
+    * for the same graph twice) re-paid the full sizing ladder (the
+    * adjacency aggregate, the dominated-edge bound, the pair-count
+    * probe: 2.3-3.2 s of driver actions at sf0.1 even with every
+    * byte cached — ButterflyProbe's `[deferred] mk=` line). The plan
+    * those actions produce is a pure function of (operator, edge set,
+    * decision confs) for FIXED underlying data, so it is memoized
+    * here, keyed by the same canonical undirected plan as the cache
+    * registry plus the sizing-relevant confs (a changed conf must
+    * re-decide, as GraphStress's forced-broadcast A/B does).
+    * [[releaseCaches]] drops a graph's entries with its caches — the
+    * memo must never outlive the lifecycle hook, since a post-release
+    * rebuild is SUPPOSED to re-run the sizing ladder and re-prime.
+    * Same data-vintage contract as the adjacency cache: a caller that
+    * rewrites the files under an edge set mid-session must
+    * releaseCaches first (already required — the persisted edge cache
+    * would serve stale BYTES otherwise, strictly worse than a stale
+    * plan SHAPE). Bounded: cleared wholesale past 128 entries. */
+  private val builtFrames = new java.util.concurrent.ConcurrentHashMap[
+    (String, LogicalPlan, String), DataFrame]()
+
+  private def decisionConfs(edges: DataFrame): String =
+    Seq(ProbePairBoundConf, BroadcastPairLimitConf,
+      "spark.graft.pagerank.broadcastNodeLimit")
+      .map(k => edges.sparkSession.conf.getOption(k).getOrElse(""))
+      .mkString("|")
+
+  /** Get-or-build outside any map lock (the builder runs multi-second
+    * driver actions; a racing duplicate build is benign — last put
+    * wins, both frames are correct and the loser's cache registrations
+    * are the registry's documented duplicate-release no-op). */
+  private def builtFrame(label: String, edges: DataFrame, aCol: String,
+      bCol: String)(mk: => DataFrame): DataFrame = {
+    val key = (label, undKey(edges, aCol, bCol), decisionConfs(edges))
+    val hit = builtFrames.get(key)
+    if (hit != null) hit
+    else {
+      val df = mk
+      if (builtFrames.size >= 128) builtFrames.clear()
+      builtFrames.put(key, df)
+      df
+    }
+  }
+
   /** Fixed output schemas of the two public results — declared up
     * front so [[deferred]] can hand callers a composable frame before
     * any sizing job has chosen the plan shape behind it. Everything
@@ -155,31 +202,52 @@ object Butterfly {
     * The memo lives in the closure, not the node: each action clones
     * the logical plan, and clones share only the closure.
     *
-    * What is memoized is the BUILT DataFrame (the expensive driver
-    * actions), NOT its optimized plan: optimization bakes in cache
-    * substitution (`QueryExecution.withCachedData` resolves
-    * InMemoryRelations BEFORE the optimizer runs), so a memoized
-    * optimized plan would freeze the cache state of the first action.
-    * A frame executed, then [[releaseCaches]]'d, then executed again
-    * would silently recompute through stale InMemoryRelation nodes —
-    * and re-persist storage the registry no longer tracks. Deriving a
-    * FRESH QueryExecution per build call (driver-side only, no jobs)
-    * keeps every action's substitution honest against the live cache
-    * manager: before release it hits the operator's bounded caches,
-    * after release it degrades to a plain recompute with no cache
-    * resurrection (spec-pinned in ButterflySpec). */
+    * What the CLOSURE memoizes is the BUILT DataFrame (the expensive
+    * driver actions), NOT its optimized plan: optimization bakes in
+    * cache substitution (`QueryExecution.withCachedData` resolves
+    * InMemoryRelations BEFORE the optimizer runs), so a per-closure
+    * frozen plan would pin the first action's cache state — a frame
+    * executed, then [[releaseCaches]]'d, then executed again would
+    * silently recompute through stale InMemoryRelation nodes and
+    * re-persist storage the registry no longer tracks. The optimizer
+    * work itself goes through [[DeferredBuild.memoizedOptimize]]
+    * (VERDICT r12 #1): its memo key is (cache-substituted canonical
+    * plan, live cache-entry identity), so repeated actions against an
+    * unchanged cache state skip the per-action re-optimization of the
+    * large attribution subtree — the round-12 vp regression, ~1 s of
+    * driver-side optimizer work per action with bit-flat shuffle —
+    * while a release (or release + re-persist) changes the key and
+    * re-optimizes against the live cache manager: before release
+    * actions hit the operator's bounded caches, after release they
+    * degrade to a plain recompute with no cache resurrection
+    * (spec-pinned in ButterflySpec). The last built plan is fed back
+    * to the leaf's `peekBuilt` so post-build compositions see real
+    * stats (VERDICT r12 #6). */
   private def deferred(spark: SparkSession, schema: StructType,
       label: String)(mk: => DataFrame): DataFrame = {
     if (!spark.experimental.extraOptimizations.contains(RewriteDeferredBuild))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDeferredBuild
     lazy val innerDf: DataFrame = mk
+    val lastBuilt =
+      new java.util.concurrent.atomic.AtomicReference[Option[LogicalPlan]](None)
     PlanShim.ofRows(spark, DeferredBuild(
       schema.map(f => AttributeReference(f.name, f.dataType, f.nullable)())
         .toSeq,
       label,
-      () => PlanShim.ofRows(spark, innerDf.queryExecution.logical)
-        .queryExecution.optimizedPlan))
+      () => {
+        val trace = spark.conf.getOption("spark.graft.deferred.timing")
+          .contains("true")
+        val t0 = System.nanoTime()
+        val inner = innerDf // mk: the sizing actions (memoized per closure)
+        if (trace) System.err.println(
+          f"[deferred] $label mk=${(System.nanoTime() - t0) / 1e9}%.3f")
+        val p = DeferredBuild.memoizedOptimize(spark,
+          inner.queryExecution.logical)
+        lastBuilt.set(Some(p))
+        p
+      },
+      () => lastBuilt.get()))
   }
 
   /** Priority-annotated undirected adjacency: (x, y, px, py, dy) with
@@ -352,6 +420,7 @@ object Butterfly {
   def globalCount(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame =
     deferred(edges.sparkSession, GlobalSchema, "butterfly_global") {
+      builtFrame("butterfly_global", edges, aCol, bCol) {
       val key = undKey(edges, aCol, bCol)
       val adj = adjacency(edges, aCol, bCol)
       val wd = wedgesFrom(adj)
@@ -362,6 +431,7 @@ object Butterfly {
           cachedIfCold(key, pairCounts(cachedIfCold(key, wd)))
         else pairCounts(wd)
       pc.agg(sum(expr("k * (k - 1) div 2")).cast("long").as("butterflies"))
+      }
     }
 
   /** (id, butterflies) for every vertex participating in at least one
@@ -374,6 +444,7 @@ object Butterfly {
   def perVertexCounts(edges: DataFrame, aCol: String = "a",
       bCol: String = "b"): DataFrame =
     deferred(edges.sparkSession, PerVertexSchema, "butterfly_pervertex") {
+      builtFrame("butterfly_pervertex", edges, aCol, bCol) {
       val key = undKey(edges, aCol, bCol)
       val adj = adjacency(edges, aCol, bCol)
       val wd = wedgesFrom(adj)
@@ -407,6 +478,7 @@ object Butterfly {
           attributeWindowed(wdP)
         }
       } else attributeWindowed(wd)
+      }
     }
 
   /** Release every bounded cache [[globalCount]] / [[perVertexCounts]]
@@ -426,9 +498,15 @@ object Butterfly {
     * release is a pure map lookup. Blocking so storage is actually
     * free on return. */
   def releaseCaches(edges: DataFrame, aCol: String = "a",
-      bCol: String = "b"): Unit =
-    Option(persistedCaches.remove(undKey(edges, aCol, bCol)))
+      bCol: String = "b"): Unit = {
+    val key = undKey(edges, aCol, bCol)
+    // the built-frame memo dies with the caches: a post-release
+    // rebuild must re-run the sizing ladder and re-prime (and a
+    // post-rewrite caller relies on exactly this hook to re-decide)
+    builtFrames.keySet.removeIf(_._2 == key)
+    Option(persistedCaches.remove(key))
       .foreach(_.foreach(_.unpersist(blocking = true)))
+  }
 
   /** Broadcast attribution: the CACHED wedge set is joined map-side
     * against the cached-and-broadcast k ≥ 2 pair table — it is never

@@ -1,8 +1,11 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
 import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Project, Statistics}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.PlanShim
 
 /** A resolved leaf whose child plan is BUILT ON DEMAND — the deferral
   * vehicle for operators whose plan SHAPE depends on driver-side
@@ -19,27 +22,148 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * result attributes (fixed schema, everything nullable), so downstream
   * operators resolve against it like any table. [[RewriteDeferredBuild]]
   * later splices the real child in under those exact exprIds.
+  * [[MultiInstanceRelation]] lets the analyzer's DeduplicateRelations
+  * regenerate the exprIds on self-join/self-union of the same returned
+  * frame (ADVICE r12) — `newInstance` re-mints the attributes but
+  * SHARES the build closure, so the deferral memo still fires once.
   *
   * `build` must return an OPTIMIZED plan producing the declared column
-  * count and dataTypes (nullability may be stricter), and must memoize
-  * its EXPENSIVE work (driver-side sizing actions, cache
-  * registrations) — optimization can run more than once per query (one
-  * QueryExecution per action, each cloning the logical plan), and the
-  * clone shares only the closure, not any node-level state. Do NOT
-  * memoize the optimized plan itself: optimization bakes in cache
+  * count, dataTypes AND (case-insensitively) names per position —
+  * same-typed schemas must not silently transpose (ADVICE r12) —
+  * nullability may be stricter. `build` must memoize its EXPENSIVE
+  * work (driver-side sizing actions, cache registrations) —
+  * optimization can run more than once per query (one QueryExecution
+  * per action, each cloning the logical plan), and the clone shares
+  * only the closure, not any node-level state. Do NOT memoize the
+  * optimized plan PER CLOSURE: optimization bakes in cache
   * substitution, so a frozen plan would pin the first action's cache
-  * state (stale InMemoryRelations after an unpersist). Memoize the
-  * logical plan / DataFrame and derive a fresh QueryExecution per call
-  * — driver-side only, no jobs (see Butterfly.deferred).
+  * state (stale InMemoryRelations after an unpersist). Route the
+  * logical plan through [[DeferredBuild.memoizedOptimize]] instead —
+  * it memoizes per CACHE-STATE EPOCH (VERDICT r12 #1), so repeated
+  * actions against an unchanged cache state skip the optimizer
+  * entirely while any persist/unpersist of a referenced plan changes
+  * the key and re-optimizes honestly.
+  *
+  * `peekBuilt` (optional) exposes the most recently built child so
+  * [[computeStats]] can report real statistics once a first action has
+  * built the plan (VERDICT r12 #6): a lazy composer joining against an
+  * already-built small result then gets stats-driven broadcast
+  * decisions without a hint.
   */
 case class DeferredBuild(output: Seq[Attribute], label: String,
-    build: () => LogicalPlan) extends LeafNode {
+    build: () => LogicalPlan,
+    peekBuilt: () => Option[LogicalPlan] = () => None)
+  extends LeafNode with MultiInstanceRelation {
+
+  override def newInstance(): DeferredBuild =
+    copy(output = output.map(_.newInstance()))
+
   // size unknown until built: report effectively-infinite so no
   // stats-driven decision (auto-broadcast, join reorder) gambles on a
   // result that has not been sized yet — an explicit broadcast() hint
-  // on the returned frame still wins, as hints override stats
+  // on the returned frame still wins, as hints override stats. Once a
+  // prior action HAS built the child, report its stats instead: the
+  // built plan is what this leaf will splice into, so its size is the
+  // honest estimate for any later composition.
   override def computeStats(): Statistics =
-    Statistics(sizeInBytes = BigInt(Long.MaxValue))
+    peekBuilt()
+      .map(p => Statistics(sizeInBytes = p.stats.sizeInBytes))
+      .getOrElse(Statistics(sizeInBytes = BigInt(Long.MaxValue)))
+}
+
+object DeferredBuild {
+
+  /** Cache-state-epoch memo key: the CACHE-SUBSTITUTED canonical plan
+    * plus the identity of every InMemoryRelation cache builder baked
+    * into it. Two actions see the same key iff (a) the logical plan is
+    * canonically identical and (b) the cache manager substituted the
+    * SAME live cache entries — a release drops the InMemoryRelations
+    * from the substituted plan (different canon), and a release +
+    * re-persist yields fresh builder instances (identity mismatch), so
+    * a memoized optimized plan can never serve a stale cache vintage
+    * (the staleness class commit 54c2347 closed by re-optimizing per
+    * action; this key makes the re-optimization conditional instead of
+    * unconditional). Builder identity, not equality: two separately
+    * persisted entries of one canonical plan are distinct storage. */
+  private final class EpochKey(val canon: LogicalPlan,
+      val builders: Seq[AnyRef]) {
+    override val hashCode: Int = canon.hashCode * 31 + builders.length
+    override def equals(o: Any): Boolean = o match {
+      case k: EpochKey => k.builders.length == builders.length &&
+        k.builders.iterator.zip(builders.iterator)
+          .forall { case (a, b) => a eq b } &&
+        k.canon == canon
+      case _ => false
+    }
+  }
+
+  /** Bounded (cleared wholesale past 64 entries — optimized plans are
+    * big object graphs; an LRU would buy little for a per-operator
+    * working set of a handful of graphs). Entries whose cache epoch
+    * has passed are unreachable by key and age out with the bound. */
+  private val MaxMemoEntries = 64
+  private val optimizedMemo =
+    new java.util.concurrent.ConcurrentHashMap[EpochKey, LogicalPlan]()
+
+  /** Optimize `logical` with per-cache-state-epoch memoization
+    * (VERDICT r12 #1: the per-action re-analysis + re-optimization of
+    * Butterfly's large attribution subtree was the round-12 vp
+    * regression — ~1 s of driver work per action with bit-flat
+    * shuffle). Cost on a memo hit: one analysis pass + cache
+    * substitution + canonicalization of the substituted tree — all
+    * cheap single passes; the fixed-point optimizer run is what the
+    * memo skips. The key is GLOBAL (not per closure), so a warm bench
+    * run composing a fresh frame over the same graph hits the plan the
+    * cold run optimized.
+    *
+    * Known bounded staleness: a session-conf change that only retunes
+    * the OPTIMIZER (e.g. autoBroadcastJoinThreshold) without changing
+    * the built plan's shape can serve a plan optimized under the prior
+    * setting until the epoch changes or the memo recycles — the same
+    * class of staleness as Spark's own cached-plan reuse. Confs that
+    * change what the deferral BUILDS flow through the builder and
+    * change the canonical key, so they always re-optimize.
+    *
+    * Benign race: two concurrent first actions may both optimize; last
+    * put wins, both plans are correct for the epoch. */
+  /** Test/probe hooks: cumulative hit/miss counts, and a timing trace
+    * under `spark.graft.deferred.timing=true` (stderr, driver-side
+    * phases only — ButterflyProbe's attribution lines read it). */
+  private[graft] val memoHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val memoMisses = new java.util.concurrent.atomic.AtomicLong
+
+  def memoizedOptimize(spark: SparkSession, logical: LogicalPlan)
+      : LogicalPlan = {
+    val trace = spark.conf.getOption("spark.graft.deferred.timing")
+      .contains("true")
+    val t0 = System.nanoTime()
+    val df = PlanShim.ofRows(spark, logical)
+    val t1 = System.nanoTime()
+    val substituted = PlanShim.withCachedData(df)
+    val t2 = System.nanoTime()
+    val key = new EpochKey(substituted.canonicalized,
+      PlanShim.cacheBuilders(substituted))
+    val t3 = System.nanoTime()
+    val hit = optimizedMemo.get(key)
+    val out =
+      if (hit != null) { memoHits.incrementAndGet(); hit }
+      else {
+        memoMisses.incrementAndGet()
+        val p = PlanShim.optimizedPlan(df)
+        if (optimizedMemo.size >= MaxMemoEntries) optimizedMemo.clear()
+        optimizedMemo.put(key, p)
+        p
+      }
+    if (trace) {
+      val t4 = System.nanoTime()
+      System.err.println(
+        f"[deferred] analyze=${(t1 - t0) / 1e9}%.3f " +
+          f"substitute=${(t2 - t1) / 1e9}%.3f canon=${(t3 - t2) / 1e9}%.3f " +
+          (if (hit != null) "memo=hit"
+           else f"optimize=${(t4 - t3) / 1e9}%.3f"))
+    }
+    out
+  }
 }
 
 /** Optimizer rule (registered with [[RewriteRankingFilterToTopK]] via
@@ -51,14 +175,18 @@ case class DeferredBuild(output: Seq[Attribute], label: String,
   * action demands the plan"; `build()` runs its sizing jobs here and
   * the spliced-in result is an ordinary optimized subtree (AQE,
   * whole-stage codegen, and cached-plan substitution all see normal
-  * operators, never the leaf). */
+  * operators, never the leaf). The guard requires positional dataType
+  * AND case-insensitive name agreement: with type-only validation a
+  * builder emitting (butterflies, id) against a declared (id,
+  * butterflies) — both LongType — would silently swap column values
+  * under the declared names (ADVICE r12). */
 object RewriteDeferredBuild extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case d: DeferredBuild =>
       val inner = d.build()
       require(inner.output.length == d.output.length &&
         inner.output.zip(d.output).forall { case (i, o) =>
-          i.dataType == o.dataType },
+          i.dataType == o.dataType && i.name.equalsIgnoreCase(o.name) },
         s"DeferredBuild(${d.label}): built plan " +
           s"${inner.output.map(a => s"${a.name}:${a.dataType.simpleString}")} " +
           s"does not match the declared output " +

@@ -73,6 +73,29 @@ object ButterflyProbe {
         Butterfly.perVertexCounts(edges, "src", "dst").count())
     }
 
+    // phase 1b: deferral attribution (VERDICT r12 #1) — ONE cached vp
+    // run split into compose (must be ~0: the deferred leaf), plan
+    // (build(): the memoized sizing actions + probe count + the
+    // epoch-memoized optimize; this is where any per-action deferral
+    // overhead lives), and execute (the actual cached attribution).
+    // Two rounds: round 1 pays a fresh closure's sizing re-reads and
+    // the optimizer-memo's first fill for this JVM; round 2 is the
+    // steady memo-hit path.
+    spark.conf.set("spark.graft.deferred.timing", "true")
+    for (round <- 1 to 2) {
+      System.gc()
+      val t0 = System.nanoTime()
+      val pv = Butterfly.perVertexCounts(edges, "src", "dst")
+      val t1 = System.nanoTime()
+      pv.queryExecution.executedPlan // forces build + optimize, no jobs beyond sizing
+      val t2 = System.nanoTime()
+      val n = pv.count()
+      val t3 = System.nanoTime()
+      println(f"[bfprobe] vp phase split #$round      compose=${(t1 - t0) / 1e9}%5.2f s" +
+        f"  plan=${(t2 - t1) / 1e9}%5.2f s  exec=${(t3 - t2) / 1e9}%5.2f s  rows=$n")
+    }
+    spark.conf.unset("spark.graft.deferred.timing")
+
     // phase 2: true cold adaptive — caches dropped, first run pays
     // enumeration + cache build, second run is the cached path again
     Butterfly.releaseCaches(edges, "src", "dst")

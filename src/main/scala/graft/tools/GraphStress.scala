@@ -114,6 +114,11 @@ object GraphStress {
       (r, sec, (settledShuffle() - b) / 1e6)
     }
 
+    // same canary stamp as Bench / RelStress.sweep (VERDICT r12 #7):
+    // one checkpoint before the ladder, one after, so cross-round
+    // octave comparisons carry their own contention evidence
+    graft.Bench.canaryProbe(spark) // JIT warm-up, untimed
+    val canaryStart = graft.Bench.canaryProbe(spark)
     val lines = scales.map { k =>
       val e = scaled(k).cache()
       val nEdges = e.count()
@@ -148,7 +153,12 @@ object GraphStress {
         f""""vp_shuffle_mb":$vpShuffleMb%.1f,"bf_verts":$nVerts,""" +
         s""""pagerank_sec":$prSec,"lpa_sec":$lpaSec}"""
     }
-    println(s"""{"metric":"graphstress","scales":[${lines.mkString(",")}]}""")
+    val canaryEnd = graft.Bench.canaryProbe(spark)
+    val drift = canaryStart.max(canaryEnd) / canaryStart.min(canaryEnd)
+    println(s"""{"metric":"graphstress","canary":""" +
+      f"""[$canaryStart%.3f,$canaryEnd%.3f],"canary_drift":$drift%.3f,""" +
+      s""""anchor_eligible":${drift <= 1.15},""" +
+      s""""scales":[${lines.mkString(",")}]}""")
     spark.stop()
   }
 

@@ -26,14 +26,25 @@ import graft.{RelStress, Tables}
   * operator would watch to decide when to re-shard. Pass a 4th arg to
   * override for an A/B.
   *
-  * A 5th arg `noop` runs the sweep ENGINE-ONLY (VERDICT r11 #1):
-  * every query's streaming plan runs through Spark's noop sink via
-  * `spark.graft.stream.sink=noop`, so the committed scale tables can
-  * separate state-machinery cost from the memory-sink collection the
-  * oracle harness pays (and a production sink never does). Run each
-  * (rung, mode) in its own JVM so neither sweep warms the other; the
-  * metric name distinguishes the records
-  * (`streamstress_engine_total` vs `streamstress_total`).
+  * A 5th arg picks the SINK MODE (VERDICT r11 #1, r12 #4/#5 — see
+  * StreamingQueries.sinkMode for the full semantics):
+  *
+  *  - (unset): the memory/DSv2 verify leg — every emitted row is
+  *    collected to the driver, as the oracle harness does;
+  *  - `noop`: engine-only — state machinery runs, rows drop at the
+  *    sink (`streamstress_engine_total`);
+  *  - `digest`: engine + executor-side order-insensitive row digest —
+  *    ONE row per micro-batch reaches the driver, and the per-query
+  *    digest lines prove row-identity across A/B runs without the
+  *    ~10M-row collections the old verify leg paid
+  *    (`streamstress_digest_total`);
+  *  - `connector`: like noop for memory-sink queries, but the DSv2
+  *    sink queries keep their committed-store WRITE (the external-
+  *    system stand-in) and skip only the read-back — the honest
+  *    engine+write column for st_sink_* (`streamstress_connector_total`).
+  *
+  * Run each (rung, mode) in its own JVM so neither sweep warms the
+  * other; the metric name distinguishes the records.
   *
   * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.tools.StreamStress 10" }}}
   * {{{ sbt "runMain graft.tools.StreamStress 10 /root/testdata/sf0.1 /tmp/x10 4 noop" }}}
@@ -50,12 +61,24 @@ object StreamStress {
       Tables.pinDialect(Tables.localSession("graft-streamstress", cpus))
     if (args.length > 3 && args(3).nonEmpty)
       spark.conf.set("spark.graft.stream.statePartitions", args(3))
-    val engineOnly = args.length > 4 && args(4) == "noop"
-    if (engineOnly) spark.conf.set("spark.graft.stream.sink", "noop")
+    val mode = if (args.length > 4) args(4) else ""
+    require(Set("", "noop", "digest", "connector").contains(mode),
+      s"unknown sink mode '$mode' (expected noop|digest|connector)")
+    if (mode.nonEmpty) spark.conf.set("spark.graft.stream.sink", mode)
+    // optional 6th arg: registry-name prefix restricting the sweep
+    // (e.g. `st_sink_` for the connector-mode column, which only
+    // differs from noop on the two DSv2 sink queries — a full-family
+    // re-sweep would re-measure 20 unchanged legs). Totals from a
+    // filtered run are not family-comparable; the metric name says so.
+    val prefix = if (args.length > 5) args(5) else "st_"
     RelStress.scaleToIfAbsent(spark, src, out, scale, cpus.toInt)
-    RelStress.sweep(spark, out, "st_",
-      if (engineOnly) "streamstress_engine_total" else "streamstress_total",
-      scale)
+    val metric = (mode match {
+      case "noop" => "streamstress_engine_total"
+      case "digest" => "streamstress_digest_total"
+      case "connector" => "streamstress_connector_total"
+      case _ => "streamstress_total"
+    }) + (if (prefix != "st_") s"_${prefix.stripSuffix("_")}" else "")
+    RelStress.sweep(spark, out, prefix, metric, scale)
     spark.stop()
   }
 }

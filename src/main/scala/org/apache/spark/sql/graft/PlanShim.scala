@@ -24,4 +24,24 @@ object PlanShim {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** The frame's analyzed plan AFTER cache-manager substitution — the
+    * exact tree `optimizedPlan` would optimize, exposed separately so
+    * graft.plans.DeferredBuild can key its optimized-plan memo on the
+    * live cache state (same QueryExecution, so a following
+    * [[optimizedPlan]] call shares the substitution work). */
+  def withCachedData(df: DataFrame): LogicalPlan =
+    df.queryExecution.withCachedData
+
+  def optimizedPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.optimizedPlan
+
+  /** Identity handles of every InMemoryRelation cache builder in
+    * `plan` — one distinct object per live cache entry, fresh after
+    * any unpersist + re-persist cycle, which is exactly the epoch
+    * signal DeferredBuild's memo key needs. */
+  def cacheBuilders(plan: LogicalPlan): Seq[AnyRef] = plan.collect {
+    case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+      r.cacheBuilder
+  }
 }

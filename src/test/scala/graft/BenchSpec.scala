@@ -59,6 +59,31 @@ class BenchSpec extends AnyFunSuite {
     assert(mapper.readTree(f2).get("canary_drift").asDouble() === -1.0)
   }
 
+  // VERDICT r12 #3: record status (anchor-eligible or not) is stamped
+  // into the line instead of re-derived by every consumer each round.
+  test("anchor_eligible demands drift <= 1.15 AND zero errors") {
+    // this record: drift 2.0 -> ineligible on both lines
+    for (line <- Seq(full, compact))
+      assert(!mapper.readTree(line).get("anchor_eligible").asBoolean())
+    val clean: Seq[Bench.Res] = Seq(
+      ("q_a", Right(1.0), Right(0.8), 1.0),
+      ("q_b", Right(2.0), Right(1.5), 2.0))
+    // steady box, no errors -> eligible
+    val (f1, c1) = Bench.renderLines(clean, "/tmp/sf", Seq(0.50, 0.52, 0.55))
+    for (line <- Seq(f1, c1))
+      assert(mapper.readTree(line).get("anchor_eligible").asBoolean())
+    // steady box but an error -> ineligible (a broken sweep can never
+    // anchor a cross-round comparison, however quiet the box was)
+    val (f2, _) = Bench.renderLines(results, "/tmp/sf", Seq(0.50, 0.52))
+    assert(!mapper.readTree(f2).get("anchor_eligible").asBoolean())
+    // drift just over the bar -> ineligible
+    val (f3, _) = Bench.renderLines(clean, "/tmp/sf", Seq(0.50, 0.58))
+    assert(!mapper.readTree(f3).get("anchor_eligible").asBoolean())
+    // no canaries recorded -> ineligible, never a default-true
+    val (f4, _) = Bench.renderLines(clean, "/tmp/sf")
+    assert(!mapper.readTree(f4).get("anchor_eligible").asBoolean())
+  }
+
   test("compact line bounds error text and lists only succeeded in slowest map") {
     val n = mapper.readTree(compact)
     assert(!n.get("queries").has("q_broken"))

@@ -295,6 +295,38 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(evicts.toSeq == Seq(1), "no double eviction on retry")
   }
 
+  test("memoized: a raced duplicate compute keeps the first value and releases its own (ADVICE r12)") {
+    // The releaseMemo race: a caller that fetched the OLD monitor just
+    // before a release computes concurrently with a post-release caller
+    // under the FRESH monitor — different monitors, so the monitor
+    // serializes nothing between them. With a blind put the second
+    // thread's insert silently overwrote the first's value WITHOUT
+    // onEvict, leaking its persisted state until JVM exit. The
+    // schedule is reproduced deterministically by having our compute
+    // land the racer's same-vintage value in the cache first.
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    val evicts = scala.collection.mutable.ArrayBuffer[String]()
+    val v = Tables.memoized(cache, "k", "fp")({
+      cache.put("k", ("fp", "winner")); "loser"
+    })(onEvict = evicts += _)
+    assert(v == "winner",
+      "a same-vintage racer that landed first must be served, not overwritten")
+    assert(evicts.toSeq == Seq("loser"),
+      "the losing compute must release its own value (else its " +
+        "persisted state leaks)")
+    assert(cache.get("k") == (("fp", "winner")))
+    Tables.releaseMemo(cache, "k")
+    // a DIFFERENT-vintage value raced in (stale writer): superseded the
+    // normal way — evicted, ours inserted
+    evicts.clear()
+    val v2 = Tables.memoized(cache, "k", "fp2")({
+      cache.put("k", ("stale", "old")); "fresh"
+    })(onEvict = evicts += _)
+    assert(v2 == "fresh" && evicts.toSeq == Seq("old"))
+    assert(cache.get("k") == (("fp2", "fresh")))
+    Tables.releaseMemo(cache, "k")
+  }
+
   test("releaseMemo drops the entry AND its per-key monitor (VERDICT r11 #6)") {
     val cache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
     assert(Tables.memoized(cache, "k", "v1")(7)() == 7)

@@ -292,6 +292,48 @@ class ButterflySpec extends AnyFunSuite with SparkTestSession {
     assert(!Butterfly.hasPersistedEntries(edges))
   }
 
+  test("a re-requested graph reuses the built plan: zero sizing jobs (VERDICT r12 #1)") {
+    // every call mints a fresh closure, but the sizing ladder (the
+    // adjacency aggregate, the dominated-edge bound, the pair-count
+    // probe) is a pure function of (operator, edge set, decision
+    // confs) over fixed data — the round-12 vp regression was warm
+    // bench runs re-paying it (2.3-3.2 s at sf0.1). The built-frame
+    // memo must make a SECOND call's build jobless.
+    import spark.implicits._
+    val edges = Seq(61L -> 931L, 61L -> 932L, 62L -> 931L, 62L -> 932L)
+      .toDF("a", "b")
+    val first = Butterfly.perVertexCounts(edges)
+    assert(first.count() == 4L)
+    val group = "bf-built-memo"
+    spark.sparkContext.setJobGroup(group, "ButterflySpec")
+    val second = try {
+      val f = Butterfly.perVertexCounts(edges)
+      f.queryExecution.executedPlan // forces build + optimize
+      f
+    } finally spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "a repeat build of the same (graph, confs) must run ZERO sizing jobs")
+    assert(second.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(61L -> 1L, 62L -> 1L, 931L -> 1L, 932L -> 1L))
+    // a changed decision conf must re-decide (fresh memo key) ...
+    val windowed = withConf(Butterfly.ProbePairBoundConf, "0") {
+      Butterfly.perVertexCounts(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(windowed == Map(61L -> 1L, 62L -> 1L, 931L -> 1L, 932L -> 1L))
+    // ... and release drops the memo with the caches: the next build
+    // re-runs the sizing ladder (observable as jobs again)
+    Butterfly.releaseCaches(edges)
+    spark.sparkContext.setJobGroup(group + "-post", "ButterflySpec")
+    try Butterfly.perVertexCounts(edges).queryExecution.executedPlan
+    finally spark.sparkContext.clearJobGroup()
+    assert(spark.sparkContext.statusTracker
+        .getJobIdsForGroup(group + "-post").nonEmpty,
+      "after releaseCaches the sizing ladder must run again (the memo " +
+        "must not outlive the lifecycle hook)")
+    Butterfly.releaseCaches(edges)
+  }
+
   test("re-executing a frame after releaseCaches recomputes without resurrecting caches") {
     // the deferral must not freeze the first action's cache state: the
     // build memoizes the expensive sizing work, but cache substitution

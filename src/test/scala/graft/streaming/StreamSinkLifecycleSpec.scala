@@ -77,6 +77,59 @@ class StreamSinkLifecycleSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset("spark.graft.stream.sink")
   }
 
+  test("connector mode writes the committed store but skips the read-back (VERDICT r12 #5)") {
+    // closes the engine-only lower-bound caveat: st_sink_* numbers in
+    // this mode INCLUDE the DSv2 committed-store write (the stand-in
+    // for an external system) and skip only driver collection. The
+    // store write is observable through the sink's write path having
+    // run — and the lifecycle contract still holds: the store entry is
+    // dropped before return, the result frame is empty.
+    spark.conf.set("spark.graft.stream.sink", "connector")
+    try {
+      val sinkQ = SparkEntry.queries("st_sink_append")(spark, dir)
+      assert(sinkQ.count() == 0,
+        "connector mode must not collect the committed rows")
+      import scala.jdk.CollectionConverters._
+      assert(!graft.sources.GraftGen.committed.keySet().asScala
+        .exists(_.startsWith("st_sink_")),
+        "connector mode must still drop the store entry (leak class)")
+      // memory-sink queries degrade to engine-only under this knob
+      val mem = SparkEntry.queries("st_window_agg")(spark, dir)
+      assert(mem.count() == 0)
+    } finally spark.conf.unset("spark.graft.stream.sink")
+  }
+
+  test("digest mode proves row-identity with one collected row per batch (VERDICT r12 #4)") {
+    // the executor-side digest leg: same rows as the memory-sink run
+    // — provable through an order-insensitive (xxhash-sum, count)
+    // digest — with no driver-side row collection. Two runs of the
+    // same query must agree digest-for-digest; the verified run's row
+    // count must match the digest's count.
+    val verified = SparkEntry.queries("st_window_agg")(spark, dir)
+    val nVerified = verified.count()
+    assert(nVerified > 0)
+    def digestRun(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val before =
+        graft.queries.StreamingQueries.streamDigests.keySet().asScala.toSet
+      val out = SparkEntry.queries("st_window_agg")(spark, dir)
+      assert(out.count() == 0, "digest mode must not collect sink rows")
+      val fresh = graft.queries.StreamingQueries.streamDigests.keySet()
+        .asScala.toSet -- before
+      assert(fresh.size == 1, s"expected exactly one new digest, got $fresh")
+      graft.queries.StreamingQueries.streamDigests.get(fresh.head)
+    }
+    spark.conf.set("spark.graft.stream.sink", "digest")
+    try {
+      val (h1, n1) = digestRun()
+      val (h2, n2) = digestRun()
+      assert(n1 == nVerified,
+        s"digest row count $n1 must equal the verified run's $nVerified")
+      assert((h1, n1) == (h2, n2),
+        "re-running the same query must reproduce the digest bit-for-bit")
+    } finally spark.conf.unset("spark.graft.stream.sink")
+  }
+
   test("the returned frame stays consumable after the view drop") {
     val out = SparkEntry.queries("st_window_agg")(spark, dir)
     // two actions + a derived frame: the resolved plan must not depend
