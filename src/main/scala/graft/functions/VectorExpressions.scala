@@ -115,11 +115,19 @@ case class SubspaceL2(first: Expression, second: Expression,
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       val d = ctx.freshName("d")
-      // same long-math guard as nullSafeEval: int s*subDim can wrap
+      // same long-math guard as nullSafeEval: int s*subDim can wrap.
+      // NOTE the operator placement: a generated line must never START
+      // with '|' — enclosing whole-stage templates run stripMargin over
+      // the combined source, which eats leading pipes and turned a
+      // leading "||" into invalid Java. The whole PQ/ADC kernel then
+      // silently fell back to INTERPRETED execution for every
+      // candidate row ("Failed to compile ... ')' expected instead of
+      // 'base_0'" in the sweep logs, r8-r12); CodegenProbe pins the
+      // clean compile now.
       s"""
          |long $base = (long) $s * $subDim;
-         |if ($base < 0 || $base + $subDim > $a.numElements()
-         |    || $base + $subDim > $b.numElements()) {
+         |if ($base < 0 || $base + $subDim > $a.numElements() ||
+         |    $base + $subDim > $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  int $baseI = (int) $base;
