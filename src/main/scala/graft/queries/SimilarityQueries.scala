@@ -134,7 +134,19 @@ object SimilarityQueries {
     // representation a PQ index actually stores — 4 bytes/vector)
     val cCols = (0 until 4).map(i =>
       min(when(col("s") === i, col("code"))).as(s"_c$i"))
+    // Explicit width for the ADC scan: `codes` is a POST-SHUFFLE frame
+    // of a few MB (4-byte codes per vector is the point of PQ), so AQE
+    // coalesces it to a handful of partitions — correct for its size,
+    // but this side then fans out ×q through the broadcast crossJoin
+    // below, and AQE cannot see that multiplier (round-13 probe at the
+    // 100× rung: the ADC+top-k stage got 8 tasks on 32 cores, 433 s of
+    // executor time over 58 s wall; pinned at defaultParallelism the
+    // same stage ran 32-wide in 16 s). A user-specified repartition
+    // count is exempt from AQE coalescing, so the expansion stage keeps
+    // cluster-wide parallelism at any scale; the extra exchange moves
+    // only the codes themselves (~16 MB at 100×).
     val codes = enc.groupBy(col("vec_id")).agg(cCols.head, cCols.tail: _*)
+      .repartition(s.sparkContext.defaultParallelism)
     // each query's DISTANCE LOOKUP TABLE (subspaces × codes = 40
     // doubles) broadcasts as one flat array indexed s*nCodes+code, so
     // the candidate × query enumeration is one broadcast join + a PURE
