@@ -83,7 +83,10 @@ object GraftFunctions {
     (FunctionIdentifier("graft_subspace_l2"),
       info("graft_subspace_l2", classOf[SubspaceL2]),
       (es: Seq[Expression]) => SubspaceL2(es(0), es(1), es(2),
-        intArg(es(3), "subDim")))
+        intArg(es(3), "subDim"))),
+    (FunctionIdentifier("graft_hyperplane_bucket"),
+      info("graft_hyperplane_bucket", classOf[HyperplaneBucket]),
+      (es: Seq[Expression]) => HyperplaneBucket(es(0)))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -100,6 +103,10 @@ object GraftFunctions {
   /** Squared L2 on subspace `s` of width `subDim` (see [[SubspaceL2]]). */
   def subspaceL2(a: Column, b: Column, s: Column, subDim: Int): Column =
     call_function("graft_subspace_l2", a, b, s, lit(subDim))
+
+  /** Fused 4-hyperplane LSH bucket (see [[HyperplaneBucket]]). */
+  def hyperplaneBucket(vd: Column): Column =
+    call_function("graft_hyperplane_bucket", vd)
 
   /** MinHash signature of an array<long> of hashes in [0, P). */
   def minhashSig(hashes: Column, k: Int): Column =

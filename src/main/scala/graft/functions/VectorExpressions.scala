@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
@@ -144,4 +144,92 @@ case class SubspaceL2(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(newFirst: Expression,
       newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Fused 4-hyperplane random-projection LSH bucket of an
+  * `array<double>`: bit j of the result is set iff
+  * `dot_j = Σ_{i=0}^{n−1} vd[i] · ((i·37 + j·101) % 19 − 9) > 0`.
+  *
+  * Replaces the composed Column formula (4 ×
+  * `aggregate(sequence(0, size−1), …)`) the similarity layer bucketed
+  * with through round 13 — per row that chain materialized four
+  * 161-element int sequences and dispatched ~1300 interpreted lambda
+  * steps; this expression is ONE generated loop with four scalar
+  * accumulators and no allocation, and it was the serving-regime
+  * (fixed-q) ladder's largest line (td_ann_lsh computes it over every
+  * candidate row, ∝ corpus size). The DuckDB oracles keep replaying
+  * the aggregate formula, so the hash gate proves the equivalence
+  * cross-engine on every run.
+  *
+  * Bit-compatibility with the composed formula: each dot_j is the
+  * same ascending-index IEEE left fold from 0.0 (independent
+  * accumulators — one pass over i computes all four without changing
+  * any per-j operation order); the weight arithmetic is the same
+  * 32-bit int `(i*37 + j*101) % 19 − 9` (including wrap behavior for
+  * absurd i) promoted exactly to double; an array NULL ELEMENT nulls
+  * the remainder of every fold exactly as `acc + null` does, so the
+  * bucket is 0 (all four `when(dot_j > 0…)` legs fall to otherwise).
+  * Sole intentional difference, pinned in KernelProps: a NULL ARRAY
+  * yields null (standard null-intolerant scalar), where the composed
+  * chain produced bucket 0 — callers bucketing nullable embeddings
+  * must coalesce, and a null never scores a plausible bucket.
+  */
+case class HyperplaneBucket(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hyperplane_bucket"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return 0 // null element: every fold goes null
+      val v = x.getDouble(i)
+      val b = i * 37
+      d0 += v * (b % 19 - 9)
+      d1 += v * ((b + 101) % 19 - 9)
+      d2 += v * ((b + 202) % 19 - 9)
+      d3 += v * ((b + 303) % 19 - 9)
+      i += 1
+    }
+    (if (d0 > 0) 1 else 0) | (if (d1 > 0) 2 else 0) |
+      (if (d2 > 0) 4 else 0) | (if (d3 > 0) 8 else 0)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val d0 = ctx.freshName("d0"); val d1 = ctx.freshName("d1")
+      val d2 = ctx.freshName("d2"); val d3 = ctx.freshName("d3")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      val b = ctx.freshName("b")
+      val nulled = ctx.freshName("nulled")
+      // NOTE: no generated line may START with '|' (see SubspaceL2).
+      s"""
+         |int $n = $a.numElements();
+         |double $d0 = 0.0, $d1 = 0.0, $d2 = 0.0, $d3 = 0.0;
+         |boolean $nulled = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $nulled = true; break; }
+         |  double $v = $a.getDouble($i);
+         |  int $b = $i * 37;
+         |  $d0 += $v * ($b % 19 - 9);
+         |  $d1 += $v * (($b + 101) % 19 - 9);
+         |  $d2 += $v * (($b + 202) % 19 - 9);
+         |  $d3 += $v * (($b + 303) % 19 - 9);
+         |}
+         |${ev.value} = $nulled ? 0 :
+         |  (($d0 > 0 ? 1 : 0) | ($d1 > 0 ? 2 : 0) |
+         |   ($d2 > 0 ? 4 : 0) | ($d3 > 0 ? 8 : 0));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -176,8 +176,21 @@ object SimilarityQueries {
 
   /** 4-hyperplane random-projection bucket (16 buckets). Hyperplane j's
     * component i is the small integer ((i*37 + j*101) mod 19) - 9 — exact
-    * in doubles, so the sign test is bit-deterministic cross-engine. */
+    * in doubles, so the sign test is bit-deterministic cross-engine.
+    * Computed by the fused codegen kernel
+    * ([[graft.functions.HyperplaneBucket]], round 13): the previous
+    * 4 × `aggregate(sequence(...))` composition ran ~1300 interpreted
+    * lambda steps and four array materializations per CANDIDATE row —
+    * ∝ corpus size, the serving-regime ladder's largest line. The
+    * DuckDB oracle keeps replaying the aggregate formula, so the hash
+    * gate proves the kernel's bit-equivalence cross-engine. */
   private def bucketExpr(vd: Column): Column =
+    graft.functions.GraftFunctions.hyperplaneBucket(vd)
+
+  /** The composed-Column formula the kernel replaced — retained for
+    * the equivalence spec (SimilaritySpec pins kernel == composition
+    * on the fixture; KernelProps pins it on random arrays). */
+  private[graft] def bucketExprComposed(vd: Column): Column =
     (0 until 4).map { j =>
       val dotj = aggregate(sequence(lit(0), size(vd) - 1), lit(0.0),
         (acc, i) => acc + element_at(vd, i + 1) *

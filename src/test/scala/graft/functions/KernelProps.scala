@@ -166,6 +166,33 @@ object KernelProps extends Properties("graft.kernels") {
         .nullSafeEval(full, full, s) == null)
     }
 
+  property("HyperplaneBucket equals the 4x ascending-fold composition") =
+    forAll(Gen.choose(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0, 10.0)))) { a =>
+      val got = HyperplaneBucket(dummy)
+        .nullSafeEval(new GenericArrayData(a.toArray))
+      // reference: the composed-Column formula's per-j ascending IEEE
+      // left fold from 0.0, summed when positive (bit-exact order)
+      val want = (0 until 4).map { j =>
+        val dotj = a.zipWithIndex.foldLeft(0.0) { case (acc, (v, i)) =>
+          acc + v * ((i * 37 + j * 101) % 19 - 9)
+        }
+        if (dotj > 0) 1 << j else 0
+      }.sum
+      Prop(got == want)
+    }
+
+  property("HyperplaneBucket: a null element buckets to 0 (composition parity)") =
+    forAll(Gen.listOfN(8, Gen.choose(-10.0, 10.0)), Gen.choose(0, 8)) {
+      (a, at) =>
+      // acc + null nulls every fold from that element on, so all four
+      // when(dot_j > 0) legs fall to otherwise(0) in the composition
+      val boxed = a.map(Double.box).toArray[Any]
+      val withNull = (boxed.take(at) :+ null) ++ boxed.drop(at)
+      Prop(HyperplaneBucket(dummy)
+        .nullSafeEval(new GenericArrayData(withNull)) == 0)
+    }
+
   private val textGen: Gen[String] = Gen.oneOf(
     Gen.const(""), Gen.const("a"), Gen.const("café au lait"),
     Gen.const("日本語テキスト"), Gen.const("mixed café 日本 𝔘nicode"),

@@ -29,6 +29,23 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(row.getBoolean(6))
   }
 
+  test("HyperplaneBucket codegen path equals the composed-Column formula") {
+    // DataFrame-level A/B over a whole-stage codegen'd projection: the
+    // kernel (doGenCode) vs the 4x aggregate(sequence(...)) composition
+    // it replaced (interpreted HOFs), on deterministic pseudo-random
+    // vectors including the fixture's 161-dim shape and degenerate dims
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 500)
+      .select(col("id"), transform(
+        sequence(lit(0), (col("id") % 163).cast("int")),
+        i => sin(i * 0.7 + col("id") * 0.13)).as("vd"))
+    val both = df.select(
+      graft.functions.GraftFunctions.hyperplaneBucket(col("vd")).as("k"),
+      graft.queries.SimilarityQueries.bucketExprComposed(col("vd")).as("c"))
+    assert(both.filter(col("k") =!= col("c")).count() == 0)
+    assert(both.select(countDistinct(col("k"))).head().getLong(0) > 4)
+  }
+
   test("custom aggregates work in SQL GROUP BY with partial aggregation") {
     spark.range(0, 1000)
       .selectExpr("id % 3 AS g", "id % 17 AS v")
