@@ -686,6 +686,61 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding
+    // near-dedup at corpus scale by clustering FIRST — the Lloyd(2)
+    // cell assignment shared with td_kmeans_lloyd — then comparing
+    // pairs only WITHIN a cell and keeping the lowest vec_id of each
+    // qualifying pair. td_embed_neardup blocks on a GIVEN label; this
+    // is the production shape when no label exists: the quantizer's own
+    // cells are the blocking key, and k grows with the corpus so cell
+    // population (and the within-cell quadratic term) stays bounded.
+    // Plan at scale: the assignment is two broadcast-centroid scans
+    // (no shuffle grows with the corpus); the within-cell self-join
+    // shuffles on `cell` (AQE splits a skewed cell); cosine is the
+    // codegen'd ascending-fold dot. The assignment subtree appears on
+    // both join sides and under the final projection — three linear
+    // scans here; a production pipeline materializes the assignment
+    // once as a corpus column (an artifact write, not an engine
+    // concern). Output: one row per vector, `kept` = survives pruning.
+    "td_semdedup" -> QueryDef.sql(
+      "SemDeDup: within-kmeans-cell cosine >= 0.4 prune, keep lowest id")(
+      s"""WITH ${SimilarityQueries.KmeansSqlChain},
+        |cells AS (SELECT vec_id, cell_lloyd AS cell FROM a2),
+        |nr2 AS (SELECT vec_id, vd, sqrt(list_reduce(list_transform(
+        |          range(len(vd)), i -> vd[i+1]*vd[i+1]), (a,b) -> a+b))
+        |          AS nrm FROM vd),
+        |nn AS (SELECT vec_id, list_transform(vd, x -> x / nrm) AS an
+        |       FROM nr2),
+        |cv AS (SELECT nn.vec_id, c.cell, nn.an
+        |       FROM nn JOIN cells c ON nn.vec_id = c.vec_id),
+        |dup AS (SELECT DISTINCT y.vec_id
+        |        FROM cv x JOIN cv y
+        |          ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |        WHERE list_reduce(list_transform(range(len(x.an)),
+        |          i -> x.an[i+1]*y.an[i+1]), (a,b) -> a+b) >= 0.4)
+        |SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
+        |FROM cv c LEFT JOIN dup d ON c.vec_id = d.vec_id
+        |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
+      val cells = SimilarityQueries.kmeansAssign(s, dir)
+        .select(col("vec_id"), col("cell_lloyd").as("cell"))
+      val v = normalizedEmbeddings(s, dir)
+        .join(cells, "vec_id")
+        .select(col("vec_id"), col("cell"), col("an"))
+      val x = v.select(col("vec_id").as("a_id"), col("cell"),
+        col("an").as("a_an"))
+      val y = v.select(col("vec_id").as("b_id"), col("cell").as("cell_b"),
+        col("an").as("b_an"))
+      val dups = x.join(y,
+          col("cell") === col("cell_b") && col("a_id") < col("b_id"))
+        .filter(dot(col("a_an"), col("b_an")) >= 0.4)
+        .select(col("b_id").as("vec_id")).distinct()
+      cells
+        .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          col("dup").isNull.as("kept"))
+        .orderBy("vec_id")
+    },
+
     // ---- Benchmark-contamination check: flag corpus documents sharing
     // any word 8-gram with a held-out "benchmark" set (here: source
     // src0). The scan is an equi-join on the 60-bit shingle hash — the

@@ -198,6 +198,41 @@ object SimilarityQueries {
       when(dotj > 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Oracle CTE chain for the Lloyd(2) assignment — `vd` (raw doubles)
+    * through `a2` (vec_id, cell_seed, cell_lloyd). Shared by
+    * td_kmeans_lloyd and DedupQueries' td_semdedup, whose blocking key
+    * is exactly this assignment. Defined BEFORE `defs`: the map
+    * interpolates it eagerly at object init. Usable as
+    * `WITH $KmeansSqlChain, ...`. */
+  private[queries] val KmeansSqlChain =
+    """vd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+      |            FROM embeddings),
+      |xm AS (SELECT vec_id, list_transform(vd,
+      |         x -> CAST(CAST(round(x*1000000) AS BIGINT) AS DOUBLE))
+      |         AS xm FROM vd),
+      |c0 AS (SELECT vec_id AS cid, xm AS cm FROM xm WHERE vec_id < 8),
+      |a1 AS (SELECT vec_id, xm, cell FROM (
+      |  SELECT x.vec_id, x.xm, c.cid AS cell, row_number() OVER (
+      |      PARTITION BY x.vec_id ORDER BY
+      |      list_reduce(list_transform(range(len(x.xm)),
+      |        i -> (x.xm[i+1]-c.cm[i+1])*(x.xm[i+1]-c.cm[i+1])),
+      |        (a,b) -> a+b) ASC, c.cid) AS rn
+      |  FROM xm x, c0 c) WHERE rn = 1),
+      |s1 AS (SELECT cell, t.k AS pos,
+      |         CAST(sum(CAST(xm[t.k+1] AS BIGINT)) AS BIGINT) AS sm,
+      |         count(*) AS n
+      |       FROM a1, unnest(range(len(xm))) AS t(k) GROUP BY 1, 2),
+      |c1 AS (SELECT cell AS cid,
+      |         list(CAST(sm AS DOUBLE)/n ORDER BY pos) AS cm
+      |       FROM s1 GROUP BY 1),
+      |a2 AS (SELECT vec_id, cell_seed, cell_lloyd FROM (
+      |  SELECT x.vec_id, x.cell AS cell_seed, c.cid AS cell_lloyd,
+      |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+      |      list_reduce(list_transform(range(len(x.xm)),
+      |        i -> (x.xm[i+1]-c.cm[i+1])*(x.xm[i+1]-c.cm[i+1])),
+      |        (a,b) -> a+b) ASC, c.cid) AS rn
+      |  FROM a1 x, c1 c) WHERE rn = 1)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- Brute-force cosine top-k: the exact baseline every ANN variant
@@ -633,70 +668,54 @@ object SimilarityQueries {
     // plan a 1000-executor cluster would run.
     "td_kmeans_lloyd" -> QueryDef.sql(
       "k-means Lloyd x2 (k=8, data-seeded) in exact micro-units")(
-      """WITH vd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
-        |            FROM embeddings),
-        |xm AS (SELECT vec_id, list_transform(vd,
-        |         x -> CAST(CAST(round(x*1000000) AS BIGINT) AS DOUBLE))
-        |         AS xm FROM vd),
-        |c0 AS (SELECT vec_id AS cid, xm AS cm FROM xm WHERE vec_id < 8),
-        |a1 AS (SELECT vec_id, xm, cell FROM (
-        |  SELECT x.vec_id, x.xm, c.cid AS cell, row_number() OVER (
-        |      PARTITION BY x.vec_id ORDER BY
-        |      list_reduce(list_transform(range(len(x.xm)),
-        |        i -> (x.xm[i+1]-c.cm[i+1])*(x.xm[i+1]-c.cm[i+1])),
-        |        (a,b) -> a+b) ASC, c.cid) AS rn
-        |  FROM xm x, c0 c) WHERE rn = 1),
-        |s1 AS (SELECT cell, t.k AS pos,
-        |         CAST(sum(CAST(xm[t.k+1] AS BIGINT)) AS BIGINT) AS sm,
-        |         count(*) AS n
-        |       FROM a1, unnest(range(len(xm))) AS t(k) GROUP BY 1, 2),
-        |c1 AS (SELECT cell AS cid,
-        |         list(CAST(sm AS DOUBLE)/n ORDER BY pos) AS cm
-        |       FROM s1 GROUP BY 1),
-        |a2 AS (SELECT vec_id, cell_seed, cell_lloyd FROM (
-        |  SELECT x.vec_id, x.cell AS cell_seed, c.cid AS cell_lloyd,
-        |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
-        |      list_reduce(list_transform(range(len(x.xm)),
-        |        i -> (x.xm[i+1]-c.cm[i+1])*(x.xm[i+1]-c.cm[i+1])),
-        |        (a,b) -> a+b) ASC, c.cid) AS rn
-        |  FROM a1 x, c1 c) WHERE rn = 1)
+      s"""WITH $KmeansSqlChain
         |SELECT vec_id, cell_seed, cell_lloyd,
         |       cell_seed <> cell_lloyd AS moved
         |FROM a2 ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      def sqdist(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (p, q) => p + q)
-      val xm = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding").cast("array<double>"),
-            x => round(x * 1000000).cast("long").cast("double")).as("xm"))
-      val c0 = xm.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"), col("xm").as("cm"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("d"), col("cid"))
-      val a1 = xm.join(broadcast(c0))
-        .withColumn("d", sqdist(col("xm"), col("cm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("xm"), col("cid").as("cell"))
-      val c1 = a1
-        .select(col("cell"), posexplode(col("xm")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v").cast("long")).as("sm"), count(lit(1)).as("n"))
-        .withColumn("cme", col("sm").cast("double") / col("n"))
-        .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cme"))))
-          .as("ps"))
-        .select(col("cell").as("cid"),
-          transform(col("ps"), p => p.getField("cme")).as("cm"))
-      a1.join(broadcast(c1))
-        .withColumn("d", sqdist(col("xm"), col("cm")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell").as("cell_seed"),
-          col("cid").as("cell_lloyd"),
-          (col("cell") =!= col("cid")).as("moved"))
+      kmeansAssign(s, dir)
+        .withColumn("moved", col("cell_seed") =!= col("cell_lloyd"))
         .orderBy("vec_id")
     }
   )
+
+  /** Lloyd(2) cell assignment (k=8, seeded from the first 8 vectors,
+    * exact micro-unit arithmetic — see td_kmeans_lloyd's entry comment
+    * for the determinism argument and the broadcast-centroid plan
+    * shape): (vec_id, cell_seed, cell_lloyd). Shared with
+    * td_semdedup, which blocks its within-cell pruning on
+    * `cell_lloyd`. */
+  private[queries] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
+    def sqdist(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (p, q) => p + q)
+    val xm = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => round(x * 1000000).cast("long").cast("double")).as("xm"))
+    val c0 = xm.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("xm").as("cm"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d"), col("cid"))
+    val a1 = xm.join(broadcast(c0))
+      .withColumn("d", sqdist(col("xm"), col("cm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("xm"), col("cid").as("cell"))
+    val c1 = a1
+      .select(col("cell"), posexplode(col("xm")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v").cast("long")).as("sm"), count(lit(1)).as("n"))
+      .withColumn("cme", col("sm").cast("double") / col("n"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cme"))))
+        .as("ps"))
+      .select(col("cell").as("cid"),
+        transform(col("ps"), p => p.getField("cme")).as("cm"))
+    a1.join(broadcast(c1))
+      .withColumn("d", sqdist(col("xm"), col("cm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell").as("cell_seed"),
+        col("cid").as("cell_lloyd"))
+  }
 }
