@@ -34,8 +34,17 @@ import org.apache.spark.sql.functions._
   * conf, so oracle hashes are untouched. Both modes share one
   * generated directory (completion sentinel, written last).
   *
+  * A 5th arg (default-mode only) restricts the sweep to one
+  * registry-name prefix, for single-family rungs without re-measuring
+  * 50 unchanged legs. Default mode also grows td_semdedup's cell
+  * count with the factor (`spark.graft.semdedup.cells` = 8·√scale,
+  * the exact-assignment optimum — see the sizing comment below) — the
+  * production regime where the quantizer is re-trained as the corpus
+  * grows; the same bench-only-conf contract as `queryIdBound`.
+  *
   * {{{ SPARK_GRAFT_CPUS=32 sbt "runMain graft.StressSmoke 50" }}}
   * {{{ sbt "runMain graft.StressSmoke 100 /root/testdata/sf0.1 /tmp/x100 fixedq" }}}
+  * {{{ sbt "runMain graft.StressSmoke 100 /root/testdata/sf0.1 /tmp/x100 '' td_semdedup" }}}
   */
 object StressSmoke {
 
@@ -56,9 +65,15 @@ object StressSmoke {
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val out = if (args.length > 2) args(2)
       else s"${System.getProperty("java.io.tmpdir")}/graft-stress-x$scale"
-    val mode = if (args.length > 3) args(3) else ""
+    // `default` is an explicit alias for the unset mode: sbt's runMain
+    // argument parsing passes quoted empty strings through literally,
+    // so a positional 5th arg needs a spellable 4th
+    val mode = (if (args.length > 3) args(3) else "") match {
+      case "default" => ""
+      case m => m
+    }
     require(Set("", "fixedq").contains(mode),
-      s"unknown mode '$mode' (expected fixedq)")
+      s"unknown mode '$mode' (expected fixedq|default)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.pinDialect(Tables.localSession("graft-stress", cpus))
 
@@ -126,7 +141,25 @@ object StressSmoke {
     if (mode == "fixedq") {
       spark.conf.set("spark.graft.ann.queryIdBound", nVecs.toString)
       RelStress.sweep(spark, out, "td_ann_", "stress_fixedq_total", scale)
-    } else RelStress.sweep(spark, out, "td_", "stress_total", scale)
+    } else {
+      // td_semdedup's quantizer re-trains as the corpus grows; cell
+      // count follows the exact-assignment optimum k ∝ √n (total cost
+      // n·k + n²/2k is minimized at k = √(n/2) — the classic IVF
+      // nlist=√n sizing), so BOTH the assignment and the within-cell
+      // pair term grow as n^1.5, never the fixed-k n² pair blow-up.
+      // Bench-only conf, same contract as queryIdBound above.
+      spark.conf.set("spark.graft.semdedup.cells",
+        math.max(8, math.round(8 * math.sqrt(scale.toDouble))).toString)
+      // optional 5th arg: registry-name prefix restricting the sweep
+      // (e.g. `td_semdedup` for a single-query rung). Totals from a
+      // filtered run are not family-comparable; the metric says so —
+      // same convention as StreamStress's filtered connector column.
+      val prefix = if (args.length > 4 && args(4).nonEmpty) args(4) else "td_"
+      val metric = "stress_total" +
+        (if (prefix != "td_") s"_${prefix.stripPrefix("td_").stripSuffix("_")}"
+         else "")
+      RelStress.sweep(spark, out, prefix, metric, scale)
+    }
     spark.stop()
   }
 }

@@ -37,6 +37,9 @@ object GraftFunctions {
   val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"), info("graft_dot", classOf[DotProduct]),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    (FunctionIdentifier("graft_sqdist"),
+      info("graft_sqdist", classOf[SquaredL2]),
+      (es: Seq[Expression]) => SquaredL2(es(0), es(1))),
     (FunctionIdentifier("graft_minhash"),
       info("graft_minhash", classOf[MinHashSignature]),
       (es: Seq[Expression]) => MinHashSignature(es(0), intArg(es(1), "k"))),
@@ -99,6 +102,10 @@ object GraftFunctions {
 
   /** Ascending-index IEEE left-fold dot product (see [[DotProduct]]). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Ascending-index IEEE left-fold squared L2 (see [[SquaredL2]]). */
+  def sqDist(a: Column, b: Column): Column =
+    call_function("graft_sqdist", a, b)
 
   /** Squared L2 on subspace `s` of width `subDim` (see [[SubspaceL2]]). */
   def subspaceL2(a: Column, b: Column, s: Column, subDim: Int): Column =

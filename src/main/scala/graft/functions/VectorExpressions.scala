@@ -60,6 +60,74 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd full-array squared-L2 distance over two `array<double>`
+  * columns: Σ (a[i] − b[i])², an ascending-index IEEE left fold from
+  * 0.0 exactly like [[DotProduct]] (the DuckDB oracles replay the same
+  * shape with `list_reduce` over squared differences). The kmeans/
+  * SemDeDup assignment evaluates it vectors × centroids times — and
+  * the SemDeDup stress ladder grows BOTH factors with the corpus — so
+  * it must be a fused generated loop, not the interpreted
+  * `aggregate(zip_with(...))` chain (per row that chain dispatches
+  * ~20 lambda steps per element and materializes the difference
+  * array). Mismatched lengths yield null, never a silently-truncated
+  * sum — a corrupt-dimension vector must not produce a plausible
+  * distance.
+  */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      // NOTE operator placement: generated lines must never START with
+      // an operator that stripMargin in an enclosing whole-stage
+      // template could eat (see SubspaceL2's comment — the r8-r12
+      // silent interpreted fallback)
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd squared-L2 distance on ONE subspace of two `array<double>`
   * columns: Σ_{i=0}^{subDim−1} (a[s·subDim+i] − b[s·subDim+i])².
   *

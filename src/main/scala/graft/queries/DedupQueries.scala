@@ -702,6 +702,17 @@ object DedupQueries {
     // scans here; a production pipeline materializes the assignment
     // once as a corpus column (an artifact write, not an engine
     // concern). Output: one row per vector, `kept` = survives pruning.
+    //
+    // `spark.graft.semdedup.cells` (BENCH-ONLY — the correctness gate
+    // never sets it, so oracle hashes are untouched; default 8 matches
+    // the oracle CTE) grows the cell count for the stress ladder: a
+    // production SemDeDup re-trains its quantizer as the corpus grows,
+    // holding cell SIZE roughly constant while cell COUNT scales with
+    // n — which keeps the within-cell pair term linear in n. Fixed
+    // k=8 at 100x would instead grow each cell 100x and the pair
+    // volume 10000x, a fixture artifact no production index exhibits
+    // (the same argument as StressSmoke's per-replica label suffix
+    // for td_embed_neardup's blocking cells).
     "td_semdedup" -> QueryDef.sql(
       "SemDeDup: within-kmeans-cell cosine >= 0.4 prune, keep lowest id")(
       s"""WITH ${SimilarityQueries.KmeansSqlChain},
@@ -721,8 +732,18 @@ object DedupQueries {
         |SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
         |FROM cv c LEFT JOIN dup d ON c.vec_id = d.vec_id
         |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
-      val cells = SimilarityQueries.kmeansAssign(s, dir)
+      val k = s.conf.getOption("spark.graft.semdedup.cells")
+        .map(_.toInt).getOrElse(8)
+      // the assignment subtree is referenced three times (both
+      // self-join sides + the final projection); lazily localCheckpoint
+      // it so the n x k distance evaluation — the query's dominant term
+      // once k grows with the corpus — runs ONCE and the joins read the
+      // materialized (vec_id, cell) pairs, exactly the "materialize the
+      // assignment as a corpus column" step a production pipeline runs
+      // (same per-stage localCheckpoint discipline as the graph family)
+      val cells = SimilarityQueries.kmeansAssign(s, dir, k)
         .select(col("vec_id"), col("cell_lloyd").as("cell"))
+        .localCheckpoint(false)
       val v = normalizedEmbeddings(s, dir)
         .join(cells, "vec_id")
         .select(col("vec_id"), col("cell"), col("an"))

@@ -678,21 +678,28 @@ object SimilarityQueries {
     }
   )
 
-  /** Lloyd(2) cell assignment (k=8, seeded from the first 8 vectors,
+  /** Lloyd(2) cell assignment (seeded from the first `k` vectors,
     * exact micro-unit arithmetic — see td_kmeans_lloyd's entry comment
     * for the determinism argument and the broadcast-centroid plan
     * shape): (vec_id, cell_seed, cell_lloyd). Shared with
     * td_semdedup, which blocks its within-cell pruning on
-    * `cell_lloyd`. */
-  private[queries] def kmeansAssign(s: SparkSession, dir: String): DataFrame = {
-    def sqdist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (p, q) => p + q)
+    * `cell_lloyd`; the registry fixture uses k=8 everywhere (matching
+    * [[KmeansSqlChain]]), while the stress ladder grows td_semdedup's
+    * k with the corpus — the SemDeDup production regime, where the
+    * quantizer is re-trained as the corpus grows so CELL SIZE stays
+    * roughly constant and cell COUNT scales with n. */
+  private[queries] def kmeansAssign(s: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    // codegen'd kernel, not aggregate(zip_with(...)): the assignment
+    // evaluates this vectors x centroids times, and the SemDeDup
+    // ladder grows both factors with the corpus (KernelProps pins
+    // kernel == interpreted composition bit-for-bit)
+    def sqdist(a: Column, b: Column): Column = sqDist(a, b)
     val xm = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding").cast("array<double>"),
           x => round(x * 1000000).cast("long").cast("double")).as("xm"))
-    val c0 = xm.filter(col("vec_id") < 8)
+    val c0 = xm.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("xm").as("cm"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("d"), col("cid"))

@@ -133,6 +133,24 @@ object KernelProps extends Properties("graft.kernels") {
       Prop(DotProduct(dummy, dummy).nullSafeEval(a, b) == null)
     }
 
+  property("SquaredL2 equals the ascending fold of squared differences") =
+    forAll(Gen.listOfN(16, Gen.choose(-10.0, 10.0)),
+      Gen.listOfN(16, Gen.choose(-10.0, 10.0))) { (a, b) =>
+      val got = SquaredL2(dummy, dummy)
+        .nullSafeEval(new GenericArrayData(a.toArray),
+          new GenericArrayData(b.toArray)).asInstanceOf[Double]
+      val want = a.zip(b).foldLeft(0.0) {
+        case (acc, (x, y)) => acc + (x - y) * (x - y) }
+      Prop(got == want) // bit-exact, same operation order
+    }
+
+  property("SquaredL2 yields null on mismatched array lengths") =
+    forAll(Gen.choose(1, 10), Gen.choose(11, 20)) { (n, m) =>
+      val a = new GenericArrayData(Array.fill(n)(1.0))
+      val b = new GenericArrayData(Array.fill(m)(1.0))
+      Prop(SquaredL2(dummy, dummy).nullSafeEval(a, b) == null)
+    }
+
   property("SubspaceL2 equals the ascending fold of squared diffs on the window") =
     forAll(Gen.listOfN(64, Gen.choose(-10.0, 10.0)),
       Gen.listOfN(64, Gen.choose(-10.0, 10.0)), Gen.choose(0, 3)) { (a, b, s) =>

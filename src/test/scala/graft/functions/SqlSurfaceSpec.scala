@@ -46,6 +46,34 @@ class SqlSurfaceSpec extends AnyFunSuite with SparkTestSession {
     assert(both.select(countDistinct(col("k"))).head().getLong(0) > 4)
   }
 
+  test("SquaredL2 codegen path equals the composed-Column formula") {
+    // same A/B discipline as HyperplaneBucket: the kernel (doGenCode,
+    // inside a whole-stage projection) vs the aggregate(zip_with(...))
+    // interpreted composition it replaced in kmeansAssign, plus SQL
+    // registration and the mismatched-length null contract
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 500)
+      .select(col("id"),
+        transform(sequence(lit(0), lit(63)),
+          i => sin(i * 0.7 + col("id") * 0.13)).as("a"),
+        transform(sequence(lit(0), lit(63)),
+          i => cos(i * 0.3 + col("id") * 0.29)).as("b"))
+    val both = df.select(
+      graft.functions.GraftFunctions.sqDist(col("a"), col("b")).as("k"),
+      aggregate(zip_with(col("a"), col("b"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (p, q) => p + q).as("c"))
+    assert(both.filter(col("k") =!= col("c")).count() == 0)
+    assert(spark.sql(
+      """SELECT graft_sqdist(array(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE)),
+        |                    array(CAST(4 AS DOUBLE), CAST(6 AS DOUBLE)))
+        |""".stripMargin).head().getDouble(0) == 25.0)
+    assert(spark.sql(
+      """SELECT graft_sqdist(array(CAST(1 AS DOUBLE)),
+        |                    array(CAST(1 AS DOUBLE), CAST(2 AS DOUBLE)))
+        |""".stripMargin).head().isNullAt(0))
+  }
+
   test("custom aggregates work in SQL GROUP BY with partial aggregation") {
     spark.range(0, 1000)
       .selectExpr("id % 3 AS g", "id % 17 AS v")

@@ -62,4 +62,17 @@ class SemDedupSpec extends AnyFunSuite with SparkTestSession {
     assert(result.exists(_._3) && result.exists(!_._3),
       "fixture no longer exercises both kept branches at sf0.001")
   }
+
+  test("spark.graft.semdedup.cells grows the blocking cell count " +
+      "(bench-only knob; default 8 matches the oracle)") {
+    // default: cells are the k=8 assignment (0..7)
+    assert(result.map(_._2).max < 8)
+    try {
+      spark.conf.set("spark.graft.semdedup.cells", "16")
+      val cells16 = SparkEntry.registry("td_semdedup").build(spark, sfDir)
+        .select(col("cell")).collect().map(_.getLong(0))
+      // the 16-seed assignment must actually use the extra seeds
+      assert(cells16.max >= 8 && cells16.max < 16)
+    } finally spark.conf.unset("spark.graft.semdedup.cells")
+  }
 }
