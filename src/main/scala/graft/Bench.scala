@@ -303,15 +303,16 @@ object Bench {
 
   type Res = (String, Either[String, Double], Either[String, Double], Double)
 
-  /** One contention-canary checkpoint: min of 3 back-to-back fixed
-    * CPU+shuffle probes after an explicit GC (the min-after-GC
-    * discipline — see the canary comment in main). Shared with the
-    * stress ladders (VERDICT r12 #7): GraphStress/RelStress/
-    * StressSmoke/StreamStress stamp their records with the SAME probe
-    * so cross-round octave tables carry comparability evidence the way
-    * Bench records do. */
   /** Exposed for [[graft.tools.CanaryRamp]] only. */
   def probeForRampTool(spark: SparkSession): Double = canaryProbe(spark)
+
+  /** One contention-canary checkpoint: min of 3 back-to-back runs of a
+    * fixed pure-CPU all-core loop after an explicit GC (the min-after-
+    * GC discipline — see the probe comment below for why this replaced
+    * the earlier Spark-job probe). Shared with the stress ladders
+    * (VERDICT r12 #7): GraphStress/RelStress/StressSmoke/StreamStress
+    * stamp their records with the SAME probe so cross-round octave
+    * tables carry comparability evidence the way Bench records do. */
 
   /** Dead-code-elimination sink for the canary's per-thread sums. */
   private val canarySink = new java.util.concurrent.atomic.AtomicLong
@@ -440,7 +441,10 @@ object Bench {
     val canaryDrift =
       if (canaries.nonEmpty && canaries.min > 0) f"${canaries.max / canaries.min}%.3f"
       else "-1"
-    val anchorEligible = canaries.nonEmpty && canaries.min > 0 &&
+    // results.nonEmpty: a BENCH_ONLY filter matching zero queries must
+    // not stamp an eligible value-0 record (errCount == 0 is vacuous)
+    val anchorEligible = results.nonEmpty &&
+      canaries.nonEmpty && canaries.min > 0 &&
       canaries.max / canaries.min <= 1.15 && errCount == 0
     val head = s""""metric":"total","value":$total,"unit":"sec","cold_total":$total,"warm_total":$warmTotal,"n_queries":${results.size},"n_succeeded":${ok.size},"n_errors":$errCount,"canary":$canaryJson,"canary_drift":$canaryDrift,"anchor_eligible":$anchorEligible,"sf":"$sfDir""""
     val full =

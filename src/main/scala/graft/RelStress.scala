@@ -44,7 +44,7 @@ object RelStress {
     * 50× copy per mode. */
   def scaleToIfAbsent(spark: org.apache.spark.sql.SparkSession, src: String,
       out: String, scale: Int, cpus: Int): Unit = {
-    if (!java.nio.file.Files.exists(markerPath(out, src, scale)))
+    if (!java.nio.file.Files.exists(markerPath(spark, out, src, scale)))
       scaleTo(spark, src, out, scale, cpus)
   }
 
@@ -52,11 +52,19 @@ object RelStress {
     * the RAW (src, scale) pair (ADVICE r12): sanitization alone mapped
     * distinct sources differing only in punctuation (`/data/sf0.1` vs
     * `/data_sf0.1`) to one sentinel, and scaleToIfAbsent would then
-    * have accepted data generated from the WRONG corpus as complete. */
-  private[graft] def markerPath(out: String, src: String, scale: Int)
-      : java.nio.file.Path = {
+    * have accepted data generated from the WRONG corpus as complete.
+    * The digest also folds in the source directory's CONTENT
+    * fingerprint (file names + lengths + mtimes — Tables'
+    * rewrite-under-same-path detector): a refreshed corpus at the same
+    * path must invalidate the sentinel, or every later rung would
+    * silently sweep data scaled from the old vintage. An unreadable
+    * src fingerprints to a never-matching error stamp, which correctly
+    * forces regeneration (and scaleTo then fails loudly). */
+  private[graft] def markerPath(spark: org.apache.spark.sql.SparkSession,
+      out: String, src: String, scale: Int): java.nio.file.Path = {
+    val vintage = Tables.pathFingerprint(spark, src)
     val digest = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(s"$scale|$src".getBytes("UTF-8"))
+      .digest(s"$scale|$src|$vintage".getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
     java.nio.file.Paths.get(s"$out/_graft_scaled_${scale}x_" +
       s"${src.replaceAll("[^A-Za-z0-9.]", "_")}_$digest")
@@ -116,12 +124,8 @@ object RelStress {
         // a reused out dir may hold a DIRECTORY here (a prior vintage's
         // Spark write); REPLACE_EXISTING cannot overwrite a non-empty
         // dir, so clear it first
-        if (java.nio.file.Files.isDirectory(to)) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(to).sorted(
-              java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-        }
+        if (java.nio.file.Files.isDirectory(to))
+          Tables.deleteRecursively(to.toString)
         java.nio.file.Files.copy(from, to,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
@@ -134,7 +138,7 @@ object RelStress {
         p.getFileName.toString.startsWith("_graft_scaled_"))
       .forEach(java.nio.file.Files.delete(_))
     finally listing.close()
-    java.nio.file.Files.createFile(markerPath(out, src, scale))
+    java.nio.file.Files.createFile(markerPath(spark, out, src, scale))
   }
 
   /** Time every registry query whose name starts with `prefix` against
@@ -228,7 +232,10 @@ object RelStress {
         f"${canaries.max / canaries.min}%.3f"
       else "-1"
     val ok = results.filter(_._2.isRight)
-    val anchorEligible = canaries.nonEmpty &&
+    // results.nonEmpty: a typo'd prefix matching ZERO queries must not
+    // stamp an eligible value-0 record (0 == 0 errors is vacuous) — a
+    // consumer anchoring on it would diff real totals against 0
+    val anchorEligible = results.nonEmpty && canaries.nonEmpty &&
       canaries.max / canaries.min <= 1.15 && ok.size == results.size
     val canaryJson = canaries.map(c => f"$c%.3f").mkString("[", ",", "]")
     val total = ok.map(_._2.getOrElse(0.0)).sum

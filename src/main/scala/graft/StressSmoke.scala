@@ -50,12 +50,16 @@ object StressSmoke {
 
   /** Completion sentinel for the td_ fixture generation — same
     * collision-proofing as RelStress.markerPath (hash of the RAW
-    * (src, scale) pair), distinct prefix so a dir can never satisfy
-    * the OTHER harness's growth model. */
-  private def markerPath(out: String, src: String, scale: Int)
-      : java.nio.file.Path = {
+    * (src, scale) pair AND the source directory's content fingerprint,
+    * so a refreshed corpus at the same path invalidates the sentinel
+    * instead of silently reusing data scaled from the old vintage),
+    * distinct prefix so a dir can never satisfy the OTHER harness's
+    * growth model. */
+  private def markerPath(spark: org.apache.spark.sql.SparkSession,
+      out: String, src: String, scale: Int): java.nio.file.Path = {
+    val vintage = Tables.pathFingerprint(spark, src)
     val digest = java.security.MessageDigest.getInstance("SHA-1")
-      .digest(s"$scale|$src".getBytes("UTF-8"))
+      .digest(s"$scale|$src|$vintage".getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
     java.nio.file.Paths.get(s"$out/_graft_tdscaled_${scale}x_$digest")
   }
@@ -82,7 +86,7 @@ object StressSmoke {
     val emb = Tables.load(spark, src, "embeddings")
     val nVecs = emb.count()
 
-    if (!java.nio.file.Files.exists(markerPath(out, src, scale))) {
+    if (!java.nio.file.Files.exists(markerPath(spark, out, src, scale))) {
       val reps = spark.range(scale).toDF("rep")
       docs.crossJoin(broadcast(reps))
         .select(
@@ -125,7 +129,7 @@ object StressSmoke {
           p.getFileName.toString.startsWith("_graft_tdscaled_"))
         .forEach(java.nio.file.Files.delete(_))
       finally listing.close()
-      java.nio.file.Files.createFile(markerPath(out, src, scale))
+      java.nio.file.Files.createFile(markerPath(spark, out, src, scale))
     }
 
     // fixture sizes on their own line (RelStress.sweep's JSON carries

@@ -155,13 +155,29 @@ object Tables {
         // exit. If a same-vintage value raced in first, keep IT and
         // release OURS; a different-vintage racer is superseded the
         // normal way (remove + evict + insert ours).
-        val raced = cache.putIfAbsent(key, (fp, v))
-        if (raced == null) v
-        else if (raced._1 == fp) { onEvict(v); raced._2 }
-        else {
-          cache.remove(key); onEvict(raced._2)
-          cache.put(key, (fp, v)); v
+        // The different-vintage supersede must be a CAS remove of the
+        // exact value observed, not a blind remove + put: between our
+        // putIfAbsent and the remove, a THIRD caller (fresh monitor
+        // after another releaseMemo) can itself supersede the racer —
+        // a blind remove would then delete the third value without
+        // onEvict (leaking its persisted state) and our onEvict(raced)
+        // would double-release a value the third caller already
+        // evicted. remove(key, raced) evicts only what we saw; on a
+        // lost CAS we loop and re-attempt against the current entry.
+        // (Same-window racers carry no freshness ordering — both
+        // fingerprints were current moments ago; last-insert-wins
+        // matches the non-raced supersede semantics, and the next
+        // caller with a current fingerprint re-converges.)
+        val mine = (fp, v)
+        var out = v
+        var settled = false
+        while (!settled) {
+          val raced = cache.putIfAbsent(key, mine)
+          if (raced == null) settled = true
+          else if (raced._1 == fp) { onEvict(v); out = raced._2; settled = true }
+          else if (cache.remove(key, raced)) onEvict(raced._2)
         }
+        out
       }
     }
   }
@@ -193,6 +209,34 @@ object Tables {
     * drops it. */
   private[graft] def memoLockExists(cache: AnyRef, key: String): Boolean =
     memoLocks.containsKey(new MemoLockKey(cache, key))
+
+  /** Recursive local-filesystem delete (children before parents),
+    * tolerant of concurrent disappearance (`deleteIfExists`) and of a
+    * path that never existed. THE shared copy — the walk/reverseOrder
+    * idiom had grown four divergent inline clones (stream checkpoint
+    * cleanup, scale-harness staging, CSV temp roots, perf-smoke
+    * dirs), each with its own error handling, so a fix to one never
+    * reached the others. `bestEffort` swallows NonFatal (cleanup on
+    * exit paths that must not mask the real failure); otherwise IO
+    * errors propagate. */
+  private[graft] def deleteRecursively(dir: String,
+      bestEffort: Boolean = false): Unit = {
+    def walkDelete(): Unit = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+    if (bestEffort)
+      try walkDelete()
+      catch { case scala.util.control.NonFatal(_) => () }
+    else walkDelete()
+  }
 
   private val fpErrSeq = new java.util.concurrent.atomic.AtomicLong()
 

@@ -55,10 +55,7 @@ object CsvIO {
       } finally os.close()
     } finally {
       // drop the _SUCCESS/.crc droppings along with the temp root
-      val walk = Files.walk(tmpRoot)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally walk.close()
+      graft.Tables.deleteRecursively(tmpRoot.toString)
     }
   }
 

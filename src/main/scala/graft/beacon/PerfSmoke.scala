@@ -96,11 +96,7 @@ object PerfSmoke {
       // a 20M-row probe leaves ~15 GB of csv+outputs per run — FAILED
       // runs piling up exhausted the disk before the engine ever could,
       // so cleanup must run on every exit path
-      import scala.jdk.CollectionConverters._
-      val walk = Files.walk(dir)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally walk.close()
+      graft.Tables.deleteRecursively(dir.toString)
     }
   }
 }

@@ -86,12 +86,20 @@ object DeferredBuild {
     * unconditional). Builder identity, not equality: two separately
     * persisted entries of one canonical plan are distinct storage. */
   private final class EpochKey(val canon: LogicalPlan,
-      val builders: Seq[AnyRef]) {
-    override val hashCode: Int = canon.hashCode * 31 + builders.length
+      val builders: Seq[AnyRef], val outNames: Seq[String]) {
+    override val hashCode: Int =
+      (canon.hashCode * 31 + builders.length) * 31 + outNames.hashCode
     override def equals(o: Any): Boolean = o match {
       case k: EpochKey => k.builders.length == builders.length &&
         k.builders.iterator.zip(builders.iterator)
           .forall { case (a, b) => a eq b } &&
+        // output NAMES are part of the key: canonicalization erases
+        // attribute/alias names, so two plans identical up to final
+        // Project aliases would otherwise share an entry — a memo hit
+        // would then return a plan with the OTHER query's column names
+        // (tripping RewriteDeferredBuild's name guard at best,
+        // mislabeling columns at worst)
+        k.outNames == outNames &&
         k.canon == canon
       case _ => false
     }
@@ -142,7 +150,7 @@ object DeferredBuild {
     val substituted = PlanShim.withCachedData(df)
     val t2 = System.nanoTime()
     val key = new EpochKey(substituted.canonicalized,
-      PlanShim.cacheBuilders(substituted))
+      PlanShim.cacheBuilders(substituted), substituted.output.map(_.name))
     val t3 = System.nanoTime()
     val hit = optimizedMemo.get(key)
     val out =

@@ -120,18 +120,11 @@ object StreamingQueries {
   /** Recursive best-effort delete of a run's checkpoint directory
     * (ADVICE r12: each noop/DSv2 run minted a fresh RocksDB/state
     * checkpoint tree under /tmp and never removed it — dozens of trees
-    * per JVM across a 100× sweep). */
+    * per JVM across a 100× sweep). Delegates to the shared
+    * [[graft.Tables.deleteRecursively]] (best-effort: checkpoint
+    * cleanup must never mask a real query failure). */
   private def deleteRecursively(dir: String): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(p)) {
-        val walk = java.nio.file.Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.delete)
-        finally walk.close()
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    graft.Tables.deleteRecursively(dir, bestEffort = true)
 
   /** Run `df` through foreachBatch computing the executor-side digest;
     * returns (rows, hashSum) combined per the output mode (complete

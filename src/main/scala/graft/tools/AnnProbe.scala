@@ -27,6 +27,9 @@ object AnnProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.pinDialect(Tables.localSession("graft-annprobe", cpus))
     if (args.length > 2) args(2).split(";").filter(_.nonEmpty).foreach { kv =>
+      // clear message instead of an opaque MatchError when the '=' is
+      // forgotten (same arg-validation discipline as the stress modes)
+      require(kv.contains("="), s"conf A/B arg '$kv' is not key=value")
       val Array(k, v) = kv.split("=", 2)
       println(s"[annprobe] conf $k=$v")
       spark.conf.set(k, v)

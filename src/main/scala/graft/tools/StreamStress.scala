@@ -70,7 +70,10 @@ object StreamStress {
     // differs from noop on the two DSv2 sink queries — a full-family
     // re-sweep would re-measure 20 unchanged legs). Totals from a
     // filtered run are not family-comparable; the metric name says so.
-    val prefix = if (args.length > 5) args(5) else "st_"
+    // nonEmpty guard: sbt's runMain passes quoted empty strings
+    // through literally, and prefix "" would match the ENTIRE registry
+    // (rel_/td_ too) under a streaming sink mode
+    val prefix = if (args.length > 5 && args(5).nonEmpty) args(5) else "st_"
     RelStress.scaleToIfAbsent(spark, src, out, scale, cpus.toInt)
     val metric = (mode match {
       case "noop" => "streamstress_engine_total"

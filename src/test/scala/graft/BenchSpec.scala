@@ -82,6 +82,13 @@ class BenchSpec extends AnyFunSuite {
     // no canaries recorded -> ineligible, never a default-true
     val (f4, _) = Bench.renderLines(clean, "/tmp/sf")
     assert(!mapper.readTree(f4).get("anchor_eligible").asBoolean())
+    // EMPTY sweep (a filter matching zero queries) -> ineligible even
+    // on a steady box: 0 errors over 0 queries is vacuous, and a
+    // consumer anchoring on the value-0 record would report a phantom
+    // regression against every real total
+    val (f5, _) = Bench.renderLines(Seq.empty, "/tmp/sf",
+      Seq(0.50, 0.52, 0.55))
+    assert(!mapper.readTree(f5).get("anchor_eligible").asBoolean())
   }
 
   test("compact line bounds error text and lists only succeeded in slowest map") {

@@ -94,6 +94,41 @@ class ScaleToSpec extends AnyFunSuite with SparkTestSession {
     assert(Tables.load(spark, dir, "orders").count() == 3 * n0)
   }
 
+  test("a refreshed source corpus at the same path invalidates the sentinel") {
+    // the sentinel digest folds in the source directory's content
+    // fingerprint: a regenerated corpus at the SAME path must force a
+    // re-scale, or every later rung would silently sweep data scaled
+    // from the old vintage
+    val srcCopy = java.nio.file.Files
+      .createTempDirectory("graft-scaleto-vintage-src-")
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(src))
+    try listing.forEach(p => java.nio.file.Files.copy(p,
+      srcCopy.resolve(p.getFileName.toString)))
+    finally listing.close()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scaleto-vintage-").toString
+    RelStress.scaleToIfAbsent(spark, srcCopy.toString, dir, scale = 2, cpus = 4)
+    def marker() = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try l.filter(_.getFileName.toString.startsWith("_graft_scaled_"))
+        .findFirst().get()
+      finally l.close()
+    }
+    val m0 = marker()
+    // "regenerate" the corpus: bump a table file's mtime past fs
+    // granularity — the fingerprint (names+lengths+mtimes) changes
+    val f = srcCopy.resolve("orders.parquet")
+    java.nio.file.Files.setLastModifiedTime(f,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(f).toMillis + 5000))
+    RelStress.scaleToIfAbsent(spark, srcCopy.toString, dir, scale = 2, cpus = 4)
+    assert(!java.nio.file.Files.exists(m0),
+      "the old vintage's sentinel must be dropped on regeneration")
+    assert(marker() != m0, "the new sentinel must carry the new vintage")
+    Tables.deleteRecursively(srcCopy.toString)
+    Tables.deleteRecursively(dir)
+  }
+
   test("dimension tables pass through byte-identical") {
     for (t <- Seq("customer", "nation", "documents")) {
       val a = java.nio.file.Paths.get(s"$src/$t.parquet")
