@@ -861,6 +861,77 @@ object DedupQueries {
             .when(col("bucket") < 95, "val")
             .otherwise("test").as("split"))
         .orderBy("doc_id")
+    },
+
+    // ---- DEDUP-GRAPH TRANSITIVITY: is near-duplication transitive on
+    // this corpus? Build the shared-passage graph — docs joined by an
+    // 8-word shingle whose document frequency is in [2, 50] (the df cap
+    // is the standard "drop boilerplate shingles" guard: a shingle in
+    // thousands of docs is template text, and capping df bounds every
+    // bucket's pair fan-out at C(50,2), keeping the blocked join linear
+    // like every other dedup family member) — then measure its global
+    // clustering: wedges Σ C(deg,2), triangles via the degree-ordered
+    // orientation of operators/Triangles.scala, transitivity
+    // 3·triangles/wedges. High transitivity says single-link cluster
+    // expansion (td_dedup_clusters) is safe; low says chains of
+    // near-dups link unrelated docs. The oracle recomputes triangles
+    // with the independent naive triple join.
+    "td_dedup_transitivity" -> QueryDef.sql(
+      "shared-passage graph: edges, wedges, triangles, transitivity")(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |hs AS (SELECT doc_id, list_distinct(list_transform(range(len(ws)-7),
+        |         i -> CAST(('0x'||substr(md5(array_to_string(ws[i+1:i+8], ' ')),1,15))
+        |                AS BIGINT))) AS hs
+        |       FROM w WHERE len(ws) >= 8),
+        |x AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+        |g AS (SELECT h FROM x GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+        |xf AS (SELECT x.doc_id, x.h FROM x JOIN g ON x.h = g.h),
+        |e AS (SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+        |      FROM xf a JOIN xf b ON a.h = b.h AND a.doc_id < b.doc_id),
+        |d AS (SELECT id, count(*) AS deg FROM (
+        |        SELECT lo AS id FROM e UNION ALL SELECT hi AS id FROM e)
+        |      GROUP BY id),
+        |tr AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |       FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        |       JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+        |SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT COALESCE(sum(deg*(deg-1)//2), 0) FROM d) AS BIGINT)
+        |    AS n_wedges,
+        |  CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_triangles,
+        |  CASE WHEN (SELECT COALESCE(sum(deg*(deg-1)//2), 0) FROM d) = 0
+        |       THEN CAST(0 AS DOUBLE)
+        |       ELSE CAST(3 * (SELECT count(*) FROM tr) AS DOUBLE)
+        |          / CAST((SELECT sum(deg*(deg-1)//2) FROM d) AS DOUBLE)
+        |  END AS transitivity""".stripMargin) { (s, dir) =>
+      val x = t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(
+          shingleHash60(col("ws"), 8, modP = false))).as("h"))
+      val g = x.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 50)
+        .select(col("h"))
+      val xf = x.join(g, Seq("h"), "left_semi")
+      val e = xf.select(col("h"), col("doc_id").as("a_id"))
+        .join(xf.select(col("h").as("h_b"), col("doc_id").as("b_id")),
+          col("h") === col("h_b") && col("a_id") < col("b_id"))
+        .select(col("a_id").as("lo"), col("b_id").as("hi"))
+        .distinct()
+      val d = graft.operators.Triangles.degrees(e)
+      val nodesWedges = d.agg(count(lit(1)).as("n_nodes"),
+        expr("CAST(COALESCE(sum((deg*(deg-1)) div 2), 0) AS BIGINT)")
+          .as("n_wedges"))
+      val nEdges = e.agg(count(lit(1)).as("n_edges"))
+      val nTri = graft.operators.Triangles.globalFromCanonical(e)
+        .select(col("triangles").as("n_triangles"))
+      nodesWedges.crossJoin(nEdges).crossJoin(nTri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") === 0, lit(0.0))
+            .otherwise((col("n_triangles") * 3).cast("double") /
+              col("n_wedges").cast("double")).as("transitivity"))
     }
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.GraftFunctions._
+import graft.operators.Triangles
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -34,6 +35,17 @@ object SimilarityQueries {
     s.conf.getOption("spark.graft.ann.queryIdBound")
       .map(b => base && c < lit(b.toLong)).getOrElse(base)
   }
+
+  /** td_knn_graph_stats node set. With `spark.graft.knngraph.nodeBound`
+    * set (BENCH-ONLY — the correctness gate never sets it, so oracle
+    * hashes are untouched; same contract as ann.queryIdBound) the graph
+    * is restricted to vec_id < bound: the stress ladder then measures a
+    * FIXED node set's kNN build + triangle pass against a growing
+    * corpus, the production diagnostic regime, instead of the fixture's
+    * n² all-pairs coupling. */
+  private def knnNodes(s: SparkSession, n: DataFrame): DataFrame =
+    s.conf.getOption("spark.graft.knngraph.nodeBound")
+      .map(b => n.filter(col("vec_id") < b.toLong)).getOrElse(n)
 
   /** Shared oracle CTE: normalized embeddings (same as DedupQueries). */
   private val NormCte =
@@ -674,6 +686,75 @@ object SimilarityQueries {
         |FROM a2 ORDER BY vec_id""".stripMargin) { (s, dir) =>
       kmeansAssign(s, dir)
         .withColumn("moved", col("cell_seed") =!= col("cell_lloyd"))
+        .orderBy("vec_id")
+    },
+
+    // ---- kNN-GRAPH DIAGNOSTICS: the symmetrized cosine 3-NN graph's
+    // per-node degree, triangle count, and local clustering coefficient
+    // — the embedding-quality / cluster-cohesion view (a well-separated
+    // label structure shows high LCC inside clusters; noise shows
+    // low). The kNN build is the brute-force baseline: each candidate
+    // row meets the broadcast node set, and the top-3 cut runs through
+    // the map-side-combined TopKPerKey plan (shuffle O(n·k), never the
+    // O(n²) pair set — the same partial-aggregate discipline as
+    // rel_topk_per_key). Triangles are enumerated by the degree-ordered
+    // orientation of operators/Triangles.scala — wedge volume bounded
+    // O(E^1.5), each triangle exactly once — and the DuckDB oracle
+    // recomputes them with the INDEPENDENT naive triple join, so a hash
+    // match proves the oriented enumeration exact. Cosines are the
+    // ascending-fold dot on unit vectors; ranks are total-ordered by
+    // (cosine DESC, n_id), so both engines pick identical edges. With
+    // `spark.graft.knngraph.nodeBound` set (BENCH-ONLY, same contract
+    // as ann.queryIdBound) the node set is bounded so the stress ladder
+    // measures a fixed graph against a growing corpus scan.
+    "td_knn_graph_stats" -> QueryDef.sql(
+      "cosine 3-NN graph: per-node degree, triangles, clustering coeff")(
+      s"""$NormCte,
+        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*c.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM n q JOIN n c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, n_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM p),
+        |e AS (SELECT DISTINCT least(q_id, n_id) AS lo,
+        |        greatest(q_id, n_id) AS hi FROM r WHERE rnk <= 3),
+        |d AS (SELECT id, count(*) AS deg FROM (
+        |        SELECT lo AS id FROM e UNION ALL SELECT hi AS id FROM e)
+        |      GROUP BY id),
+        |tr AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |       FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        |       JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |pv AS (SELECT id, count(*) AS tri FROM (
+        |         SELECT a AS id FROM tr UNION ALL SELECT b AS id FROM tr
+        |         UNION ALL SELECT c AS id FROM tr) GROUP BY id)
+        |SELECT d.id AS vec_id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(pv.tri, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN d.deg >= 2
+        |       THEN CAST(COALESCE(pv.tri, 0) * 2 AS DOUBLE)
+        |          / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS lcc
+        |FROM d LEFT JOIN pv ON d.id = pv.id ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+      val n = knnNodes(s, DedupQueries.normalizedEmbeddings(s, dir))
+      val qv = n.select(col("vec_id").as("q_id"), col("an").as("qa"))
+      val cv = n.select(col("vec_id").as("n_id"), col("an").as("ca"))
+      val pairs = cv.join(broadcast(qv), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("n_id"),
+          dot(col("qa"), col("ca")).as("cosine"))
+      val knn = graft.plans.TopK.topKPerKey(pairs,
+          keys = Seq(col("q_id")),
+          order = Seq(col("cosine").desc, col("n_id").asc), k = 3)
+        .select(col("q_id"), col("n_id"))
+      val e = Triangles.canonicalEdges(knn, "q_id", "n_id")
+      val d = Triangles.degrees(e)
+      val pv = Triangles.perVertexFromCanonical(e)
+      d.join(pv, Seq("id"), "left")
+        .select(col("id").as("vec_id"), col("deg"),
+          coalesce(col("triangles"), lit(0L)).as("triangles"),
+          when(col("deg") >= 2,
+            (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+              (col("deg") * (col("deg") - 1)).cast("double"))
+            .otherwise(lit(0.0)).as("lcc"))
         .orderBy("vec_id")
     }
   )
