@@ -218,6 +218,50 @@ object MultimodalPipeline {
     }
   }
 
+  /** Perceptual difference-hash of an image, as four 16-bit bands
+    * (h0 = bits 0-15 … h3 = bits 48-63 of the canonical 64-bit dHash).
+    * Band-valued output serves the LSH-style bucket join directly and
+    * sidesteps 64-bit sign pitfalls in cross-engine bit math. */
+  final case class DHashMeta(doc_id: Long, h0: Int, h1: Int, h2: Int, h3: Int)
+
+  /** Real decode + dHash (difference hash, the standard perceptual
+    * image fingerprint): NN-downsample the decoded image to a 9×8 gray
+    * grid — same ⌊x'·w/outW⌋ mapping as [[resizeImages]] — then bit
+    * k = 8·y + x is set iff gray(x+1, y) > gray(x, y), giving 8
+    * horizontal comparisons per row × 8 rows = 64 bits. Gradient
+    * direction is brightness- and scale-invariant, so re-encoded or
+    * resized copies hash to small Hamming distance. Batched
+    * per-partition decode; narrow, no shuffle. */
+  def dhashImages(blobs: Dataset[MediaBlob]): Dataset[DHashMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      ImageIO.setUseCache(false)
+      it.grouped(DecodeBatchSize).flatMap(_.map { b =>
+        val img = ImageIO.read(new ByteArrayInputStream(b.content))
+        val w = img.getWidth
+        val h = img.getHeight
+        val g = Array.ofDim[Int](8, 9)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 9) {
+            g(yy)(xx) = img.getRGB(xx * w / 9, yy * h / 8) & 0xff
+            xx += 1
+          }
+          yy += 1
+        }
+        val bands = Array.fill(4)(0)
+        var k = 0
+        while (k < 64) {
+          if (g(k / 8)(k % 8 + 1) > g(k / 8)(k % 8))
+            bands(k / 16) |= 1 << (k % 16)
+          k += 1
+        }
+        DHashMeta(b.doc_id, bands(0), bands(1), bands(2), bands(3))
+      })
+    }
+  }
+
   // ---------------------------------------------------------------------
   // AUDIO: a real RIFF/WAV PCM codec in pure JDK code. The container
   // round-trips byte-for-byte — a writer emitting canonical 44-byte-header

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.operators.MultimodalPipeline
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries: binary payload + batched per-partition
@@ -12,6 +13,9 @@ import org.apache.spark.sql.functions._
   * typed feature rows — is lossless.
   */
 object MultimodalQueries {
+
+  /** Spark's builtin bit_count (SQL-only; no Scala functions entry). */
+  private def bitCount(c: Column): Column = call_function("bit_count", c)
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -144,6 +148,91 @@ object MultimodalQueries {
       MultimodalPipeline.sampleFrames(blobs)
         .toDF()
         .orderBy("doc_id")
+    },
+
+    // ---- PERCEPTUAL-HASH IMAGE DEDUP: the multimodal member of the
+    // dedup family. Gradient PNGs are REALLY decoded (ImageIO) and
+    // dHashed (9×8 NN downsample → 64 horizontal-gradient bits as four
+    // 16-bit bands); identical hashes contract to a min-id
+    // representative (the simhash discipline — hamming depends only on
+    // the fingerprint, so duplicate groups never enter the pair join);
+    // rep-level candidates come from a 4-band bucket equi-join, which
+    // by pigeonhole is EXACT for hamming ≤ 3 (4 bands, ≤3 differing
+    // bits → ≥1 band identical) — blocking loses nothing, and the
+    // oracle proves it by recomputing pairs with the independent naive
+    // quadratic rep join. Keep rule: a doc survives iff it is its hash
+    // group's min id and no hamming≤3 neighbor rep has a smaller id
+    // (the SemDeDup keep-lowest-id prune). At scale every stage is an
+    // equi-join or contraction; the pair set is rep-level and
+    // band-blocked, never doc-quadratic.
+    "td_image_dhash_dedup" -> QueryDef.sql(
+      "dHash image dedup: real decode, band-blocked hamming<=3 prune")(
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 31 AS w,
+        |             1 + doc_id % 17 AS h FROM documents),
+        |hb AS (SELECT doc_id, ${(0 to 3).map(dhashBandSql).mkString(", ")}
+        |       FROM d),
+        |reps AS (SELECT h0, h1, h2, h3, min(doc_id) AS rep FROM hb
+        |         GROUP BY h0, h1, h2, h3),
+        |p AS (SELECT a.rep AS ra, b.rep AS rb FROM reps a JOIN reps b
+        |      ON a.rep < b.rep
+        |      WHERE bit_count(CAST(xor(a.h0, b.h0) AS BIGINT))
+        |          + bit_count(CAST(xor(a.h1, b.h1) AS BIGINT))
+        |          + bit_count(CAST(xor(a.h2, b.h2) AS BIGINT))
+        |          + bit_count(CAST(xor(a.h3, b.h3) AS BIGINT)) <= 3),
+        |dup AS (SELECT DISTINCT rb AS rep FROM p)
+        |SELECT hb.doc_id, hb.h0, hb.h1, hb.h2, hb.h3,
+        |  (hb.doc_id = r.rep AND dup.rep IS NULL) AS kept
+        |FROM hb JOIN reps r USING (h0, h1, h2, h3)
+        |LEFT JOIN dup ON r.rep = dup.rep
+        |ORDER BY hb.doc_id""".stripMargin) { (s, dir) =>
+      val hb = MultimodalPipeline.dhashImages(
+        MultimodalPipeline.toGradientPngBlobs(
+          Tables.load(s, dir, "documents"))).toDF()
+      val hashCols = Seq("h0", "h1", "h2", "h3")
+      val reps = hb.groupBy(hashCols.map(col): _*)
+        .agg(min(col("doc_id")).as("rep"))
+      // one row per (band index, band value) per rep: the bucket key
+      val bands = reps.select(col("rep") +: hashCols.map(col) :+
+        explode(array(hashCols.zipWithIndex.map { case (c, b) =>
+          struct(lit(b).as("b"), col(c).as("v")) }: _*)).as("bv"): _*)
+        .select(col("rep"), col("h0"), col("h1"), col("h2"), col("h3"),
+          col("bv.b").as("b"), col("bv.v").as("v"))
+      val lhs = bands.select(col("b"), col("v"), col("rep").as("ra"),
+        col("h0").as("a0"), col("h1").as("a1"), col("h2").as("a2"),
+        col("h3").as("a3"))
+      val rhs = bands.select(col("b").as("b_y"), col("v").as("v_y"),
+        col("rep").as("rb"), col("h0").as("b0"), col("h1").as("b1"),
+        col("h2").as("b2"), col("h3").as("b3"))
+      val ham =
+        bitCount(col("a0").bitwiseXOR(col("b0"))) +
+        bitCount(col("a1").bitwiseXOR(col("b1"))) +
+        bitCount(col("a2").bitwiseXOR(col("b2"))) +
+        bitCount(col("a3").bitwiseXOR(col("b3")))
+      val dupReps = lhs
+        .join(rhs, col("b") === col("b_y") && col("v") === col("v_y") &&
+          col("ra") < col("rb"))
+        .select(col("ra"), col("rb"), ham.as("ham")).distinct()
+        .filter(col("ham") <= 3)
+        .select(col("rb").as("rep")).distinct()
+        .withColumn("pruned", lit(true))
+      hb.join(reps, hashCols)
+        .join(dupReps, Seq("rep"), "left")
+        .select(col("doc_id"), col("h0"), col("h1"), col("h2"), col("h3"),
+          (col("doc_id") === col("rep") && col("pruned").isNull).as("kept"))
+        .orderBy("doc_id")
     }
   )
+
+  /** DuckDB expression for dHash band `b` of the gradient fixture:
+    * bit j compares NN-sampled grays at resized columns x+1 vs x, where
+    * k = 16·b + j, x = k % 8, y = k ⌊/⌋ 8 — the exact arithmetic
+    * [[graft.operators.MultimodalPipeline.dhashImages]] computes from
+    * the DECODED pixels, so a wrong or skipped decode cannot match. */
+  private def dhashBandSql(b: Int): String =
+    s"""CAST(list_sum(list_transform(range(16), j ->
+       |  CASE WHEN (doc_id + ((($b*16+j) % 8 + 1) * w) // 9
+       |             + ((($b*16+j) // 8) * h) // 8) % 256
+       |          > (doc_id + ((($b*16+j) % 8) * w) // 9
+       |             + ((($b*16+j) // 8) * h) // 8) % 256
+       |       THEN (1 << j) ELSE 0 END)) AS INTEGER) AS h$b""".stripMargin
 }
