@@ -66,12 +66,19 @@ object Triangles {
     dx < dy || (dx === dy && x < y)
 
   /** Every triangle of the input graph exactly once, as
-    * (a, b, c) with pr(a) < pr(b) < pr(c). */
+    * (a, b, c) with pr(a) < pr(b) < pr(c). The canonical edge set is
+    * lazily localCheckpoint'ed first — it feeds both the degree
+    * aggregate and the orientation join, and without materialization
+    * each consumer would recompute the full upstream edge derivation
+    * (for a kNN-graph caller, the whole scoring pass). */
   def triangleRows(edges: DataFrame, u: String, v: String): DataFrame =
-    triangleRowsCanonical(canonicalEdges(edges, u, v))
+    triangleRowsCanonical(
+      canonicalEdges(edges, u, v).localCheckpoint(false))
 
   /** As [[triangleRows]] for a caller-supplied DISTINCT canonical
-    * (lo, hi) edge set — skips the canonicalization shuffle. */
+    * (lo, hi) edge set — skips the canonicalization shuffle. The frame
+    * is read more than once: pass something already materialized (or
+    * cheap), as the registry consumers do via localCheckpoint. */
   def triangleRowsCanonical(canon: DataFrame): DataFrame = {
     val degs = degrees(canon)
     // Attach endpoint degrees. The degree table is O(V) — AQE
@@ -112,7 +119,8 @@ object Triangles {
   /** (id, triangles) for every vertex in at least one triangle —
     * consumers left-join [[degrees]] to restore zero rows. */
   def perVertexCounts(edges: DataFrame, u: String, v: String): DataFrame =
-    perVertexFromCanonical(canonicalEdges(edges, u, v))
+    perVertexFromCanonical(
+      canonicalEdges(edges, u, v).localCheckpoint(false))
 
   /** As [[perVertexCounts]] for a caller-supplied canonical edge set. */
   def perVertexFromCanonical(canon: DataFrame): DataFrame = {

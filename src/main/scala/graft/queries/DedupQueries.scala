@@ -919,6 +919,8 @@ object DedupQueries {
           col("h") === col("h_b") && col("a_id") < col("b_id"))
         .select(col("a_id").as("lo"), col("b_id").as("hi"))
         .distinct()
+        // read by three aggregates below; materialize the pair join once
+        .localCheckpoint(false)
       val d = graft.operators.Triangles.degrees(e)
       val nodesWedges = d.agg(count(lit(1)).as("n_nodes"),
         expr("CAST(COALESCE(sum((deg*(deg-1)) div 2), 0) AS BIGINT)")

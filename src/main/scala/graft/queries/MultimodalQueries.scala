@@ -185,9 +185,12 @@ object MultimodalQueries {
         |FROM hb JOIN reps r USING (h0, h1, h2, h3)
         |LEFT JOIN dup ON r.rep = dup.rep
         |ORDER BY hb.doc_id""".stripMargin) { (s, dir) =>
+      // consumed by the rep contraction AND the final expand join;
+      // materialize so the codec pass decodes each image exactly once
       val hb = MultimodalPipeline.dhashImages(
         MultimodalPipeline.toGradientPngBlobs(
           Tables.load(s, dir, "documents"))).toDF()
+        .localCheckpoint(false)
       val hashCols = Seq("h0", "h1", "h2", "h3")
       val reps = hb.groupBy(hashCols.map(col): _*)
         .agg(min(col("doc_id")).as("rep"))

@@ -745,7 +745,10 @@ object SimilarityQueries {
           keys = Seq(col("q_id")),
           order = Seq(col("cosine").desc, col("n_id").asc), k = 3)
         .select(col("q_id"), col("n_id"))
+      // e feeds the degree aggregate AND the triangle enumeration;
+      // materialize once so the kNN scoring pass never re-runs
       val e = Triangles.canonicalEdges(knn, "q_id", "n_id")
+        .localCheckpoint(false)
       val d = Triangles.degrees(e)
       val pv = Triangles.perVertexFromCanonical(e)
       d.join(pv, Seq("id"), "left")
