@@ -135,6 +135,23 @@ object Triangles {
   def globalCount(edges: DataFrame, u: String, v: String): DataFrame =
     triangleRows(edges, u, v).agg(count(lit(1)).as("triangles"))
 
+  /** Σ C(outdeg, 2) under the (deg, id) orientation — exactly the
+    * wedge rows [[triangleRowsCanonical]] will materialize, computed
+    * from the degree distribution WITHOUT enumerating anything (one
+    * aggregate over the oriented out-degrees). The stress harness's
+    * sizing probe; the naive-plan counterpart is Σ C(deg, 2). */
+  def orientedWedgeCount(canon: DataFrame): DataFrame = {
+    val degs = degrees(canon)
+    val outDeg = canon
+      .join(degs.select(col("id").as("lo"), col("deg").as("dlo")), "lo")
+      .join(degs.select(col("id").as("hi"), col("deg").as("dhi")), "hi")
+      .select(when(col("dlo") < col("dhi") || col("dlo") === col("dhi"),
+        col("lo")).otherwise(col("hi")).as("src"))
+      .groupBy("src").agg(count(lit(1)).as("d"))
+    outDeg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+      .as("wedges"))
+  }
+
   /** As [[globalCount]] for a caller-supplied canonical edge set. */
   def globalFromCanonical(canon: DataFrame): DataFrame =
     triangleRowsCanonical(canon).agg(count(lit(1)).as("triangles"))

@@ -52,6 +52,24 @@ object GraphQueries {
        |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id)""".stripMargin
   }
 
+  /** k-core peel threshold for rel_graph_kcore. At oracle SF the
+    * bimodal degree profile (customers ≤ ~67, suppliers ≥ ~440) makes
+    * 20 a real first peel (~9% of vertices drop) that then converges;
+    * multi-round cascades are pinned in KCoreSpec on crafted graphs
+    * where each round peels a new layer. */
+  private val CoreK = 20
+
+  /** The oracle's unrolled k-core peel: s(K-1) → sK (drop vertices
+    * whose degree in the survivor-induced subgraph is < CoreK). Kept in
+    * lockstep with KCore.run's round body. */
+  private def kcoreOracleIter(k: Int): String = {
+    val (prev, cur) = (s"s${k - 1}", s"s$k")
+    s"""d$k AS (SELECT e.src AS id, count(*) AS deg FROM edges e
+       |  JOIN $prev a ON e.src = a.id JOIN $prev b ON e.dst = b.id
+       |  GROUP BY 1),
+       |$cur AS (SELECT id FROM d$k WHERE deg >= $CoreK)""".stripMargin
+  }
+
   /** The oracle's unrolled LPA iteration: l(K-1) → lK. Mode-with-ties-
     * to-smallest replayed as a count + row_number window (deterministic,
     * so it matches LabelPropagation.run's max(struct(cnt, -lbl)) exactly
@@ -190,6 +208,42 @@ object GraphQueries {
         .filter(col("id") % 2 === 1) // supplier side of the id encoding
         .select(expr("(id - 1) div 2").as("suppkey"), col("butterflies"))
         .orderBy("suppkey")
+    },
+
+    // ---- K-CORE PEELING: 3 synchronous peel rounds at threshold 20
+    // over the undirected customer–supplier graph — the dense-scaffold
+    // extractor (operators/KCore.scala; per round one map-side-combined
+    // degree count over the cached edge table + two survivor
+    // semi-joins). Bounded rounds keep the result a pure function of
+    // the graph, so the oracle unrolls the peel as chained CTEs — the
+    // same cross-engine pattern as PageRank/LPA — and the reported
+    // core_deg is the induced degree within the FINAL survivor set.
+    "rel_graph_kcore" -> QueryDef.sql(
+      s"$Iters-round k-core peel (k=$CoreK) over the purchase graph")(
+      s"""WITH e0 AS (SELECT DISTINCT o.o_custkey * 2 AS src,
+        |         l.l_suppkey * 2 + 1 AS dst
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |edges AS (SELECT src, dst FROM e0
+        |          UNION ALL SELECT dst, src FROM e0),
+        |s0 AS (SELECT DISTINCT src AS id FROM edges),
+        |${(1 to Iters).map(kcoreOracleIter).mkString(",\n")},
+        |fd AS (SELECT e.src AS id, count(*) AS deg FROM edges e
+        |       JOIN s$Iters a ON e.src = a.id
+        |       JOIN s$Iters b ON e.dst = b.id GROUP BY 1)
+        |SELECT id AS node_id,
+        |  CASE WHEN id % 2 = 0 THEN 'customer' ELSE 'supplier' END
+        |    AS node_type,
+        |  CAST(deg AS BIGINT) AS core_deg
+        |FROM fd ORDER BY node_id""".stripMargin) { (s, dir) =>
+      val e0 = bipartiteEdges(s, dir)
+      val undirected = e0.union(
+        e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.KCore.run(undirected, CoreK, Iters)
+        .select(col("id").as("node_id"),
+          when(col("id") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          col("deg").as("core_deg"))
+        .orderBy("node_id")
     }
   )
 }

@@ -46,6 +46,9 @@ object GraphStress {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dense")) { denseMain(args.drop(1)); return }
+    if (args.headOption.contains("triangles")) {
+      trianglesMain(args.drop(1)); return
+    }
     val scales = args.headOption.getOrElse("1,10,50").split(",").map(_.toInt)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -258,6 +261,114 @@ object GraphStress {
       f""""adaptive_windowed_warm_sec":$adWarmSec%.1f,""" +
       f""""adaptive_windowed_warm_mb":$adWarmMb%.1f,""" +
       f""""forced_broadcast_sec":$bcSec%.1f,"forced_broadcast_mb":$bcMb%.1f}""")
+    spark.stop()
+  }
+
+  /** Triangle-operator scaling rung (unipartite sibling of the hub
+    * ladder above): `blocks` disjoint K8 cliques are the power-law
+    * tail, 10 hub vertices adjacent to EVERY clique vertex (and to each
+    * other) are the head. The naive shared-endpoint self-join
+    * materializes Σ C(deg, 2) wedges — the hubs contribute
+    * 10·C(8·blocks, 2), QUADRATIC in scale — while the degree-ordered
+    * orientation (operators/Triangles.scala) walks hub wedges from the
+    * clique vertices (out-degree ≤ 7 tie-split clique peers + 10 hubs),
+    * keeping enumerated volume LINEAR. The fixture's triangle count has
+    * the closed form 696·blocks + C(10,3) — intra-clique 56·blocks,
+    * hub×clique-edge 280·blocks, hub-pair×vertex 360·blocks — so every
+    * rung doubles as an exactness check at a scale far beyond the
+    * oracle's.
+    *
+    * {{{ sbt "runMain graft.tools.GraphStress triangles 1,10,50" }}}
+    */
+  private def trianglesMain(args: Array[String]): Unit = {
+    import graft.operators.Triangles
+    val scales = args.headOption.getOrElse("1,10,50").split(",").map(_.toInt)
+    val blocksBase = if (args.length > 1) args(1).toLong else 10000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.pinDialect(Tables.localSession("graft-tristress", cpus))
+    import spark.implicits._
+    val nHubs = 10
+
+    // canonical (lo, hi) by construction: intra-clique pairs are
+    // ordered within the block, hub ids sit above every clique id
+    def fixture(b: Long): DataFrame = {
+      val hubBase = b * 8
+      val cliquePairs = for { j <- 0 until 8; k <- j + 1 until 8 }
+        yield (j, k)
+      val intra = spark.range(b).toDF("blk")
+        .crossJoin(broadcast(cliquePairs.toDF("j", "k")))
+        .select((col("blk") * 8 + col("j")).as("lo"),
+          (col("blk") * 8 + col("k")).as("hi"))
+      val hubs = spark.range(b * 8).toDF("n")
+        .crossJoin(broadcast(spark.range(nHubs).toDF("h")))
+        .select(col("n").as("lo"), (col("h") + hubBase).as("hi"))
+      val hubhub = (for { a <- 0 until nHubs; c <- a + 1 until nHubs }
+        yield (hubBase + a, hubBase + c)).toDF("lo", "hi")
+      intra.unionAll(hubs).unionAll(hubhub)
+    }
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    def settled(): Long = {
+      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
+      }
+      cur
+    }
+    def timedShuffle[A](f: => A): (A, Double, Double) = {
+      System.gc()
+      val b = settled(); val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      (r, sec, (settled() - b) / 1e6)
+    }
+
+    graft.Bench.canaryProbe(spark) // JIT warm-up, untimed
+    val canaryStart = graft.Bench.canaryProbe(spark)
+    val lines = scales.map { k =>
+      val b = blocksBase * k
+      val e = fixture(b).cache()
+      val nEdges = e.count()
+      // what the naive self-join would emit — from the degree
+      // distribution, never materialized
+      val naiveWedges = Triangles.degrees(e)
+        .agg(sum(expr("deg * (deg - 1) div 2"))).head().getLong(0)
+      val orientedWedges =
+        Triangles.orientedWedgeCount(e).head().getLong(0)
+      val (nTri, coldSec, coldMb) = timedShuffle(
+        Triangles.globalFromCanonical(e).head().getLong(0))
+      val (_, warmSec, warmMb) = timedShuffle(
+        Triangles.globalFromCanonical(e).head().getLong(0))
+      val expected = 696L * b + 120
+      require(nTri == expected,
+        s"scale $k: expected $expected triangles, got $nTri")
+      e.unpersist()
+      println(f"[tristress] scale=$k blocks=$b edges=$nEdges " +
+        f"naive_wedges=$naiveWedges oriented_wedges=$orientedWedges " +
+        f"triangles=$nTri cold=$coldSec%.1f s/$coldMb%.1f MB " +
+        f"warm=$warmSec%.1f s/$warmMb%.1f MB")
+      s"""{"scale":$k,"blocks":$b,"edges":$nEdges,""" +
+        s""""naive_wedges":$naiveWedges,""" +
+        s""""oriented_wedges":$orientedWedges,"triangles":$nTri,""" +
+        f""""cold_sec":$coldSec%.1f,"cold_mb":$coldMb%.1f,""" +
+        f""""warm_sec":$warmSec%.1f,"warm_mb":$warmMb%.1f}"""
+    }
+    val canaryEnd = graft.Bench.canaryProbe(spark)
+    val drift = canaryStart.max(canaryEnd) / canaryStart.min(canaryEnd)
+    println(s"""{"metric":"tristress","canary":""" +
+      f"""[$canaryStart%.3f,$canaryEnd%.3f],"canary_drift":$drift%.3f,""" +
+      s""""anchor_eligible":${drift <= 1.15},""" +
+      s""""scales":[${lines.mkString(",")}]}""")
     spark.stop()
   }
 }
