@@ -27,6 +27,14 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.pinDialect(spark)
+    // ad-hoc conf overrides for A/B probes (bench-only knobs like
+    // spark.graft.ann.queryIdBound / knngraph.nodeBound):
+    //   SPARK_GRAFT_CONF="k1=v1;k2=v2"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
 
     val shuffleBytes = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
