@@ -14,17 +14,23 @@ import org.apache.spark.storage.StorageLevel
   * unrolled CTEs and hash-compares bit-for-bit.
   *
   * Scale design, per round:
-  *  - the O(edges) both-direction table is hash-partitioned by `src`
-  *    once and cached, never reshuffled in the loop;
-  *  - the O(survivors) vertex set joins in twice (a semi-join per
-  *    endpoint) — broadcast below [[PageRank.DefaultBroadcastNodeLimit]]
-  *    vertices, ordinary hash joins above (the same adaptive posture as
-  *    LPA's label table);
-  *  - the induced-degree count collapses map-side before its shuffle;
-  *  - the survivor set is `localCheckpoint`ed EVERY round: it is
-  *    referenced twice per round (both endpoint filters), so an
-  *    unbounded lineage would double per round (LabelPropagation's
-  *    argument verbatim), and the snapshot is only O(vertices).
+  *  - the O(edges) both-direction table is hash-partitioned by `dst`
+  *    ONCE and cached, and every per-round edge join is on `dst` — so
+  *    the edge table is genuinely never reshuffled in the loop;
+  *  - induced degree needs both endpoints alive, but only the
+  *    NEIGHBOUR (dst) check touches the edge table: a dst semi-join
+  *    against the survivors, then a map-side-combined count by `src`.
+  *    The source-side condition is applied to the O(vertices) COUNT
+  *    table (an inner join with the survivor set — a dead vertex's
+  *    freshly-counted degree could otherwise resurrect it), never as a
+  *    second O(edges) semi-join;
+  *  - the survivor set is broadcast into the dst semi-join below
+  *    [[PageRank.DefaultBroadcastNodeLimit]] vertices, an ordinary
+  *    hash join above (LPA's adaptive posture);
+  *  - survivors are `localCheckpoint`ed EVERY round: referenced twice
+  *    per round (the semi-join and the count join), so unbounded
+  *    lineage would double per round (LabelPropagation's argument
+  *    verbatim), and the snapshot is only O(vertices).
   *
   * Monotonicity makes the bounded-round semantics useful: survivors
   * only shrink, so round t is exactly "vertices provably in the k-core
@@ -43,43 +49,38 @@ object KCore {
     val base = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .repartition(col("src"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one distinct-vertex pass, reused as both the broadcast-threshold
+    // count and the round-0 survivor seed (PageRank's discipline)
+    val nodes = base.select(col("src").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val limit = edges.sparkSession.conf
       .getOption("spark.graft.pagerank.broadcastNodeLimit")
       .map(_.toLong).getOrElse(PageRank.DefaultBroadcastNodeLimit)
-    val small =
-      base.select(col("src")).distinct().count() <= limit
+    val small = nodes.count() <= limit
     def bcast(df: DataFrame) = if (small) broadcast(df) else df
 
-    // round 0 "survivors": every vertex (degrees checked in round 1)
-    var alive = base.select(col("src").as("id")).distinct()
-    var lastDeg: DataFrame = null
-    for (r <- 1 to rounds) {
-      // induced degree: count edges whose BOTH endpoints survive
-      val indDeg = base
-        .join(bcast(alive.select(col("id").as("src"))), Seq("src"),
-          "left_semi")
-        .join(bcast(alive.select(col("id").as("dst"))), Seq("dst"),
-          "left_semi")
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      lastDeg = indDeg
-      alive = indDeg.filter(col("deg") >= k)
-        .select(col("src").as("id"))
-        .localCheckpoint(eager = false)
-    }
-    // final induced degree of the SURVIVOR set (one more pass over the
-    // cached edges, so the reported deg matches the returned vertices)
-    val out = base
-      .join(bcast(alive.select(col("id").as("src"))), Seq("src"),
-        "left_semi")
+    // neighbour-alive degree by src, then the src-alive condition on
+    // the O(V) count table — never a second O(E) join
+    def aliveDeg(alive: DataFrame): DataFrame = base
       .join(bcast(alive.select(col("id").as("dst"))), Seq("dst"),
         "left_semi")
       .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(bcast(alive.select(col("id").as("src"))), Seq("src"))
       .select(col("src").as("id"), col("deg"))
-      .localCheckpoint(eager = true)
-    base.unpersist()
+
+    var alive = nodes
+    for (_ <- 1 to rounds) {
+      alive = aliveDeg(alive).filter(col("deg") >= k)
+        .select(col("id"))
+        .localCheckpoint(eager = false)
+    }
+    // induced degree of the FINAL survivor set (one more pass over the
+    // cached edges, so the reported deg matches the returned vertices)
+    val out = aliveDeg(alive).localCheckpoint(eager = true)
+    base.unpersist(); nodes.unpersist()
     out
   }
 }

@@ -93,11 +93,13 @@ object Triangles {
     val oriented = withDeg.select(
       when(loFirst, col("lo")).otherwise(col("hi")).as("src"),
       when(loFirst, col("hi")).otherwise(col("lo")).as("dst"),
-      when(loFirst, col("dhi")).otherwise(col("dlo")).as("dstDeg"),
-      when(loFirst, col("dlo")).otherwise(col("dhi")).as("srcDeg"))
-      // Referenced three times below; materialize once, lazily.
+      when(loFirst, col("dhi")).otherwise(col("dlo")).as("dstDeg"))
+      // Referenced three times below; materialize once, lazily. The
+      // source-side degree is NOT carried: the wedge order only
+      // compares dst priorities, so an extra long per row would widen
+      // this checkpoint and the wedge-join shuffle for nothing.
       .localCheckpoint(false)
-    val o1 = oriented.select(col("src").as("a"), col("srcDeg").as("da"),
+    val o1 = oriented.select(col("src").as("a"),
       col("dst").as("b"), col("dstDeg").as("db"))
     val o2 = oriented.select(col("src").as("a2"), col("dst").as("c"),
       col("dstDeg").as("dc"))

@@ -39,10 +39,12 @@ object SimilarityQueries {
   /** td_knn_graph_stats node set. With `spark.graft.knngraph.nodeBound`
     * set (BENCH-ONLY — the correctness gate never sets it, so oracle
     * hashes are untouched; same contract as ann.queryIdBound) the graph
-    * is restricted to vec_id < bound: the stress ladder then measures a
-    * FIXED node set's kNN build + triangle pass against a growing
-    * corpus, the production diagnostic regime, instead of the fixture's
-    * n² all-pairs coupling. */
+    * is restricted to vec_id < bound, and the vec_id predicate PRUNES
+    * the corpus scan — a fixed diagnostic sample costs the same at any
+    * corpus size (the BenchOne probe in BASELINE.md measures exactly
+    * that). The unbounded query is the documented brute-force n²
+    * member; a full-corpus kNN build at scale routes through the ann
+    * family's IVF/LSH candidate machinery instead. */
   private def knnNodes(s: SparkSession, n: DataFrame): DataFrame =
     s.conf.getOption("spark.graft.knngraph.nodeBound")
       .map(b => n.filter(col("vec_id") < b.toLong)).getOrElse(n)
@@ -705,8 +707,9 @@ object SimilarityQueries {
     // ascending-fold dot on unit vectors; ranks are total-ordered by
     // (cosine DESC, n_id), so both engines pick identical edges. With
     // `spark.graft.knngraph.nodeBound` set (BENCH-ONLY, same contract
-    // as ann.queryIdBound) the node set is bounded so the stress ladder
-    // measures a fixed graph against a growing corpus scan.
+    // as ann.queryIdBound) the node set is bounded and the vec_id
+    // predicate prunes the corpus scan — the fixed-sample diagnostic
+    // regime (see the knnNodes Scaladoc for the scale posture).
     "td_knn_graph_stats" -> QueryDef.sql(
       "cosine 3-NN graph: per-node degree, triangles, clustering coeff")(
       s"""$NormCte,

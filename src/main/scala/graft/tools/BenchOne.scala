@@ -30,10 +30,14 @@ object BenchOne {
     // ad-hoc conf overrides for A/B probes (bench-only knobs like
     // spark.graft.ann.queryIdBound / knngraph.nodeBound):
     //   SPARK_GRAFT_CONF="k1=v1;k2=v2"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';')
+      .map(_.trim).filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF segment '$kv' is not key=value")
+        }
       })
 
     val shuffleBytes = new AtomicLong

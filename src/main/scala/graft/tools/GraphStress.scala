@@ -44,6 +44,42 @@ import org.apache.spark.sql.functions._
   */
 object GraphStress {
 
+  /** One shuffle-write meter per rung JVM — listener, quiescence spin
+    * (listener events are async), and the GC'd timed wrapper (explicit
+    * GC first: at multi-GB shuffle volumes accumulated heap debt
+    * dominates run-to-run variance — 52.6 vs 98 s observed for an
+    * identical plan; same discipline as the bench canary). Shared by
+    * all three entry points so the settle heuristic can never drift
+    * between rungs. */
+  private final class ShuffleMeter(
+      spark: org.apache.spark.sql.SparkSession) {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      })
+    def settled(): Long = {
+      var prev = -1L; var cur = bytes.get(); var spins = 0
+      while (cur != prev && spins < 40) {
+        Thread.sleep(25); prev = cur; cur = bytes.get(); spins += 1
+      }
+      cur
+    }
+    /** (result, seconds, shuffle-write MB) for one GC'd run. */
+    def timed[A](f: => A): (A, Double, Double) = {
+      System.gc()
+      val b = settled(); val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      (r, sec, (settled() - b) / 1e6)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("dense")) { denseMain(args.drop(1)); return }
     if (args.headOption.contains("triangles")) {
@@ -79,43 +115,14 @@ object GraphStress {
       tail.union(hubs)
     }
 
-    def timed[A](f: => A): (A, Double) = {
-      // explicit GC first: at multi-GB shuffle volumes the JVM's
-      // accumulated heap debt dominates run-to-run variance (52.6 vs
-      // 98 s observed for an identical plan) — same discipline as the
-      // bench canary
-      System.gc()
-      val t0 = System.nanoTime()
-      val r = f
-      (r, (System.nanoTime() - t0) / 1e9)
-    }
-
     // shuffle-write bytes per stage-block (VERDICT r8 #6): the stress
     // table must show vp SHUFFLE growing ~linearly with edges, not just
     // wedge counts — shuffle is the number that grows 1000x at 100 TB
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = e.taskMetrics
-          if (m != null)
-            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          ()
-        }
-      })
-    def settledShuffle(): Long = {
-      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
-      while (cur != prev && spins < 40) {
-        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
-      }
-      cur
+    val meter = new ShuffleMeter(spark)
+    def timed[A](f: => A): (A, Double) = {
+      val (r, sec, _) = meter.timed(f); (r, sec)
     }
-    def timedWithShuffle[A](f: => A): (A, Double, Double) = {
-      val b = settledShuffle()
-      val (r, sec) = timed(f)
-      (r, sec, (settledShuffle() - b) / 1e6)
-    }
+    def timedWithShuffle[A](f: => A): (A, Double, Double) = meter.timed(f)
 
     // same canary stamp as Bench / RelStress.sweep (VERDICT r12 #7):
     // one checkpoint before the ladder, one after, so cross-round
@@ -205,31 +212,8 @@ object GraphStress {
       .cache()
     val nEdges = e.count()
 
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            ev: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = ev.taskMetrics
-          if (m != null)
-            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          ()
-        }
-      })
-    def settled(): Long = {
-      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
-      while (cur != prev && spins < 40) {
-        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
-      }
-      cur
-    }
-    def timedShuffle[A](f: => A): (A, Double, Double) = {
-      System.gc()
-      val b = settled(); val t0 = System.nanoTime()
-      val r = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      (r, sec, (settled() - b) / 1e6)
-    }
+    val meter = new ShuffleMeter(spark)
+    def timedShuffle[A](f: => A): (A, Double, Double) = meter.timed(f)
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     // adaptive default: tier-1 bound must already pick windowed here
@@ -307,31 +291,8 @@ object GraphStress {
       intra.unionAll(hubs).unionAll(hubhub)
     }
 
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = e.taskMetrics
-          if (m != null)
-            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-          ()
-        }
-      })
-    def settled(): Long = {
-      var prev = -1L; var cur = shuffleBytes.get(); var spins = 0
-      while (cur != prev && spins < 40) {
-        Thread.sleep(25); prev = cur; cur = shuffleBytes.get(); spins += 1
-      }
-      cur
-    }
-    def timedShuffle[A](f: => A): (A, Double, Double) = {
-      System.gc()
-      val b = settled(); val t0 = System.nanoTime()
-      val r = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      (r, sec, (settled() - b) / 1e6)
-    }
+    val meter = new ShuffleMeter(spark)
+    def timedShuffle[A](f: => A): (A, Double, Double) = meter.timed(f)
 
     graft.Bench.canaryProbe(spark) // JIT warm-up, untimed
     val canaryStart = graft.Bench.canaryProbe(spark)
