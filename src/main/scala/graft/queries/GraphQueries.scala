@@ -52,12 +52,13 @@ object GraphQueries {
        |  FROM nodes n LEFT JOIN s$k s ON n.id = s.id)""".stripMargin
   }
 
-  /** k-core peel threshold for rel_graph_kcore. At oracle SF the
-    * bimodal degree profile (customers ≤ ~67, suppliers ≥ ~440) makes
-    * 20 a real first peel (~9% of vertices drop) that then converges;
+  /** k-core peel threshold for rel_graph_kcore. 10 peels a real first
+    * wave at every fixture SF and stays non-empty at the sf0.001 smoke
+    * scale too (the bimodal degree profile — customers ≤ ~67,
+    * suppliers ≥ ~440 — converges after one wave at these SFs;
     * multi-round cascades are pinned in KCoreSpec on crafted graphs
-    * where each round peels a new layer. */
-  private val CoreK = 20
+    * where each round peels a new layer). */
+  private val CoreK = 10
 
   /** The oracle's unrolled k-core peel: s(K-1) → sK (drop vertices
     * whose degree in the survivor-induced subgraph is < CoreK). Kept in

@@ -231,7 +231,7 @@ object MultimodalQueries {
     * k = 16·b + j, x = k % 8, y = k ⌊/⌋ 8 — the exact arithmetic
     * [[graft.operators.MultimodalPipeline.dhashImages]] computes from
     * the DECODED pixels, so a wrong or skipped decode cannot match. */
-  private def dhashBandSql(b: Int): String =
+  private[queries] def dhashBandSql(b: Int): String =
     s"""CAST(list_sum(list_transform(range(16), j ->
        |  CASE WHEN (doc_id + ((($b*16+j) % 8 + 1) * w) // 9
        |             + ((($b*16+j) // 8) * h) // 8) % 256

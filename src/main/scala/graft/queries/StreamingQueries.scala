@@ -830,6 +830,34 @@ object StreamingQueries {
     // same rationale as the batch td_incremental_dedup; stateless, so
     // any file batching emits the same set. Within-batch duplicates are
     // the downstream batch pass's job.
+    // ---- MULTIMODAL DECODE IN-STREAM: gradient PNGs REALLY decoded
+    // and dHashed inside the micro-batch pipeline (ImageIO through a
+    // streaming mapPartitions — the multimodal ingestion path run as a
+    // stream), then a complete-mode aggregation per 64-bit hash: the
+    // streaming half of td_image_dhash_dedup's rep contraction
+    // (keep_id = min doc_id, group size). Aggregation output is
+    // order-independent — WHICH micro-batch a row arrived in cannot
+    // show — so the oracle replays the hash arithmetic + GROUP BY.
+    "st_image_dhash_groups" -> QueryDef.sql(
+      "in-stream PNG decode + dHash, complete-mode per-hash dup groups")(
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 31 AS w,
+        |             1 + doc_id % 17 AS h FROM documents),
+        |hb AS (SELECT doc_id,
+        |         ${(0 to 3).map(MultimodalQueries.dhashBandSql).mkString(", ")}
+        |       FROM d)
+        |SELECT h0, h1, h2, h3, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM hb GROUP BY h0, h1, h2, h3 ORDER BY keep_id""".stripMargin) {
+      (s, dir) =>
+      val blobs = graft.operators.MultimodalPipeline.toGradientPngBlobs(
+        Tables.loadStream(s, dir, "documents"))
+      val agg = graft.operators.MultimodalPipeline.dhashImages(blobs).toDF()
+        .groupBy("h0", "h1", "h2", "h3")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+      runToMemory(agg, "complete").orderBy("keep_id")
+    },
+
     "st_incremental_dedup" -> QueryDef.sql(
       "stream-static anti-join drops docs already in the corpus")(
       """SELECT d.doc_id, d.lang, d.source FROM documents d
