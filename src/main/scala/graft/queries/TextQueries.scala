@@ -598,6 +598,83 @@ object TextQueries {
         .orderBy("passage_h60")
     },
 
+    // ---- Duplicated-SPAN coverage per document: the removal metric of
+    // the exact-substring pass (Lee et al. ACL'22 report and cut
+    // maximal repeated spans, not fixed windows). Positions whose
+    // 12-gram hash appears in >= 2 documents are merged into maximal
+    // spans — a new span starts when the next marked position is > 11
+    // away, so each span's token interval [min_i, max_i+11] is disjoint
+    // by construction and dup_tokens is an exact union, never a
+    // double-count of overlapping windows. Per doc: span count,
+    // duplicated tokens, and the dup_ratio a curation pipeline
+    // thresholds on. Plan: explode + one hash-agg for the df filter +
+    // a semi-join + per-doc windows — rows ∝ total words, shuffles on
+    // (h) and (doc_id) only.
+    "td_dup_spans" -> QueryDef.sql(
+      "maximal cross-doc duplicated spans: count, tokens, ratio per doc")(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |p AS (SELECT doc_id, t.i AS i,
+        |        CAST(('0x'||substr(md5(array_to_string(ws[t.i+1:t.i+12], ' ')),1,15))
+        |          AS BIGINT) AS h
+        |      FROM w, unnest(range(len(ws)-11)) AS t(i)
+        |      WHERE len(ws) >= 12),
+        |dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM p)
+        |        GROUP BY h HAVING count(*) >= 2),
+        |m AS (SELECT p.doc_id, p.i FROM p JOIN dup ON p.h = dup.h),
+        |g AS (SELECT doc_id, i,
+        |        CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |               IS NULL
+        |             OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+        |               > 11
+        |             THEN 1 ELSE 0 END AS ns FROM m),
+        |sid AS (SELECT doc_id, i, sum(ns) OVER
+        |          (PARTITION BY doc_id ORDER BY i) AS span_id FROM g),
+        |sp AS (SELECT doc_id, span_id, max(i) - min(i) + 12 AS covered
+        |       FROM sid GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, count(*) AS n_spans,
+        |         sum(covered) AS dup_tokens FROM sp GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(pd.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE)
+        |    / CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS dup_ratio
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pos = t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 12)
+        .select(col("doc_id"), posexplode(
+          shingleHash60(col("ws"), 12, modP = false)).as(Seq("i", "h")))
+      val dup = pos.select(col("doc_id"), col("h")).distinct()
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("h"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("i")
+      val lagI = lag(col("i"), 1).over(byDoc)
+      val spans = pos.join(dup, Seq("h"), "left_semi")
+        .withColumn("ns",
+          when(lagI.isNull || col("i") - lagI > 11, 1).otherwise(0))
+        .withColumn("span_id", sum(col("ns")).over(
+          byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("span_id"))
+        .agg((max(col("i")) - min(col("i")) + 12).as("covered"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("covered")).as("dup_tokens"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(words(col("text"))).cast("long").as("n_tokens"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+          (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double")).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
     // ---- Quality-decile stratification: exact ntile(10) over the
     // composite quality score (same formula as td_quality_score;
     // per-row double arithmetic on exact integer inputs, bit-identical
