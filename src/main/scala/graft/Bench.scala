@@ -123,7 +123,7 @@ object Bench {
         : Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).count()
+        consume(fn(spark, sfDir))
         Right((System.nanoTime() - t0) / 1e9)
       } catch {
         case scala.util.control.NonFatal(e) =>
@@ -313,6 +313,20 @@ object Bench {
     * (VERDICT r12 #7): GraphStress/RelStress/StressSmoke/StreamStress
     * stamp their records with the SAME probe so cross-round octave
     * tables carry comparability evidence the way Bench records do. */
+
+  /** Benchmark action: execute the query's FULL output — every row and
+    * column, final sort included — consumed on the executors
+    * (`queryExecution.toRdd.foreach`), never collected to the driver.
+    * `.count()` is NOT a faithful action: the optimizer prunes the
+    * final projection (count needs no columns), drops the presentation
+    * sort, and — observed on td_dup_spans, round 13 — ELIMINATES a
+    * row-preserving left join whose right side is an aggregate on the
+    * join key, zeroing the query's real work (0.0 MB shuffle for a
+    * full shingle-explode pipeline). toRdd executes the user-visible
+    * plan as the driver's correctness gate consumes it. */
+  private[graft] def consume(
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
 
   /** Dead-code-elimination sink for the canary's per-thread sums. */
   private val canarySink = new java.util.concurrent.atomic.AtomicLong

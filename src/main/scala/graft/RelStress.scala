@@ -177,7 +177,10 @@ object RelStress {
     def timed(fn: (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, dir).count(); Right((System.nanoTime() - t0) / 1e9) }
+      try {
+        Bench.consume(fn(spark, dir))
+        Right((System.nanoTime() - t0) / 1e9)
+      }
       catch {
         case e: Throwable => Left(s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").take(160))

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * `n_errors` so a round with broken queries can never compare favorably
   * on `value` alone.
   */
-class BenchSpec extends AnyFunSuite {
+class BenchSpec extends AnyFunSuite with SparkTestSession {
 
   private val mapper = new ObjectMapper
 
@@ -141,5 +141,29 @@ class BenchSpec extends AnyFunSuite {
     // custom SPARK_GRAFT_BENCH_OUT paths stamp the same way
     assert(Bench.roundStampedPath("/tmp/out.json", Seq("BENCH_r04.json"))
       === Some("/tmp/out_r05.json"))
+  }
+
+  // Round 13: the bench action must execute the query's FULL
+  // user-visible output. count() lets the optimizer eliminate a
+  // row-preserving left join whose right side aggregates on the join
+  // key — td_dup_spans benched at 0.0 MB shuffle while its real plan
+  // shuffles a gigabyte at 100×.
+  test("consume executes subtrees that count() would eliminate") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    val acc = sess.sparkContext.longAccumulator("consumed")
+    val expensive = sess.range(100).as[Long]
+      .map { x => acc.add(1); x }.toDF("id")
+      .groupBy("id").agg(count(lit(1)).as("c"))
+    val q = sess.range(100).toDF("id").join(expensive, Seq("id"), "left")
+    Bench.consume(q)
+    assert(acc.value === 100, "the aggregate side must actually run")
+    // the hazard consume exists for: the same frame under count()
+    // skips some or all of the aggregate subtree
+    acc.reset()
+    q.count()
+    assert(acc.value < 100,
+      "count() no longer prunes the join — consume may be simplifiable")
   }
 }
