@@ -89,7 +89,10 @@ object GraftFunctions {
         intArg(es(3), "subDim"))),
     (FunctionIdentifier("graft_hyperplane_bucket"),
       info("graft_hyperplane_bucket", classOf[HyperplaneBucket]),
-      (es: Seq[Expression]) => HyperplaneBucket(es(0)))
+      (es: Seq[Expression]) => HyperplaneBucket(es(0))),
+    (FunctionIdentifier("graft_map_ratio_fold"),
+      info("graft_map_ratio_fold", classOf[MapRatioFold]),
+      (es: Seq[Expression]) => MapRatioFold(es(0), es(1)))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -114,6 +117,12 @@ object GraftFunctions {
   /** Fused 4-hyperplane LSH bucket (see [[HyperplaneBucket]]). */
   def hyperplaneBucket(vd: Column): Column =
     call_function("graft_hyperplane_bucket", vd)
+
+  /** Hash-indexed ordered fold Σᵢ m[bgs(i)] (see [[MapRatioFold]]) —
+    * bit-identical to aggregate+element_at, minus the linear map scan
+    * per element. */
+  def mapRatioFold(bgs: Column, m: Column): Column =
+    call_function("graft_map_ratio_fold", bgs, m)
 
   /** MinHash signature of an array<long> of hashes in [0, P). */
   def minhashSig(hashes: Column, k: Int): Column =

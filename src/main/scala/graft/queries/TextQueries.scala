@@ -1025,10 +1025,13 @@ object TextQueries {
           (col("total").cast("double") / col("cnt").cast("double")).as("r"))
         .agg(map_from_entries(collect_list(struct(col("b"), col("r"))))
           .as("mr"))
+      // hash-indexed ordered fold (MapRatioFold): same doubles, same
+      // IEEE add order as aggregate+element_at — but element_at on a
+      // map is a LINEAR SCAN per element, which made this fold
+      // O(bigrams × model size) and the query 9.2 s warm at sf0.1
       bg.crossJoin(broadcast(ratioMap))
         .select(col("doc_id"), size(col("bgs")).as("n_bigrams"),
-          (aggregate(col("bgs"), lit(0.0), (acc, x) =>
-            acc + element_at(col("mr"), x)) /
+          (mapRatioFold(col("bgs"), col("mr")) /
             size(col("bgs"))).as("surprisal"))
         .orderBy("doc_id")
     },

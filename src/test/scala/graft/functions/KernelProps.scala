@@ -281,3 +281,55 @@ object KernelProps extends Properties("graft.kernels") {
       Prop(got == want) :| s"a=$a b=$b k=$k got=$got full=$full"
     }
 }
+
+object MapRatioFoldProps extends Properties("graft.mapRatioFold") {
+
+  import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def strArr(xs: Seq[String]) =
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+  private def mkMap(entries: Seq[(String, Double)]) =
+    new ArrayBasedMapData(
+      new GenericArrayData(
+        entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
+      new GenericArrayData(
+        entries.map(e => java.lang.Double.valueOf(e._2)).toArray[Any]))
+  private val dummy = org.apache.spark.sql.catalyst.expressions.Literal
+    .create(null, org.apache.spark.sql.types.StringType)
+
+  private val key: Gen[String] = Gen.stringOfN(2, Gen.alphaLowerChar)
+
+  property("matches the left-to-right element_at fold bit-for-bit") =
+    forAll(Gen.listOfN(30, key), Gen.mapOf(Gen.zip(key,
+      Gen.choose(0.1, 1000.0)))) { (bgs0, model0) =>
+      // fold only over keys the model covers (missing-key case below)
+      val model = model0 + ("aa" -> 3.5)
+      val bgs = bgs0.map(k => if (model.contains(k)) k else "aa")
+      val expr = MapRatioFold(dummy, dummy)
+      val got = expr.nullSafeEval(strArr(bgs), mkMap(model.toSeq))
+      var ref = 0.0
+      bgs.foreach(k => ref += model(k)) // same IEEE order
+      got == ref
+    }
+
+  property("a key absent from the model yields null, like element_at") =
+    forAll(Gen.listOfN(5, key)) { bgs =>
+      val expr = MapRatioFold(dummy, dummy)
+      val model = mkMap(Seq("zz" -> 1.0))
+      val mixed = strArr(bgs :+ "missing!")
+      expr.nullSafeEval(mixed, model) == null
+    }
+
+  property("reference-memoized index survives a different map instance") =
+    forAll(Gen.choose(1.0, 9.0)) { v =>
+      val expr = MapRatioFold(dummy, dummy)
+      val m1 = mkMap(Seq("aa" -> v))
+      val m2 = mkMap(Seq("aa" -> (v + 1)))
+      // same expression instance, two distinct maps: no stale index
+      expr.nullSafeEval(strArr(Seq("aa")), m1) == v &&
+        expr.nullSafeEval(strArr(Seq("aa")), m2) == v + 1 &&
+        expr.nullSafeEval(strArr(Seq("aa")), m1) == v
+    }
+}
