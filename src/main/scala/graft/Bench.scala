@@ -325,8 +325,11 @@ object Bench {
     * full shingle-explode pipeline). toRdd executes the user-visible
     * plan as the driver's correctness gate consumes it. */
   private[graft] def consume(
-      df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.toRdd.foreach(_ => ())
+      df: org.apache.spark.sql.DataFrame): Long =
+    // RDD-level count: the SQL optimizer is already out of the
+    // picture at toRdd, so this cannot re-introduce count pruning —
+    // and returning the row count serves BenchOne's display too
+    df.queryExecution.toRdd.count()
 
   /** Dead-code-elimination sink for the canary's per-thread sums. */
   private val canarySink = new java.util.concurrent.atomic.AtomicLong

@@ -180,31 +180,58 @@ case class MapRatioFold(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(StringType),
     MapType(StringType, DoubleType))
   override def dataType: DataType = DoubleType
+  // a missing (or null-valued) key yields null whatever the children's
+  // nullability — same reason GetMapValue hard-codes nullable=true
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_map_ratio_fold"
 
-  /** (map instance, its hash index) — a single immutable pair so a
-    * racing rebuild can never pair one map's reference with another's
+  /** Identity of a map VALUE rather than its per-row wrapper:
+    * UnsafeRow.getMap allocates a fresh UnsafeMapData wrapper on every
+    * row even when all rows reference one broadcast value, so an
+    * instance-`eq` memo would rebuild the index per row (and a
+    * container that reuses one instance over re-pointed storage would
+    * serve a stale index). The backing (baseObject, baseOffset, size)
+    * triple identifies the actual bytes; non-Unsafe maps fall back to
+    * instance identity. */
+  private def mapIdentity(m: MapData): (AnyRef, Long, Long) = m match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeMapData =>
+      val ka = u.keyArray()
+      (ka.getBaseObject, ka.getBaseOffset, u.numElements().toLong)
+    case other => (other, 0L, 0L)
+  }
+
+  /** (map identity, its hash index) — a single immutable pair so a
+    * racing rebuild can never pair one map's identity with another's
     * index; assignment is atomic, worst case is a redundant rebuild. */
   @transient private var cache
-      : (AnyRef, java.util.HashMap[UTF8String, java.lang.Double]) = _
+      : ((AnyRef, Long, Long),
+         java.util.HashMap[UTF8String, java.lang.Double]) = _
 
   private def index(m: MapData)
       : java.util.HashMap[UTF8String, java.lang.Double] = {
+    val id = mapIdentity(m)
     val c = cache
-    if (c != null && (c._1 eq m)) return c._2
+    if (c != null && (c._1._1 eq id._1) && c._1._2 == id._2 &&
+      c._1._3 == id._3) return c._2
     val n = m.numElements()
     val idx = new java.util.HashMap[UTF8String, java.lang.Double](n * 2)
     val ks = m.keyArray()
     val vs = m.valueArray()
     var i = 0
     while (i < n) {
-      // clone: Unsafe-backed keys can point into a shared buffer
-      val v: java.lang.Double =
-        if (vs.isNullAt(i)) null else java.lang.Double.valueOf(vs.getDouble(i))
-      idx.put(ks.getUTF8String(i).clone(), v)
+      // clone: Unsafe-backed keys can point into a shared buffer.
+      // First-wins on duplicate keys — GetMapValue's linear scan
+      // returns the first match — via containsKey (putIfAbsent would
+      // overwrite an existing NULL-valued first mapping).
+      val k = ks.getUTF8String(i)
+      if (!idx.containsKey(k)) {
+        val v: java.lang.Double = if (vs.isNullAt(i)) null
+          else java.lang.Double.valueOf(vs.getDouble(i))
+        idx.put(k.clone(), v)
+      }
       i += 1
     }
-    cache = (m, idx)
+    cache = (id, idx)
     idx
   }
 

@@ -822,14 +822,6 @@ object StreamingQueries {
       runToMemory(joined, "append").orderBy("click_id", "purchase_id")
     },
 
-    // ---- streaming ingest dedup: the arriving document stream is
-    // anti-joined against the EXISTING corpus's digest set (stream-
-    // static LEFT ANTI, static side broadcast — the remaining
-    // stream-static join class after st_static_join's inner). Exact
-    // text match via the fixed-width (md5, xxhash64, length) digest,
-    // same rationale as the batch td_incremental_dedup; stateless, so
-    // any file batching emits the same set. Within-batch duplicates are
-    // the downstream batch pass's job.
     // ---- MULTIMODAL DECODE IN-STREAM: gradient PNGs REALLY decoded
     // and dHashed inside the micro-batch pipeline (ImageIO through a
     // streaming mapPartitions — the multimodal ingestion path run as a
@@ -858,6 +850,14 @@ object StreamingQueries {
       runToMemory(agg, "complete").orderBy("keep_id")
     },
 
+    // ---- streaming ingest dedup: the arriving document stream is
+    // anti-joined against the EXISTING corpus's digest set (stream-
+    // static LEFT ANTI, static side broadcast — the remaining
+    // stream-static join class after st_static_join's inner). Exact
+    // text match via the fixed-width (md5, xxhash64, length) digest,
+    // same rationale as the batch td_incremental_dedup; stateless, so
+    // any file batching emits the same set. Within-batch duplicates are
+    // the downstream batch pass's job.
     "st_incremental_dedup" -> QueryDef.sql(
       "stream-static anti-join drops docs already in the corpus")(
       """SELECT d.doc_id, d.lang, d.source FROM documents d

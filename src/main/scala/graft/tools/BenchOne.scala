@@ -62,9 +62,8 @@ object BenchOne {
       val before = settled()
       val t0 = System.nanoTime()
       // full-output executor-side consume — see graft.Bench.consume
-      // for why count() is not a faithful benchmark action
-      val df = fn(spark, sfDir)
-      val n = df.queryExecution.toRdd.map(_ => 1L).fold(0L)(_ + _)
+      // for why DataFrame.count() is not a faithful benchmark action
+      val n = graft.Bench.consume(fn(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
       val mb = (settled() - before) / 1e6
       println(f"[benchone] $name rows=$n sec=$sec%.2f shuffle_mb=$mb%.1f")

@@ -16,10 +16,10 @@ import org.scalacheck.Prop.forAll
   */
 object KernelProps extends Properties("graft.kernels") {
 
-  private def strArr(xs: Seq[String]): ArrayData =
+  private[functions] def strArr(xs: Seq[String]): ArrayData =
     new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
 
-  private val dummy = Literal.create(null, StringType)
+  private[functions] val dummy = Literal.create(null, StringType)
 
   /** Reference 60-bit md5-prefix hash (the first 15 hex digits). */
   private def hash60Ref(s: String): Long = {
@@ -287,17 +287,14 @@ object MapRatioFoldProps extends Properties("graft.mapRatioFold") {
   import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
   import org.apache.spark.sql.catalyst.util.GenericArrayData
   import org.apache.spark.unsafe.types.UTF8String
+  import KernelProps.{dummy, strArr}
 
-  private def strArr(xs: Seq[String]) =
-    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
   private def mkMap(entries: Seq[(String, Double)]) =
     new ArrayBasedMapData(
       new GenericArrayData(
         entries.map(e => UTF8String.fromString(e._1)).toArray[Any]),
       new GenericArrayData(
         entries.map(e => java.lang.Double.valueOf(e._2)).toArray[Any]))
-  private val dummy = org.apache.spark.sql.catalyst.expressions.Literal
-    .create(null, org.apache.spark.sql.types.StringType)
 
   private val key: Gen[String] = Gen.stringOfN(2, Gen.alphaLowerChar)
 
@@ -320,6 +317,20 @@ object MapRatioFoldProps extends Properties("graft.mapRatioFold") {
       val model = mkMap(Seq("zz" -> 1.0))
       val mixed = strArr(bgs :+ "missing!")
       expr.nullSafeEval(mixed, model) == null
+    }
+
+  property("duplicate map keys resolve FIRST-wins, like GetMapValue") =
+    forAll(Gen.choose(1.0, 9.0), Gen.choose(10.0, 19.0)) { (a, b) =>
+      val expr = MapRatioFold(dummy, dummy)
+      val dup = mkMap(Seq("aa" -> a, "aa" -> b))
+      expr.nullSafeEval(strArr(Seq("aa")), dup) == a
+    }
+
+  property("nullable regardless of children (missing keys yield null)") =
+    Prop {
+      val nonNull = org.apache.spark.sql.catalyst.expressions.Literal
+        .create("x", org.apache.spark.sql.types.StringType)
+      MapRatioFold(nonNull, nonNull).nullable
     }
 
   property("reference-memoized index survives a different map instance") =
