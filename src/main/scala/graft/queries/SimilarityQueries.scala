@@ -762,6 +762,58 @@ object SimilarityQueries {
               (col("deg") * (col("deg") - 1)).cast("double"))
             .otherwise(lit(0.0)).as("lcc"))
         .orderBy("vec_id")
+    },
+
+    // ---- kNN LABEL PURITY: for each vector, the fraction of its
+    // directed cosine 3-NN that share its label — THE standard
+    // embedding-quality number (label-consistent neighborhoods ⇒ the
+    // space separates the classes; purity near chance ⇒ noise). Same
+    // TopKPerKey kNN build as td_knn_graph_stats (map-side top-k,
+    // shuffle O(n·k)); labels ride the broadcast query side and the
+    // candidate rows, so the purity pass adds one tiny aggregate, no
+    // extra join. Ranks are total-ordered (cosine DESC, n_id), so both
+    // engines pick identical neighbor sets; purity is one exact-int
+    // division. Honors the same bench-only nodeBound as the stats
+    // query.
+    "td_knn_purity" -> QueryDef.sql(
+      "directed cosine 3-NN label purity per vector")(
+      s"""$NormCte,
+        |p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+        |        c.label AS n_label,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*c.an[i+1]), (a,b) -> a+b) AS cosine,
+        |        c.vec_id AS n_id
+        |      FROM n q JOIN n c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, q_label, n_label, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+        |      FROM p),
+        |k AS (SELECT q_id, q_label,
+        |        count(*) AS k_n,
+        |        count(*) FILTER (n_label = q_label) AS n_same
+        |      FROM r WHERE rnk <= 3 GROUP BY q_id, q_label)
+        |SELECT q_id AS vec_id, q_label AS label,
+        |  CAST(n_same AS BIGINT) AS n_same,
+        |  CAST(n_same AS DOUBLE) / CAST(k_n AS DOUBLE) AS knn_purity
+        |FROM k ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val n = knnNodes(s, DedupQueries.normalizedEmbeddings(s, dir))
+      val qv = n.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("an").as("qa"))
+      val cv = n.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("an").as("ca"))
+      val pairs = cv.join(broadcast(qv), col("n_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+          dot(col("qa"), col("ca")).as("cosine"))
+      graft.plans.TopK.topKPerKey(pairs,
+          keys = Seq(col("q_id")),
+          order = Seq(col("cosine").desc, col("n_id").asc), k = 3)
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(count(lit(1)).as("k_n"),
+          count(when(col("n_label") === col("q_label"), 1)).as("n_same"))
+        .select(col("q_id").as("vec_id"), col("q_label").as("label"),
+          col("n_same"),
+          (col("n_same").cast("double") / col("k_n").cast("double"))
+            .as("knn_purity"))
+        .orderBy("vec_id")
     }
   )
 
