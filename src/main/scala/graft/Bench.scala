@@ -316,7 +316,8 @@ object Bench {
 
   /** Benchmark action: execute the query's FULL output — every row and
     * column, final sort included — consumed on the executors
-    * (`queryExecution.toRdd.foreach`), never collected to the driver.
+    * (`queryExecution.toRdd.count()`, an RDD-level count the SQL
+    * optimizer cannot see), never collected to the driver.
     * `.count()` is NOT a faithful action: the optimizer prunes the
     * final projection (count needs no columns), drops the presentation
     * sort, and — observed on td_dup_spans, round 13 — ELIMINATES a

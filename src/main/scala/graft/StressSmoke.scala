@@ -142,6 +142,13 @@ object StressSmoke {
     // shuffle listener detached on exit, the settled-warm discipline
     // (GC + re-measure on any warm > cold, min kept), and the canary
     // drift stamp
+    // IVF quantizer re-trained as the corpus grows (both modes): cell
+    // count follows the k ∝ √n exact-assignment optimum — assignment
+    // n·k + in-cell candidates ~ n²/k balance at k ∝ √n, so td_ann_ivf
+    // and the td_knn_graph_ann build scale n^1.5, never fixed-k n².
+    // Bench-only conf, same contract as queryIdBound below.
+    spark.conf.set("spark.graft.ann.ivf.cells",
+      math.max(16, math.round(math.sqrt(nVecs * scale / 2.0))).toString)
     if (mode == "fixedq") {
       spark.conf.set("spark.graft.ann.queryIdBound", nVecs.toString)
       RelStress.sweep(spark, out, "td_ann_", "stress_fixedq_total", scale)
@@ -154,6 +161,13 @@ object StressSmoke {
       // Bench-only conf, same contract as queryIdBound above.
       spark.conf.set("spark.graft.semdedup.cells",
         math.max(8, math.round(8 * math.sqrt(scale.toDouble))).toString)
+      // the brute-force n² kNN members (td_knn_graph_stats, purity,
+      // ann_recall) run in their documented fixed-sample diagnostic
+      // regime above 10× — a fixed probe costs the same on any corpus;
+      // the full-corpus member in the sweep is td_knn_graph_ann, which
+      // never reads this bound
+      if (scale > 10)
+        spark.conf.set("spark.graft.knngraph.nodeBound", nVecs.toString)
       // optional 5th arg: registry-name prefix restricting the sweep
       // (e.g. `td_semdedup` for a single-query rung). Totals from a
       // filtered run are not family-comparable; the metric says so —

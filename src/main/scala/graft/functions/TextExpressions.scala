@@ -200,20 +200,55 @@ case class MapRatioFold(left: Expression, right: Expression)
     case other => (other, 0L, 0L)
   }
 
-  /** (map identity, its hash index) — a single immutable pair so a
+  /** Memoized index plus the content probe that validates it. The
+    * identity triple alone is NOT sufficient for arbitrary per-row
+    * maps (ADVICE r13): shuffle/sort readers and unsafe-row writers
+    * recycle ONE backing byte array across rows, so a DIFFERENT map
+    * with the same entry count can occupy the same (object, offset)
+    * region and would be served a stale index. Before serving, the
+    * memo therefore also re-checks the key array's total byte size
+    * and byte-equality of the BOUNDARY entries (first/last key bytes
+    * + first/last value, null-aware) — O(1) per row. A stale serve
+    * now requires a same-sized, same-count map agreeing on both
+    * boundary entries while differing only in the interior; for the
+    * intended broadcast-constant model maps (one object per executor)
+    * the probe always passes, and for recycled-buffer per-row maps a
+    * probe miss merely rebuilds — the correct GetMapValue-equivalent
+    * behavior, never a wrong answer. A single immutable value so a
     * racing rebuild can never pair one map's identity with another's
     * index; assignment is atomic, worst case is a redundant rebuild. */
-  @transient private var cache
-      : ((AnyRef, Long, Long),
-         java.util.HashMap[UTF8String, java.lang.Double]) = _
+  private final class Memoized(
+      val id: (AnyRef, Long, Long),
+      val keyBytes: Long,
+      val firstKey: UTF8String, val lastKey: UTF8String,
+      val firstVal: java.lang.Double, val lastVal: java.lang.Double,
+      val idx: java.util.HashMap[UTF8String, java.lang.Double])
+
+  @transient private var cache: Memoized = _
+
+  private def keySize(m: MapData): Long = m.keyArray() match {
+    case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
+      u.getSizeInBytes.toLong
+    case _ => 0L
+  }
+
+  private def valAt(m: MapData, i: Int): java.lang.Double =
+    if (m.valueArray().isNullAt(i)) null
+    else java.lang.Double.valueOf(m.valueArray().getDouble(i))
 
   private def index(m: MapData)
       : java.util.HashMap[UTF8String, java.lang.Double] = {
     val id = mapIdentity(m)
     val c = cache
-    if (c != null && (c._1._1 eq id._1) && c._1._2 == id._2 &&
-      c._1._3 == id._3) return c._2
     val n = m.numElements()
+    if (c != null && (c.id._1 eq id._1) && c.id._2 == id._2 &&
+      c.id._3 == id._3 && c.keyBytes == keySize(m) &&
+      (n == 0 ||
+        (c.firstKey.equals(m.keyArray().getUTF8String(0)) &&
+          c.lastKey.equals(m.keyArray().getUTF8String(n - 1)) &&
+          java.util.Objects.equals(c.firstVal, valAt(m, 0)) &&
+          java.util.Objects.equals(c.lastVal, valAt(m, n - 1)))))
+      return c.idx
     val idx = new java.util.HashMap[UTF8String, java.lang.Double](n * 2)
     val ks = m.keyArray()
     val vs = m.valueArray()
@@ -231,7 +266,13 @@ case class MapRatioFold(left: Expression, right: Expression)
       }
       i += 1
     }
-    cache = (id, idx)
+    // boundary probe fields cloned off the (possibly shared) buffer
+    cache = new Memoized(id, keySize(m),
+      if (n == 0) null else ks.getUTF8String(0).clone(),
+      if (n == 0) null else ks.getUTF8String(n - 1).clone(),
+      if (n == 0) null else valAt(m, 0),
+      if (n == 0) null else valAt(m, n - 1),
+      idx)
     idx
   }
 

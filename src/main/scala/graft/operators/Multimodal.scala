@@ -201,6 +201,7 @@ object MultimodalPipeline {
       ImageIO.setUseCache(false)
       it.grouped(DecodeBatchSize).flatMap(_.map { b =>
         val img = ImageIO.read(new ByteArrayInputStream(b.content))
+        require(img != null, s"undecodable image blob for doc ${b.doc_id}")
         val w = img.getWidth
         val h = img.getHeight
         var sum = 0L
@@ -238,6 +239,7 @@ object MultimodalPipeline {
       ImageIO.setUseCache(false)
       it.grouped(DecodeBatchSize).flatMap(_.map { b =>
         val img = ImageIO.read(new ByteArrayInputStream(b.content))
+        require(img != null, s"undecodable image blob for doc ${b.doc_id}")
         val w = img.getWidth
         val h = img.getHeight
         val g = Array.ofDim[Int](8, 9)

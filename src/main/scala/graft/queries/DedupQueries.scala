@@ -259,7 +259,7 @@ object DedupQueries {
   }
 
   /** vec_id, label, an (unit-normalized array<double>). */
-  private[queries] def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("vd"))

@@ -211,7 +211,7 @@ object GraphQueries {
         .orderBy("suppkey")
     },
 
-    // ---- K-CORE PEELING: 3 synchronous peel rounds at threshold 20
+    // ---- K-CORE PEELING: 3 synchronous peel rounds at threshold CoreK
     // over the undirected customer–supplier graph — the dense-scaffold
     // extractor (operators/KCore.scala; per round one map-side-combined
     // degree count over the cached edge table + two survivor

@@ -36,18 +36,127 @@ object SimilarityQueries {
       .map(b => base && c < lit(b.toLong)).getOrElse(base)
   }
 
-  /** td_knn_graph_stats node set. With `spark.graft.knngraph.nodeBound`
-    * set (BENCH-ONLY — the correctness gate never sets it, so oracle
-    * hashes are untouched; same contract as ann.queryIdBound) the graph
-    * is restricted to vec_id < bound, and the vec_id predicate PRUNES
-    * the corpus scan — a fixed diagnostic sample costs the same at any
-    * corpus size (the BenchOne probe in BASELINE.md measures exactly
-    * that). The unbounded query is the documented brute-force n²
-    * member; a full-corpus kNN build at scale routes through the ann
-    * family's IVF/LSH candidate machinery instead. */
+  /** Node set of the BRUTE-FORCE kNN members (td_knn_graph_stats,
+    * td_knn_purity, td_knn_ann_recall). With
+    * `spark.graft.knngraph.nodeBound` set (BENCH-ONLY — the
+    * correctness gate never sets it, so oracle hashes are untouched;
+    * same contract as ann.queryIdBound) the graph is restricted to
+    * vec_id < bound, and the vec_id predicate PRUNES the corpus scan —
+    * a fixed diagnostic sample costs the same at any corpus size (the
+    * BenchOne probe in BASELINE.md measures exactly that). The
+    * unbounded brute queries are the documented n² members; the
+    * full-corpus kNN build at scale is [[annKnnEdges]] /
+    * `td_knn_graph_ann`, which never honors this bound. */
   private def knnNodes(s: SparkSession, n: DataFrame): DataFrame =
     s.conf.getOption("spark.graft.knngraph.nodeBound")
       .map(b => n.filter(col("vec_id") < b.toLong)).getOrElse(n)
+
+  /** IVF coarse-quantizer cell count, shared by td_ann_ivf and the
+    * ANN-backed kNN graph build. `spark.graft.ann.ivf.cells` is
+    * BENCH-ONLY (ann.queryIdBound contract — the correctness gate
+    * never sets it, so the oracle-pinned default of 16 governs every
+    * hash): the stress ladders size it k ∝ √n, the classic IVF
+    * nlist=√n sizing (total cost n·k + probes·n²/k is minimized at
+    * k ∝ √n — the same exact-assignment optimum SemDeDup's cell knob
+    * follows, DedupQueries.scala), so BOTH the assignment term and the
+    * in-cell candidate term grow as n^1.5, never a fixed-k n² pair
+    * blow-up. */
+  private def ivfCells(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.ann.ivf.cells").map(_.toInt).getOrElse(16)
+
+  /** Directed exact cosine k-NN edges, (q_id, n_id) — the brute-force
+    * baseline: queries broadcast, candidates stream (O(q·n) compute),
+    * TopKPerKey's map-side cut keeps shuffle O(n·k). Only for the
+    * fixture-scale diagnostics / recall denominators; the scale path
+    * is [[annKnnEdges]]. */
+  private def bruteKnnEdges(n: DataFrame, k: Int = 3): DataFrame = {
+    val qv = n.select(col("vec_id").as("q_id"), col("an").as("qa"))
+    val cv = n.select(col("vec_id").as("n_id"), col("an").as("ca"))
+    val pairs = cv.join(broadcast(qv), col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        dot(col("qa"), col("ca")).as("cosine"))
+    graft.plans.TopK.topKPerKey(pairs,
+        keys = Seq(col("q_id")),
+        order = Seq(col("cosine").desc, col("n_id").asc), k = k)
+      .select(col("q_id"), col("n_id"))
+  }
+
+  /** Directed cosine k-NN edges built from IVF MULTI-PROBE candidates —
+    * the full-corpus kNN-graph build that survives 100 TB (VERDICT r13
+    * #1): every vector probes its top-2 coarse-quantizer cells and is
+    * a CANDIDATE in its top-1 cell, so candidate generation is an
+    * equi-join on cell id — the node set is never broadcast and never
+    * crossed with itself. With cells ∝ √n (see [[ivfCells]]) the
+    * in-cell pair volume is O(n^1.5); shuffle is O(n) per side for the
+    * cell join plus the TopKPerKey O(n·k) cut. Plan shape:
+    *   - cell scoring: n × cells rows streamed through a broadcast of
+    *     the (≤ √n)-row centroid table, never materialized;
+    *   - probe selection: TopKPerKey k=2 (map-side cut, shuffle O(n)),
+    *     NOT a row_number window over the n × cells exchange;
+    *   - the 2-row-per-node probe frame is localCheckpointed so the
+    *     scoring pass runs once, not once per join side.
+    * Multi-probe (probe > 1) is the standard IVF recall lever (an
+    * exact neighbor just across a cell boundary is found via the
+    * query's second-closest cell); recall vs the brute build is
+    * measured by td_knn_ann_recall. */
+  private[graft] def annKnnEdges(s: SparkSession, n: DataFrame, k: Int = 3,
+      checkpoint: Boolean = true): DataFrame = {
+    val cells = ivfCells(s)
+    val cents = n.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("an").as("ca"))
+    val scored = n.join(broadcast(cents))
+      .select(col("vec_id"), col("an"), col("cid"),
+        dot(col("an"), col("ca")).as("cdot"))
+    val probes = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("vec_id")),
+      order = Seq(col("cdot").desc, col("cid").asc), k = 2)
+    // rank within the ≤2 probe rows per node (tiny O(n) window over
+    // the post-cut frame): rn=1 is the node's home cell (where it is a
+    // candidate); rn<=2 are the cells it searches as a query
+    val rw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cdot").desc, col("cid").asc)
+    // `checkpoint = false` is a TEST-ONLY escape (PlanSpec): the
+    // checkpoint truncates the visible plan to a Scan ExistingRDD, so
+    // the shape gate inspects the un-truncated build
+    val pr0 = probes.withColumn("rn", row_number().over(rw))
+      .select(col("vec_id"), col("an"), col("cid").as("cell"), col("rn"))
+    val pr = if (checkpoint) pr0.localCheckpoint(false) else pr0
+    val qside = pr.select(col("vec_id").as("q_id"), col("an").as("qa"),
+      col("cell"))
+    val cside = pr.filter(col("rn") === 1)
+      .select(col("vec_id").as("n_id"), col("an").as("ca"), col("cell"))
+    // candidate pairs: equi-join on cell — each (q, n) appears at most
+    // once because a candidate lives in exactly one home cell
+    val pairs = qside.join(cside, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        dot(col("qa"), col("ca")).as("cosine"))
+    graft.plans.TopK.topKPerKey(pairs,
+        keys = Seq(col("q_id")),
+        order = Seq(col("cosine").desc, col("n_id").asc), k = k)
+      .select(col("q_id"), col("n_id"))
+  }
+
+  /** Shared tail of the kNN-graph diagnostics: symmetrize the directed
+    * edge set, then per-node degree, triangle count (degree-ordered
+    * enumeration, operators/Triangles.scala) and local clustering
+    * coefficient. The canonical edge set feeds both the degree
+    * aggregate and the triangle enumeration; materialized once so the
+    * kNN scoring pass never re-runs. */
+  private def graphStatsTail(knn: DataFrame): DataFrame = {
+    val e = Triangles.canonicalEdges(knn, "q_id", "n_id")
+      .localCheckpoint(false)
+    val d = Triangles.degrees(e)
+    val pv = Triangles.perVertexFromCanonical(e)
+    d.join(pv, Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("lcc"))
+      .orderBy("vec_id")
+  }
 
   /** Shared oracle CTE: normalized embeddings (same as DedupQueries). */
   private val NormCte =
@@ -280,8 +389,14 @@ object SimilarityQueries {
 
     // ---- IVF-style ANN: a 16-centroid coarse quantizer (seeded from the
     // first 16 vectors), cells assigned by max cosine, search restricted
-    // to the query's cell. Centroids broadcast; assignment is a narrow
-    // map; candidate generation an equi-join on cell id.
+    // to the query's cell. Centroids broadcast; assignment streams the
+    // n × cells scores through a TopKPerKey k=1 cut (map-side, shuffle
+    // O(n) — NOT a row_number window, whose exchange would carry all
+    // n × cells scored rows once the cell count grows); candidate
+    // generation is an equi-join on cell id. Cell count is the
+    // oracle-pinned 16 by default; the stress ladders re-train the
+    // quantizer as the corpus grows via the bench-only
+    // `spark.graft.ann.ivf.cells` knob (k ∝ √n — see ivfCells).
     "td_ann_ivf" -> QueryDef.sql(
       "IVF coarse quantizer (16 seed centroids) + in-cell cosine top-3")(
       s"""$NormCte,
@@ -303,14 +418,14 @@ object SimilarityQueries {
         |SELECT q_id, rnk, n_id, cell, cosine FROM r WHERE rnk <= 3
         |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
       val n = DedupQueries.normalizedEmbeddings(s, dir)
-      val cents = n.filter(col("vec_id") < 16)
+      val cents = n.filter(col("vec_id") < ivfCells(s))
         .select(col("vec_id").as("cid"), col("an").as("ca"))
-      val aw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdot").desc, col("cid"))
-      val assigned = n.join(broadcast(cents))
-        .withColumn("cdot", dot(col("an"), col("ca")))
-        .withColumn("rn", row_number().over(aw))
-        .filter(col("rn") === 1)
+      val scored = n.join(broadcast(cents))
+        .select(col("vec_id"), col("an"), col("cid"),
+          dot(col("an"), col("ca")).as("cdot"))
+      val assigned = graft.plans.TopK.topKPerKey(scored,
+          keys = Seq(col("vec_id")),
+          order = Seq(col("cdot").desc, col("cid").asc), k = 1)
         .select(col("vec_id"), col("an"), col("cid").as("cell"))
       val q = assigned.filter(isQueryVec(s, col("vec_id")))
         .select(col("vec_id").as("q_id"), col("an").as("qa"), col("cell"))
@@ -709,7 +824,9 @@ object SimilarityQueries {
     // `spark.graft.knngraph.nodeBound` set (BENCH-ONLY, same contract
     // as ann.queryIdBound) the node set is bounded and the vec_id
     // predicate prunes the corpus scan — the fixed-sample diagnostic
-    // regime (see the knnNodes Scaladoc for the scale posture).
+    // regime. The FULL-CORPUS build at scale is td_knn_graph_ann
+    // (IVF multi-probe candidates, no bound, no broadcast node set);
+    // this brute variant is its exactness baseline.
     "td_knn_graph_stats" -> QueryDef.sql(
       "cosine 3-NN graph: per-node degree, triangles, clustering coeff")(
       s"""$NormCte,
@@ -738,29 +855,117 @@ object SimilarityQueries {
         |       ELSE CAST(0 AS DOUBLE) END AS lcc
         |FROM d LEFT JOIN pv ON d.id = pv.id ORDER BY vec_id""".stripMargin) {
       (s, dir) =>
-      val n = knnNodes(s, DedupQueries.normalizedEmbeddings(s, dir))
-      val qv = n.select(col("vec_id").as("q_id"), col("an").as("qa"))
-      val cv = n.select(col("vec_id").as("n_id"), col("an").as("ca"))
-      val pairs = cv.join(broadcast(qv), col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("n_id"),
-          dot(col("qa"), col("ca")).as("cosine"))
-      val knn = graft.plans.TopK.topKPerKey(pairs,
-          keys = Seq(col("q_id")),
-          order = Seq(col("cosine").desc, col("n_id").asc), k = 3)
-        .select(col("q_id"), col("n_id"))
-      // e feeds the degree aggregate AND the triangle enumeration;
-      // materialize once so the kNN scoring pass never re-runs
-      val e = Triangles.canonicalEdges(knn, "q_id", "n_id")
-        .localCheckpoint(false)
-      val d = Triangles.degrees(e)
-      val pv = Triangles.perVertexFromCanonical(e)
-      d.join(pv, Seq("id"), "left")
-        .select(col("id").as("vec_id"), col("deg"),
-          coalesce(col("triangles"), lit(0L)).as("triangles"),
-          when(col("deg") >= 2,
-            (coalesce(col("triangles"), lit(0L)) * 2).cast("double") /
-              (col("deg") * (col("deg") - 1)).cast("double"))
-            .otherwise(lit(0.0)).as("lcc"))
+      graphStatsTail(bruteKnnEdges(
+        knnNodes(s, DedupQueries.normalizedEmbeddings(s, dir))))
+    },
+
+    // ---- ANN-BACKED kNN GRAPH (the full-corpus member — VERDICT r13
+    // #1): same degree/triangles/lcc diagnostics as td_knn_graph_stats,
+    // but the 3-NN edge set is built from IVF multi-probe candidates
+    // (annKnnEdges: top-2 of 16 cells probed, candidates equi-joined on
+    // cell id) instead of the brute n² scoring pass — the node set is
+    // NEVER broadcast, there is no nodeBound conf, and with the stress
+    // ladders' cells ∝ √n sizing the in-cell pair volume is O(n^1.5).
+    // The DuckDB oracle replays the exact candidate blocking (same
+    // quantizer seeds, same probe ranks, same ascending-fold cosines,
+    // same total order) and recomputes triangles with the independent
+    // naive triple join, so a hash match proves BOTH the blocked kNN
+    // build and the oriented enumeration exact. Approximation quality
+    // vs the brute graph is measured by td_knn_ann_recall.
+    "td_knn_graph_ann" -> QueryDef.sql(
+      "IVF multi-probe (top-2 of 16 cells) cosine 3-NN graph: " +
+        "degree, triangles, clustering coeff")(
+      s"""$NormCte,
+        |cc AS (SELECT vec_id AS cid, an AS ca FROM n WHERE vec_id < 16),
+        |pr AS (SELECT vec_id, an, cell, rn FROM (
+        |  SELECT n.vec_id, n.an, cc.cid AS cell, row_number() OVER (
+        |      PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_transform(range(len(n.an)),
+        |        i -> n.an[i+1]*cc.ca[i+1]), (a,b) -> a+b) DESC, cc.cid) AS rn
+        |  FROM n, cc) WHERE rn <= 2),
+        |p AS (SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*x.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM pr q JOIN pr x
+        |        ON q.cell = x.cell AND x.rn = 1 AND x.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, n_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM p),
+        |e AS (SELECT DISTINCT least(q_id, n_id) AS lo,
+        |        greatest(q_id, n_id) AS hi FROM r WHERE rnk <= 3),
+        |d AS (SELECT id, count(*) AS deg FROM (
+        |        SELECT lo AS id FROM e UNION ALL SELECT hi AS id FROM e)
+        |      GROUP BY id),
+        |tr AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |       FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        |       JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+        |pv AS (SELECT id, count(*) AS tri FROM (
+        |         SELECT a AS id FROM tr UNION ALL SELECT b AS id FROM tr
+        |         UNION ALL SELECT c AS id FROM tr) GROUP BY id)
+        |SELECT d.id AS vec_id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(pv.tri, 0) AS BIGINT) AS triangles,
+        |  CASE WHEN d.deg >= 2
+        |       THEN CAST(COALESCE(pv.tri, 0) * 2 AS DOUBLE)
+        |          / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+        |       ELSE CAST(0 AS DOUBLE) END AS lcc
+        |FROM d LEFT JOIN pv ON d.id = pv.id ORDER BY vec_id""".stripMargin) {
+      (s, dir) =>
+      graphStatsTail(annKnnEdges(s,
+        DedupQueries.normalizedEmbeddings(s, dir)))
+    },
+
+    // ---- ANN kNN RECALL vs brute (the fixture-scale quality gate for
+    // td_knn_graph_ann): per node, how many of its IVF multi-probe
+    // 3-NN are also in its exact brute-force 3-NN. Contains the brute
+    // n² build by definition, so it honors the bench-only nodeBound
+    // (fixture-scale diagnostic regime) — the production build it
+    // certifies does not. Both neighbor sets use the identical total
+    // order (cosine DESC, n_id), so the intersection is exact
+    // cross-engine; recall@3 is one exact-int division. Measured
+    // ≈0.34 mean at sf0.01 — honest for this fixture: the synthetic
+    // embeddings are near-random (brute 3-NN label purity ≈0.10,
+    // exactly chance for 10 labels), the regime where NO blocked
+    // method separates neighbors from the bulk (the PQ twin
+    // td_ann_pq_recall reads ≈0.17 for the same reason); on clustered
+    // production embeddings IVF recall rises with the structure the
+    // quantizer exists to exploit.
+    "td_knn_ann_recall" -> QueryDef.sql(
+      "per-node recall@3 of the IVF multi-probe 3-NN vs exact brute 3-NN")(
+      s"""$NormCte,
+        |cc AS (SELECT vec_id AS cid, an AS ca FROM n WHERE vec_id < 16),
+        |pr AS (SELECT vec_id, an, cell, rn FROM (
+        |  SELECT n.vec_id, n.an, cc.cid AS cell, row_number() OVER (
+        |      PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_transform(range(len(n.an)),
+        |        i -> n.an[i+1]*cc.ca[i+1]), (a,b) -> a+b) DESC, cc.cid) AS rn
+        |  FROM n, cc) WHERE rn <= 2),
+        |p AS (SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*x.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM pr q JOIN pr x
+        |        ON q.cell = x.cell AND x.rn = 1 AND x.vec_id <> q.vec_id),
+        |ra AS (SELECT q_id, n_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM p),
+        |ka AS (SELECT q_id, n_id FROM ra WHERE rnk <= 3),
+        |pb AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*c.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM n q JOIN n c ON c.vec_id <> q.vec_id),
+        |rb AS (SELECT q_id, n_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM pb),
+        |kb AS (SELECT q_id, n_id FROM rb WHERE rnk <= 3)
+        |SELECT kb.q_id AS vec_id,
+        |  CAST(count(ka.n_id) AS BIGINT) AS n_match,
+        |  CAST(count(ka.n_id) AS DOUBLE) / 3 AS recall_at_3
+        |FROM kb LEFT JOIN ka ON ka.q_id = kb.q_id AND ka.n_id = kb.n_id
+        |GROUP BY kb.q_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val nodes = knnNodes(s, DedupQueries.normalizedEmbeddings(s, dir))
+      val ann = annKnnEdges(s, nodes).withColumn("m", lit(1))
+      bruteKnnEdges(nodes)
+        .join(ann, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(col("m")).as("n_match"))
+        .select(col("q_id").as("vec_id"), col("n_match"),
+          (col("n_match").cast("double") / 3).as("recall_at_3"))
         .orderBy("vec_id")
     },
 

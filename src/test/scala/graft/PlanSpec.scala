@@ -122,6 +122,33 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("the ANN kNN build blocks on cell id — TopKPerKey cuts, no corpus broadcast") {
+    // the registry query's visible plan is truncated by its checkpoint
+    // barriers (Scan ExistingRDD), so the gate inspects the
+    // un-checkpointed build directly
+    val p = graft.queries.SimilarityQueries.annKnnEdges(spark,
+        graft.queries.DedupQueries.normalizedEmbeddings(spark, sfDir),
+        k = 3, checkpoint = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is the bounded centroid
+    // broadcast (≤ √n rows by the ivf.cells sizing); the corpus-sized
+    // candidate pairing must be an equi-join on the cell id, and both
+    // k-cuts must ride the map-side TopKPerKey plan (shuffle O(n·k)).
+    // Un-checkpointed, the probe subtree (and with it the one centroid
+    // BNLJ) appears on BOTH sides of the cell join — the production
+    // build materializes it once — so the bound is 2, and every BNLJ
+    // must broadcast the bounded centroid side (IdentityBroadcastMode
+    // over the vec_id < cells scan), never the corpus.
+    val nested = p.linesIterator
+      .count(_.contains("BroadcastNestedLoopJoin"))
+    assert(nested <= 2, s"corpus-sized nested loop in:\n$p")
+    assert(p.contains("LessThan(vec_id,16)"), p)
+    // two cuts (probe top-2, neighbor top-3), each planned as a
+    // partial + final TopKPerKey pair
+    assert(p.linesIterator.count(_.contains("TopKPerKey")) >= 4, p)
+  }
+
   test("narrow text-analysis queries shuffle only for the final sort") {
     for (name <- Seq("td_fingerprint", "td_token_count", "td_quality_score")) {
       val p = plan(name)
