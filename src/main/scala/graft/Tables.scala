@@ -86,129 +86,11 @@ object Tables {
   private val tsStatsCache =
     new java.util.concurrent.ConcurrentHashMap[String, (String, (Long, Long))]()
 
-  /** Fingerprint-validated memo lookup shared by the path-keyed caches:
-    * compute-and-replace when the stored fingerprint differs (evicting
-    * the superseded vintage), straight computation with NO cache
-    * insert when the fingerprint is an error stamp. `onEvict` sees the
-    * superseded value (release persisted state) and `onMiss` runs
-    * before compute (invalidate deeper cache layers).
-    *
-    * Concurrency: single-flight PER KEY via a per-key monitor, never
-    * under the ConcurrentHashMap's bin lock — `compute` here can be a
-    * multi-minute Spark job (the dedup label build), and running it
-    * inside `CHM.compute` would block every unrelated key hashing to
-    * the same bin (and violate that method's short-and-simple
-    * contract). Two threads asking for the same key serialize (the
-    * second reuses the first's result); different keys never contend.
-    * The fast path is a lock-free read of a current entry. The monitor
-    * map grows one Object per distinct key — the same bounded key set
-    * as the cache itself. */
-  private val memoLocks =
-    new java.util.concurrent.ConcurrentHashMap[AnyRef, Object]()
-
-  /** Monitor-map key with IDENTITY semantics for the cache reference:
-    * a plain `(cache, key)` tuple would delegate to the
-    * ConcurrentHashMap's own content-based hashCode, which CHANGES as
-    * entries come and go — a later lookup of the same (cache, key)
-    * could then miss the existing monitor (breaking single-flight) and
-    * leak a fresh Object per content state. `identityHashCode` is
-    * stable for an object's lifetime; equality is reference equality
-    * on the cache plus string equality on the key. */
-  private final class MemoLockKey(val cache: AnyRef, val key: String) {
-    override def hashCode: Int =
-      System.identityHashCode(cache) * 31 + key.hashCode
-    override def equals(o: Any): Boolean = o match {
-      case m: MemoLockKey => (m.cache eq cache) && m.key == key
-      case _ => false
-    }
-  }
-
-  private[graft] def memoized[V](cache: java.util.concurrent.ConcurrentHashMap[
-        String, (String, V)], key: String, fp: String)(compute: => V)(
-      onEvict: V => Unit = (_: V) => (), onMiss: () => Unit = () => ()): V = {
-    if (isErrorFingerprint(fp)) { onMiss(); return compute }
-    val fresh = cache.get(key)
-    if (fresh != null && fresh._1 == fp) return fresh._2
-    // monitors are scoped per (cache, key): the same path key in two
-    // DIFFERENT memo maps (ts-stats vs schema) must not serialize
-    memoLocks.computeIfAbsent(new MemoLockKey(cache, key),
-        _ => new Object).synchronized {
-      val prev = cache.get(key)
-      if (prev != null && prev._1 == fp) prev._2
-      else {
-        // REMOVE before evicting (ADVICE r11): onEvict releases the
-        // superseded value's persisted state, so if `compute` then
-        // throws, an entry left in place would be evicted-but-present —
-        // its old fingerprint still valid-looking while its storage is
-        // gone, and a retry would run onEvict on the same value twice
-        // (double unpersist). With the entry removed first, a failed
-        // recompute leaves a clean miss and the retry sees prev == null.
-        if (prev != null) { cache.remove(key); onEvict(prev._2) }
-        onMiss()
-        val v = compute
-        // putIfAbsent, not put (ADVICE r12): a caller that fetched the
-        // OLD monitor just before a releaseMemo can compute here
-        // concurrently with a post-release caller holding the FRESH
-        // monitor — the two computes are serialized by DIFFERENT
-        // monitors, so a blind put would overwrite the other thread's
-        // value without onEvict and leak its persisted state until JVM
-        // exit. If a same-vintage value raced in first, keep IT and
-        // release OURS; a different-vintage racer is superseded the
-        // normal way (remove + evict + insert ours).
-        // The different-vintage supersede must be a CAS remove of the
-        // exact value observed, not a blind remove + put: between our
-        // putIfAbsent and the remove, a THIRD caller (fresh monitor
-        // after another releaseMemo) can itself supersede the racer —
-        // a blind remove would then delete the third value without
-        // onEvict (leaking its persisted state) and our onEvict(raced)
-        // would double-release a value the third caller already
-        // evicted. remove(key, raced) evicts only what we saw; on a
-        // lost CAS we loop and re-attempt against the current entry.
-        // (Same-window racers carry no freshness ordering — both
-        // fingerprints were current moments ago; last-insert-wins
-        // matches the non-raced supersede semantics, and the next
-        // caller with a current fingerprint re-converges.)
-        val mine = (fp, v)
-        var out = v
-        var settled = false
-        while (!settled) {
-          val raced = cache.putIfAbsent(key, mine)
-          if (raced == null) settled = true
-          else if (raced._1 == fp) { onEvict(v); out = raced._2; settled = true }
-          else if (cache.remove(key, raced)) onEvict(raced._2)
-        }
-        out
-      }
-    }
-  }
-
-  /** Release a memo entry AND its monitor (VERDICT r11 #6): the cache
-    * entry is removed and returned (caller unpersists any held state),
-    * and the matching [[memoLocks]] monitor is dropped with it — taken
-    * first, so an in-flight compute for the same key finishes before
-    * the release, and removed while held (safe: computeIfAbsent hands
-    * later callers a FRESH monitor). The monitor map thereafter holds
-    * nothing for a released (cache, key), restoring O(live entries)
-    * instead of O(all keys ever seen). Benign race: a caller that
-    * fetched the old monitor just before this release re-creates one
-    * and may recompute alongside a post-release caller — duplicate
-    * work once, never a stale or double-released value. */
-  private[graft] def releaseMemo[V](cache: java.util.concurrent.ConcurrentHashMap[
-      String, (String, V)], key: String): Option[V] = {
-    val lk = new MemoLockKey(cache, key)
-    val monitor = memoLocks.get(lk)
-    if (monitor == null) Option(cache.remove(key)).map(_._2)
-    else monitor.synchronized {
-      memoLocks.remove(lk)
-      Option(cache.remove(key)).map(_._2)
-    }
-  }
-
-  /** Test-only visibility: whether a monitor is currently held in the
-    * lock map for (cache, key) — TablesSpec pins that [[releaseMemo]]
-    * drops it. */
-  private[graft] def memoLockExists(cache: AnyRef, key: String): Boolean =
-    memoLocks.containsKey(new MemoLockKey(cache, key))
+  // The fingerprint-validated single-flight memo machinery (memoized /
+  // releaseMemo / memoLockExists / the per-key monitor map) moved to
+  // [[graft.Memo]] (VERDICT r13 #5) — one shared utility, one spec'd
+  // CAS discipline, used here by the path-keyed schema/ts-stats caches
+  // and by the DedupQueries/TextQueries artifact memos.
 
   /** Recursive local-filesystem delete (children before parents),
     * tolerant of concurrent disappearance (`deleteIfExists`) and of a
@@ -255,7 +137,7 @@ object Tables {
     * STABLE key — two vintages whose listings both threw would
     * otherwise share it and one could serve the other's cached
     * artifact (VERDICT r10 #2). Memo call sites test
-    * [[isErrorFingerprint]] and bypass their caches entirely for such
+    * [[Memo.isErrorFingerprint]] and bypass their caches entirely for such
     * stamps, so repeated errors neither serve stale entries nor grow
     * the maps; the subsequent data read surfaces the real error. */
   private[graft] def pathFingerprint(spark: SparkSession, path: String): String =
@@ -277,10 +159,6 @@ object Tables {
     } catch {
       case scala.util.control.NonFatal(_) => s"!err-${fpErrSeq.incrementAndGet()}"
     }
-
-  /** True for the never-matching error stamps [[pathFingerprint]] emits
-    * when the listing fails — callers must compute WITHOUT caching. */
-  private[graft] def isErrorFingerprint(fp: String): Boolean = fp.startsWith("!")
 
   // epoch-micros bounds of the plausible-instant window [1850, 2200] —
   // a converted range landing outside is a mis-sniffed unit, not data
@@ -389,7 +267,7 @@ object Tables {
           }
           val (lo, hi) =
             if (source.isEmpty) compute
-            else memoized(tsStatsCache, s"$source#${f.name}",
+            else Memo.memoized(tsStatsCache, s"$source#${f.name}",
               pathFingerprint(df.sparkSession, source))(compute)()
           acc.withColumn(f.name, longEpochToTimestamp(f.name, lo, hi, source))
         case _ => acc
@@ -428,7 +306,7 @@ object Tables {
     // same glob.
     lazy val batch = spark.read.parquet(path)
     val schema =
-      memoized(schemaCache, path, pathFingerprint(spark, path))(batch.schema)()
+      Memo.memoized(schemaCache, path, pathFingerprint(spark, path))(batch.schema)()
     val df = spark.readStream
       .schema(schema)
       .parquet(s"$dir/{$name.parquet}")

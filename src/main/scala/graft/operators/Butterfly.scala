@@ -166,22 +166,15 @@ object Butterfly {
       .map(k => edges.sparkSession.conf.getOption(k).getOrElse(""))
       .mkString("|")
 
-  /** Get-or-build outside any map lock (the builder runs multi-second
-    * driver actions; a racing duplicate build is benign — last put
-    * wins, both frames are correct and the loser's cache registrations
-    * are the registry's documented duplicate-release no-op). */
+  /** Get-or-build outside any map lock via the shared built-frame memo
+    * ([[graft.Memo.getOrBuild]] — the builder runs multi-second driver
+    * actions; a racing duplicate build is benign: last put wins, both
+    * frames are correct and the loser's cache registrations are the
+    * registry's documented duplicate-release no-op). */
   private def builtFrame(label: String, edges: DataFrame, aCol: String,
-      bCol: String)(mk: => DataFrame): DataFrame = {
-    val key = (label, undKey(edges, aCol, bCol), decisionConfs(edges))
-    val hit = builtFrames.get(key)
-    if (hit != null) hit
-    else {
-      val df = mk
-      if (builtFrames.size >= 128) builtFrames.clear()
-      builtFrames.put(key, df)
-      df
-    }
-  }
+      bCol: String)(mk: => DataFrame): DataFrame =
+    graft.Memo.getOrBuild(builtFrames,
+      (label, undKey(edges, aCol, bCol), decisionConfs(edges)))(mk)
 
   /** Fixed output schemas of the two public results — declared up
     * front so [[deferred]] can hand callers a composable frame before

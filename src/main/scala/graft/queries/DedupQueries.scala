@@ -206,12 +206,12 @@ object DedupQueries {
     * own recacheByPath never fires — would otherwise rebuild fresh
     * labels from a stale persisted pair table (ADVICE r10). A listing
     * error computes WITHOUT memoizing (never-matching stamp, see
-    * [[graft.Tables.isErrorFingerprint]]). The cached value is the
+    * [[graft.Memo.isErrorFingerprint]]). The cached value is the
     * persisted label table, bounded by the corpus's duplicate subset —
     * the artifact a production pipeline would write between stages. */
   private def dupClusterLabels(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"
-    graft.Tables.memoized(labelsCache, s"${sessionId(s)}/$path",
+    graft.Memo.memoized(labelsCache, s"${sessionId(s)}/$path",
         graft.Tables.pathFingerprint(s, path))(
       cachedIfCold(computeDupClusterLabels(s, dir)))(
       onEvict = _.unpersist(),
@@ -230,7 +230,7 @@ object DedupQueries {
     // releaseMemo drops the entry AND its per-key monitor (VERDICT r11
     // #6) — a long-lived session releasing many corpora must not retain
     // one Object per key it ever memoized
-    graft.Tables.releaseMemo(labelsCache, s"${sessionId(s)}/$path")
+    graft.Memo.releaseMemo(labelsCache, s"${sessionId(s)}/$path")
       .foreach(_.unpersist(blocking = true))
     // same canonical-plan unpersist discipline as Butterfly: the lazy
     // re-persist inside the builder materializes nothing before the

@@ -88,7 +88,7 @@ object TextQueries {
     // error retrains without memoizing (VERDICT r10 #1-2). The merges
     // are pure driver-side data — deterministic in the corpus — so the
     // key needs no session scoping, only the merge count.
-    graft.Tables.memoized(bpeCache, s"$path#m$TrainMerges",
+    graft.Memo.memoized(bpeCache, s"$path#m$TrainMerges",
       graft.Tables.pathFingerprint(s, path))(
       bpeTrainRaw(t(s, dir, "documents")))()
   }
@@ -97,7 +97,7 @@ object TextQueries {
     * memoized merge table for `dir`. Driver-side rows only — nothing
     * persisted to release. */
   def releaseMemos(dir: String): Unit =
-    graft.Tables.releaseMemo(bpeCache, s"$dir/documents.parquet#m$TrainMerges")
+    graft.Memo.releaseMemo(bpeCache, s"$dir/documents.parquet#m$TrainMerges")
 
   /** As [[bpeTrain]], but also returns the raw per-step
     * (placeholder-form pair, placeholder) list — what [[td_bpe_encode]]

@@ -259,7 +259,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     var evicted: Option[Int] = None
     var misses = 0
     def get(fp: String): Int =
-      Tables.memoized(cache, "k", fp)({ computes += 1; computes })(
+      Memo.memoized(cache, "k", fp)({ computes += 1; computes })(
         onEvict = v => evicted = Some(v), onMiss = () => misses += 1)
     assert(get("v1") == 1 && misses == 1)
     assert(get("v1") == 1 && computes == 1 && misses == 1, "same fp must hit")
@@ -281,9 +281,9 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     // unpersist). The entry must be REMOVED before onEvict runs.
     val cache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
     val evicts = scala.collection.mutable.ArrayBuffer[Int]()
-    Tables.memoized(cache, "k", "v1")(1)(onEvict = evicts += _)
+    Memo.memoized(cache, "k", "v1")(1)(onEvict = evicts += _)
     intercept[RuntimeException] {
-      Tables.memoized(cache, "k", "v2")(
+      Memo.memoized(cache, "k", "v2")(
         sys.error("compute failed"): Int)(onEvict = evicts += _)
     }
     assert(evicts.toSeq == Seq(1), "the superseded value evicts exactly once")
@@ -291,7 +291,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       "a failed recompute must leave a clean miss, not a stale entry " +
         "whose persisted state was already released")
     // the retry recomputes from scratch and must NOT re-evict value 1
-    assert(Tables.memoized(cache, "k", "v2")(2)(onEvict = evicts += _) == 2)
+    assert(Memo.memoized(cache, "k", "v2")(2)(onEvict = evicts += _) == 2)
     assert(evicts.toSeq == Seq(1), "no double eviction on retry")
   }
 
@@ -306,7 +306,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     // land the racer's same-vintage value in the cache first.
     val cache = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
     val evicts = scala.collection.mutable.ArrayBuffer[String]()
-    val v = Tables.memoized(cache, "k", "fp")({
+    val v = Memo.memoized(cache, "k", "fp")({
       cache.put("k", ("fp", "winner")); "loser"
     })(onEvict = evicts += _)
     assert(v == "winner",
@@ -315,34 +315,34 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       "the losing compute must release its own value (else its " +
         "persisted state leaks)")
     assert(cache.get("k") == (("fp", "winner")))
-    Tables.releaseMemo(cache, "k")
+    Memo.releaseMemo(cache, "k")
     // a DIFFERENT-vintage value raced in (stale writer): superseded the
     // normal way — evicted, ours inserted
     evicts.clear()
-    val v2 = Tables.memoized(cache, "k", "fp2")({
+    val v2 = Memo.memoized(cache, "k", "fp2")({
       cache.put("k", ("stale", "old")); "fresh"
     })(onEvict = evicts += _)
     assert(v2 == "fresh" && evicts.toSeq == Seq("old"))
     assert(cache.get("k") == (("fp2", "fresh")))
-    Tables.releaseMemo(cache, "k")
+    Memo.releaseMemo(cache, "k")
   }
 
   test("releaseMemo drops the entry AND its per-key monitor (VERDICT r11 #6)") {
     val cache = new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
-    assert(Tables.memoized(cache, "k", "v1")(7)() == 7)
-    assert(Tables.memoLockExists(cache, "k"),
+    assert(Memo.memoized(cache, "k", "v1")(7)() == 7)
+    assert(Memo.memoLockExists(cache, "k"),
       "a computed entry holds a monitor while live")
-    assert(Tables.releaseMemo(cache, "k").contains(7),
+    assert(Memo.releaseMemo(cache, "k").contains(7),
       "release must hand back the value so callers can unpersist it")
     assert(!cache.containsKey("k"))
-    assert(!Tables.memoLockExists(cache, "k"),
+    assert(!Memo.memoLockExists(cache, "k"),
       "the lock map must hold no entry for a released (cache, key)")
     // releasing a never-memoized key is a no-op, not an NPE
-    assert(Tables.releaseMemo(cache, "never").isEmpty)
+    assert(Memo.releaseMemo(cache, "never").isEmpty)
     // the key stays fully usable after release: fresh monitor, fresh value
-    assert(Tables.memoized(cache, "k", "v1")(8)() == 8)
-    assert(Tables.memoLockExists(cache, "k"))
-    Tables.releaseMemo(cache, "k")
+    assert(Memo.memoized(cache, "k", "v1")(8)() == 8)
+    assert(Memo.memoLockExists(cache, "k"))
+    Memo.releaseMemo(cache, "k")
   }
 
   test("memoized: a long compute never blocks a DIFFERENT key, and same-key is single-flight") {
@@ -358,7 +358,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
     try {
       val fa = pool.submit(new java.util.concurrent.Callable[Int] {
-        def call(): Int = Tables.memoized(cache, "a", "fp")({
+        def call(): Int = Memo.memoized(cache, "a", "fp")({
           aEntered.countDown(); aRelease.await()
           aComputes.incrementAndGet()
         })()
@@ -367,11 +367,11 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       // B proceeds while A's compute is parked — would deadlock the
       // 10 s get below if memoized serialized across keys
       val fb = pool.submit(new java.util.concurrent.Callable[Int] {
-        def call(): Int = Tables.memoized(cache, "b", "fp")(42)()
+        def call(): Int = Memo.memoized(cache, "b", "fp")(42)()
       })
       assert(fb.get(10, java.util.concurrent.TimeUnit.SECONDS) == 42)
       val fa2 = pool.submit(new java.util.concurrent.Callable[Int] {
-        def call(): Int = Tables.memoized(cache, "a", "fp")({
+        def call(): Int = Memo.memoized(cache, "a", "fp")({
           aComputes.incrementAndGet()
         })()
       })
@@ -390,15 +390,15 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
       val cRelease = new java.util.concurrent.CountDownLatch(1)
       val cComputes = new java.util.concurrent.atomic.AtomicInteger
       val fc = pool.submit(new java.util.concurrent.Callable[Int] {
-        def call(): Int = Tables.memoized(cache, "a", "fp2")({
+        def call(): Int = Memo.memoized(cache, "a", "fp2")({
           cEntered.countDown(); cRelease.await()
           cComputes.incrementAndGet(); 7
         })()
       })
       assert(cEntered.await(10, java.util.concurrent.TimeUnit.SECONDS))
-      Tables.memoized(cache, "mutator", "fp")(99)() // content hash changes
+      Memo.memoized(cache, "mutator", "fp")(99)() // content hash changes
       val fc2 = pool.submit(new java.util.concurrent.Callable[Int] {
-        def call(): Int = Tables.memoized(cache, "a", "fp2")({
+        def call(): Int = Memo.memoized(cache, "a", "fp2")({
           cComputes.incrementAndGet(); 8
         })()
       })
@@ -418,7 +418,7 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     // artifact (VERDICT r10 #2)
     val f1 = Tables.pathFingerprint(spark, "nosuchscheme://bucket/x")
     val f2 = Tables.pathFingerprint(spark, "nosuchscheme://bucket/x")
-    assert(Tables.isErrorFingerprint(f1) && Tables.isErrorFingerprint(f2))
+    assert(Memo.isErrorFingerprint(f1) && Memo.isErrorFingerprint(f2))
     assert(f1 != f2, "error stamps must never match each other")
   }
 }

@@ -18,8 +18,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * Two layers:
   *   1. structural — no file under `operators/` may touch the
   *      fingerprint-memo machinery (`Tables.pathFingerprint` /
-  *      `Tables.memoized`): operators are pure computation, memo
-  *      policy lives in the query/artifact layer;
+  *      `Memo.memoized` / `Tables.pathFingerprint`): operators are
+  *      pure computation, memo policy lives in the query/artifact
+  *      layer (`Memo.getOrBuild` — the built-FRAME memo with no
+  *      fingerprint and no execution-result caching — stays allowed);
   *   2. behavioral — a REPEATED PageRank run on identical input must
   *      re-execute the iterative loop (≥ one Spark job per iteration),
   *      not return in O(1) jobs from some cache keyed outside the
@@ -35,7 +37,7 @@ class MemoPrincipleSpec extends AnyFunSuite with SparkTestSession {
       .filter(_.toString.endsWith(".scala"))
       .filter { p: Path =>
         val src = new String(Files.readAllBytes(p), "UTF-8")
-        src.contains("pathFingerprint") || src.contains("Tables.memoized")
+        src.contains("pathFingerprint") || src.contains("Memo.memoized")
       }
       .map(_.getFileName.toString).toSeq
     assert(offenders.isEmpty,
