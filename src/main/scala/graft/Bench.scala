@@ -438,6 +438,19 @@ object Bench {
     * machine-readable instead of re-derived each round: true iff the
     * drift met the ≤1.15 anchor protocol AND every query succeeded —
     * consumers gate cross-round comparisons on this one field. */
+  /** Render the full and compact JSON record lines.
+    *
+    * SCHEMA CONTRACT (VERDICT r13 #7 — identical keys every round, so
+    * cross-round per-query diffs never need archaeology): the FULL line
+    * (bench_full.json + the round-stamped copy) always carries the
+    * head fields (metric/value/unit, cold_total, warm_total, n_queries,
+    * n_succeeded, n_errors, canary, canary_drift, anchor_eligible, sf)
+    * plus ALL THREE per-query maps over the same key set —
+    * `queries` (cold seconds; -1 on error), `warm` (warm seconds; -1 on
+    * error) and `warm_shuffle_mb` (warm-run shuffle write MB) — and
+    * `errors`. The COMPACT line (the driver's tail-window capture)
+    * carries the same head plus only the 10 slowest cold. BenchSpec
+    * pins the three-map symmetry. */
   private[graft] def renderLines(results: Seq[Res], sfDir: String,
       canaries: Seq[Double] = Nil): (String, String) = {
     def jStr(s: String) = Json.str(s)

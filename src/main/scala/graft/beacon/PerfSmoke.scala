@@ -48,8 +48,16 @@ object PerfSmoke {
     // "csv" (default) = reference-parity single-file ordered sinks
     // (distributed sort + ordered part concat; single FILE, not a
     // single task); "parquet" = the engine path: partitioned parquet,
-    // which is what a 100 TB deployment writes
+    // which is what a 100 TB deployment writes; "staged" = the
+    // documented 100 TB INGEST answer (SURVEY §7.3.8, VERDICT r13 #6):
+    // the unsplittable multiLine windows-1252 CSV is parsed ONCE into
+    // a staged parquet table (the single-task parse paid exactly
+    // once, `_idx` file order captured in that pass), and all nine
+    // pipelines then run from the splittable staged base — every
+    // downstream scan parallelizes like any other parquet table
     val sink = if (args.length > 1) args(1) else "csv"
+    require(Set("csv", "parquet", "staged").contains(sink),
+      s"unknown sink '$sink' (expected csv|parquet|staged)")
     val dir = Files.createTempDirectory("graft-perf-")
     val csv = dir.resolve("calls.csv")
     val w = new BufferedWriter(new OutputStreamWriter(
@@ -75,9 +83,7 @@ object PerfSmoke {
     val users = PrepareCalls.Users(101L, 102L, 103L, 104L)
     val out = dir.resolve("out").toString
     try {
-      val t0 = System.nanoTime()
-      if (sink == "parquet") {
-        val outputs = PrepareCalls(PrepareCalls.fromCsv(spark, csv.toString), users)
+      def writeAllParquet(outputs: PrepareCalls.Outputs): Unit = {
         outputs.base.count() // materialize the shared cache once, up front
         import scala.concurrent.{Await, ExecutionContext, Future}
         import scala.concurrent.duration.Duration
@@ -86,8 +92,22 @@ object PerfSmoke {
           Future(df.drop("_ord").write.mode("overwrite").parquet(s"$out/$name"))
         }
         Await.result(Future.sequence(writes.toSeq), Duration.Inf)
-      } else {
-        BeaconCli.run(spark, csv.toString, out, users)
+      }
+      val t0 = System.nanoTime()
+      sink match {
+        case "parquet" =>
+          writeAllParquet(
+            PrepareCalls(PrepareCalls.fromCsv(spark, csv.toString), users))
+        case "staged" =>
+          // staging cost is INSIDE the timed window — it is part of
+          // the e2e cost this mode exists to compare against the
+          // direct-CSV path
+          val staged = s"$out/_staged_calls"
+          PrepareCalls.fromCsv(spark, csv.toString)
+            .write.mode("overwrite").parquet(staged)
+          writeAllParquet(PrepareCalls(spark.read.parquet(staged), users))
+        case _ =>
+          BeaconCli.run(spark, csv.toString, out, users)
       }
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"""{"metric":"prepare_calls_e2e","rows":$n,"sink":"$sink","value":$secs%.1f,"unit":"sec","rows_per_sec":${(n / secs).toInt}}""")

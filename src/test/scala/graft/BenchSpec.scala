@@ -47,6 +47,21 @@ class BenchSpec extends AnyFunSuite with SparkTestSession {
     assert(n.get("warm_shuffle_mb").get("q_ok_fast").asDouble() === 2.25)
   }
 
+  test("full line's three per-query maps cover one identical key set (schema contract)") {
+    // VERDICT r13 #7: cold (`queries`), `warm` and `warm_shuffle_mb`
+    // must ship EVERY round over the SAME keys — a round whose full
+    // file lacks one of the maps (r12 had no warm detail) makes the
+    // next method-level diff archaeology
+    val n = mapper.readTree(full)
+    import scala.jdk.CollectionConverters._
+    def keys(f: String): Set[String] =
+      n.get(f).fieldNames().asScala.toSet
+    val cold = keys("queries")
+    assert(cold === results.map(_._1).toSet)
+    assert(keys("warm") === cold)
+    assert(keys("warm_shuffle_mb") === cold)
+  }
+
   test("both lines carry the contention canary and its drift ratio") {
     for (line <- Seq(full, compact)) {
       val n = mapper.readTree(line)

@@ -176,6 +176,43 @@ class PrepareCallsSpec extends AnyFunSuite with SparkTestSession {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("import_data default is the compact serializer; petl-byte twin pinned (C1)") {
+    // Registry decision (SURVEY §7.3.3, VERDICT r13 #4): the pipelines
+    // default to the codegen'd compact to_json form — the only consumer
+    // is the Postgres jsonb staging column, which normalizes separators
+    // and never sees the byte difference — while serializeRowPetlStyle
+    // stays the opt-in json.dumps-byte-exact golden vehicle. Both forms
+    // are pinned HERE on one row: semantic (parsed) equality plus the
+    // exact expected bytes of each, so either serializer drifting (or
+    // the default silently switching) fails this test, not a diff far
+    // downstream.
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("111", "café", "a\"b")).toDF("NHSNumber", "Name", "Note")
+    val keys = Seq("NHSNumber", "Name", "Note")
+    val compact = df.select(serializeRow(keys).as("j")).head().getString(0)
+    val petl = df.select(serializeRowPetlStyle(keys).as("j"))
+      .head().getString(0)
+    // the committed defaults, byte-exact
+    assert(compact ==
+      "{\"NHSNumber\":\"111\",\"Name\":\"café\",\"Note\":\"a\\\"b\"}")
+    assert(petl ==
+      "{\"NHSNumber\": \"111\", \"Name\": \"caf\\u00e9\", \"Note\": \"a\\\"b\"}")
+    // semantic equality: both parse to the identical object
+    val Seq(cp, pp) = Seq(compact, petl).map(s =>
+      Seq(s).toDF("j").select(
+        org.apache.spark.sql.functions.from_json($"j",
+          org.apache.spark.sql.types.StructType(keys.map(k =>
+            org.apache.spark.sql.types.StructField(k,
+              org.apache.spark.sql.types.StringType)))).as("o"))
+        .select("o.*").head())
+    assert(cp == pp)
+    // and the pipeline column really is the compact form
+    val row = outputs.base.select("import_data").head().getString(0)
+    assert(row.startsWith("{\"") && !row.contains("\": \""),
+      s"import_data is not the compact default: $row")
+  }
+
   test("CSV sink writes ordered single file with empty cells for null (S4)") {
     val dir = Files.createTempDirectory("beacon-out-")
     CsvIO.writeCsv(outputs.qualityAssurance, s"$dir/quality_assurance.csv")
