@@ -421,4 +421,21 @@ class TablesSpec extends AnyFunSuite with SparkTestSession {
     assert(Memo.isErrorFingerprint(f1) && Memo.isErrorFingerprint(f2))
     assert(f1 != f2, "error stamps must never match each other")
   }
+
+  test("getOrBuild: hit, build-once, and wholesale clear at the bound") {
+    // the built-frame tier (Butterfly discipline): values are pure
+    // functions of the key, so no fingerprints, no evict hooks — just
+    // get-or-build with a wholesale clear past the bound
+    val cache = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    var builds = 0
+    def get(k: String, bound: Int = 128): Int =
+      Memo.getOrBuild(cache, k, bound) { builds += 1; builds }
+    assert(get("a") == 1 && get("a") == 1 && builds == 1, "hit must not rebuild")
+    assert(get("b") == 2 && cache.size == 2)
+    // bound reached: the NEXT build clears wholesale, then inserts
+    assert(get("c", bound = 2) == 3)
+    assert(cache.size == 1 && cache.containsKey("c"),
+      "past the bound the map is cleared wholesale before the insert")
+    assert(get("a", bound = 2) == 4, "cleared entries rebuild")
+  }
 }
