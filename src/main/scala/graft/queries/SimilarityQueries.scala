@@ -104,8 +104,11 @@ object SimilarityQueries {
     val cells = ivfCells(s)
     val cents = n.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("an").as("ca"))
+    // labels ride the whole build (narrow int column on streams the
+    // vectors already traverse) so the purity consumer pays zero extra
+    // joins — the same ride-along the brute purity query uses
     val scored = n.join(broadcast(cents))
-      .select(col("vec_id"), col("an"), col("cid"),
+      .select(col("vec_id"), col("label"), col("an"), col("cid"),
         dot(col("an"), col("ca")).as("cdot"))
     val probes = graft.plans.TopK.topKPerKey(scored,
       keys = Seq(col("vec_id")),
@@ -119,22 +122,24 @@ object SimilarityQueries {
     // checkpoint truncates the visible plan to a Scan ExistingRDD, so
     // the shape gate inspects the un-truncated build
     val pr0 = probes.withColumn("rn", row_number().over(rw))
-      .select(col("vec_id"), col("an"), col("cid").as("cell"), col("rn"))
+      .select(col("vec_id"), col("label"), col("an"),
+        col("cid").as("cell"), col("rn"))
     val pr = if (checkpoint) pr0.localCheckpoint(false) else pr0
-    val qside = pr.select(col("vec_id").as("q_id"), col("an").as("qa"),
-      col("cell"))
+    val qside = pr.select(col("vec_id").as("q_id"),
+      col("label").as("q_label"), col("an").as("qa"), col("cell"))
     val cside = pr.filter(col("rn") === 1)
-      .select(col("vec_id").as("n_id"), col("an").as("ca"), col("cell"))
+      .select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("an").as("ca"), col("cell"))
     // candidate pairs: equi-join on cell — each (q, n) appears at most
     // once because a candidate lives in exactly one home cell
     val pairs = qside.join(cside, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
         dot(col("qa"), col("ca")).as("cosine"))
     graft.plans.TopK.topKPerKey(pairs,
         keys = Seq(col("q_id")),
         order = Seq(col("cosine").desc, col("n_id").asc), k = k)
-      .select(col("q_id"), col("n_id"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"))
   }
 
   /** Shared tail of the kNN-graph diagnostics: symmetrize the directed
@@ -959,13 +964,62 @@ object SimilarityQueries {
         |FROM kb LEFT JOIN ka ON ka.q_id = kb.q_id AND ka.n_id = kb.n_id
         |GROUP BY kb.q_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val nodes = knnNodes(s, DedupQueries.normalizedEmbeddings(s, dir))
-      val ann = annKnnEdges(s, nodes).withColumn("m", lit(1))
+      val ann = annKnnEdges(s, nodes).select(col("q_id"), col("n_id"))
+        .withColumn("m", lit(1))
       bruteKnnEdges(nodes)
         .join(ann, Seq("q_id", "n_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("m")).as("n_match"))
         .select(col("q_id").as("vec_id"), col("n_match"),
           (col("n_match").cast("double") / 3).as("recall_at_3"))
+        .orderBy("vec_id")
+    },
+
+    // ---- ANN-BACKED LABEL PURITY (full-corpus twin of td_knn_purity,
+    // completing the r13 weak pair): the same per-node
+    // neighbors-share-my-label fraction, computed over the IVF
+    // multi-probe 3-NN instead of the brute n² build — labels ride the
+    // annKnnEdges streams (zero extra joins), the node set is never
+    // broadcast, no nodeBound, same n^1.5/O(n)-shuffle posture as
+    // td_knn_graph_ann. Same output columns as td_knn_purity, so the
+    // two regimes diff directly; the denominator is the ACTUAL ANN
+    // neighbor count (an isolated probe pair can yield < 3), exactly
+    // as the brute query divides by its actual k_n.
+    "td_knn_purity_ann" -> QueryDef.sql(
+      "directed IVF multi-probe 3-NN label purity per vector")(
+      s"""$NormCte,
+        |cc AS (SELECT vec_id AS cid, an AS ca FROM n WHERE vec_id < 16),
+        |pr AS (SELECT vec_id, label, an, cell, rn FROM (
+        |  SELECT n.vec_id, n.label, n.an, cc.cid AS cell, row_number() OVER (
+        |      PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_transform(range(len(n.an)),
+        |        i -> n.an[i+1]*cc.ca[i+1]), (a,b) -> a+b) DESC, cc.cid) AS rn
+        |  FROM n, cc) WHERE rn <= 2),
+        |p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+        |        x.label AS n_label, x.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*x.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM pr q JOIN pr x
+        |        ON q.cell = x.cell AND x.rn = 1 AND x.vec_id <> q.vec_id),
+        |r AS (SELECT q_id, q_label, n_label, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+        |      FROM p),
+        |k AS (SELECT q_id, q_label,
+        |        count(*) AS k_n,
+        |        count(*) FILTER (n_label = q_label) AS n_same
+        |      FROM r WHERE rnk <= 3 GROUP BY q_id, q_label)
+        |SELECT q_id AS vec_id, q_label AS label,
+        |  CAST(n_same AS BIGINT) AS n_same,
+        |  CAST(n_same AS DOUBLE) / CAST(k_n AS DOUBLE) AS knn_purity
+        |FROM k ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      annKnnEdges(s, DedupQueries.normalizedEmbeddings(s, dir))
+        .groupBy(col("q_id"), col("q_label"))
+        .agg(count(lit(1)).as("k_n"),
+          count(when(col("n_label") === col("q_label"), 1)).as("n_same"))
+        .select(col("q_id").as("vec_id"), col("q_label").as("label"),
+          col("n_same"),
+          (col("n_same").cast("double") / col("k_n").cast("double"))
+            .as("knn_purity"))
         .orderBy("vec_id")
     },
 

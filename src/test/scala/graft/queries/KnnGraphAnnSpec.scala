@@ -68,6 +68,20 @@ class KnnGraphAnnSpec extends AnyFunSuite with SparkTestSession {
     finally spark.conf.unset("spark.graft.knngraph.nodeBound")
   }
 
+  test("ANN purity is bounded, covers the corpus, and ignores nodeBound") {
+    val rows = run("td_knn_purity_ann").collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("knn_purity")
+      assert(p >= 0.0 && p <= 1.0, r)
+      assert(r.getAs[Long]("n_same") <= 3L, r)
+    }
+    spark.conf.set("spark.graft.knngraph.nodeBound", "100")
+    try assert(run("td_knn_purity_ann").count() == rows.length,
+      "full-corpus member must not read the brute members' bound")
+    finally spark.conf.unset("spark.graft.knngraph.nodeBound")
+  }
+
   test("ANN neighbor lists agree with brute force within probed cells") {
     // cross-check the two registry members: every ANN edge endpoint
     // pair must also appear in the brute pair universe's top ranks
