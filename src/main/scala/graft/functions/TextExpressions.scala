@@ -207,24 +207,43 @@ case class MapRatioFold(left: Expression, right: Expression)
     * with the same entry count can occupy the same (object, offset)
     * region and would be served a stale index. Before serving, the
     * memo therefore also re-checks the key array's total byte size
-    * and byte-equality of the BOUNDARY entries (first/last key bytes
-    * + first/last value, null-aware) — O(1) per row. A stale serve
-    * now requires a same-sized, same-count map agreeing on both
-    * boundary entries while differing only in the interior; for the
-    * intended broadcast-constant model maps (one object per executor)
-    * the probe always passes, and for recycled-buffer per-row maps a
+    * and byte-equality of up to [[ProbePoints]] STRIDE-SAMPLED entries
+    * (key bytes + value, null-aware, positions fixed per entry count:
+    * boundaries plus evenly-spaced interior points) — O(1) per row. A
+    * stale serve now requires a same-object, same-offset, same-count,
+    * same-size map agreeing at every probed entry while differing
+    * only at unprobed interior positions; for the intended
+    * broadcast-constant model maps (one object per executor) the
+    * probe always passes, and for recycled-buffer per-row maps a
     * probe miss merely rebuilds — the correct GetMapValue-equivalent
-    * behavior, never a wrong answer. A single immutable value so a
-    * racing rebuild can never pair one map's identity with another's
-    * index; assignment is atomic, worst case is a redundant rebuild. */
+    * behavior, never a wrong answer. (The airtight alternative —
+    * restricting the memo to foldable children — would drop it for
+    * the one caller it exists for: td_lm_surprisal's model map
+    * arrives via a broadcast join column, not a literal. Full-bytes
+    * comparison per row would cost O(model) per document — the exact
+    * scan the index removes.) A single immutable value so a racing
+    * rebuild can never pair one map's identity with another's index;
+    * assignment is atomic, worst case is a redundant rebuild. */
   private final class Memoized(
       val id: (AnyRef, Long, Long),
       val keyBytes: Long,
-      val firstKey: UTF8String, val lastKey: UTF8String,
-      val firstVal: java.lang.Double, val lastVal: java.lang.Double,
+      val probeKeys: Array[UTF8String],
+      val probeVals: Array[java.lang.Double],
       val idx: java.util.HashMap[UTF8String, java.lang.Double])
 
   @transient private var cache: Memoized = _
+
+  /** Probe-sample width: boundaries + 6 interior points. */
+  private val ProbePoints = 8
+
+  /** Deterministic probe positions for an n-entry map: 0, n-1, and
+    * evenly-strided interior points, deduplicated ascending — a pure
+    * function of n, so builder and checker always sample the same
+    * slots. */
+  private def probePositions(n: Int): Array[Int] =
+    if (n <= ProbePoints) Array.range(0, n)
+    else Array.tabulate(ProbePoints)(i =>
+      ((n - 1).toLong * i / (ProbePoints - 1)).toInt).distinct
 
   private def keySize(m: MapData): Long = m.keyArray() match {
     case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
@@ -236,18 +255,26 @@ case class MapRatioFold(left: Expression, right: Expression)
     if (m.valueArray().isNullAt(i)) null
     else java.lang.Double.valueOf(m.valueArray().getDouble(i))
 
+  private def probeMatches(c: Memoized, m: MapData, pos: Array[Int]): Boolean = {
+    var i = 0
+    while (i < pos.length) {
+      if (!c.probeKeys(i).equals(m.keyArray().getUTF8String(pos(i))) ||
+        !java.util.Objects.equals(c.probeVals(i), valAt(m, pos(i))))
+        return false
+      i += 1
+    }
+    true
+  }
+
   private def index(m: MapData)
       : java.util.HashMap[UTF8String, java.lang.Double] = {
     val id = mapIdentity(m)
     val c = cache
     val n = m.numElements()
+    val pos = probePositions(n)
     if (c != null && (c.id._1 eq id._1) && c.id._2 == id._2 &&
       c.id._3 == id._3 && c.keyBytes == keySize(m) &&
-      (n == 0 ||
-        (c.firstKey.equals(m.keyArray().getUTF8String(0)) &&
-          c.lastKey.equals(m.keyArray().getUTF8String(n - 1)) &&
-          java.util.Objects.equals(c.firstVal, valAt(m, 0)) &&
-          java.util.Objects.equals(c.lastVal, valAt(m, n - 1)))))
+      c.probeKeys.length == pos.length && probeMatches(c, m, pos))
       return c.idx
     val idx = new java.util.HashMap[UTF8String, java.lang.Double](n * 2)
     val ks = m.keyArray()
@@ -266,12 +293,10 @@ case class MapRatioFold(left: Expression, right: Expression)
       }
       i += 1
     }
-    // boundary probe fields cloned off the (possibly shared) buffer
+    // probe fields cloned off the (possibly shared) buffer
     cache = new Memoized(id, keySize(m),
-      if (n == 0) null else ks.getUTF8String(0).clone(),
-      if (n == 0) null else ks.getUTF8String(n - 1).clone(),
-      if (n == 0) null else valAt(m, 0),
-      if (n == 0) null else valAt(m, n - 1),
+      pos.map(p => ks.getUTF8String(p).clone()),
+      pos.map(p => valAt(m, p)),
       idx)
     idx
   }

@@ -64,21 +64,27 @@ object SimilarityQueries {
   private def ivfCells(s: SparkSession): Int =
     s.conf.getOption("spark.graft.ann.ivf.cells").map(_.toInt).getOrElse(16)
 
-  /** Directed exact cosine k-NN edges, (q_id, n_id) — the brute-force
-    * baseline: queries broadcast, candidates stream (O(q·n) compute),
-    * TopKPerKey's map-side cut keeps shuffle O(n·k). Only for the
+  /** Directed exact cosine k-NN edges,
+    * (q_id, q_label, n_id, n_label) — the brute-force baseline:
+    * queries broadcast, candidates stream (O(q·n) compute),
+    * TopKPerKey's map-side cut keeps shuffle O(n·k). Labels ride the
+    * build (narrow int columns on streams the vectors already
+    * traverse) so the purity consumer shares this exact pipeline
+    * instead of keeping a second copy in sync. Only for the
     * fixture-scale diagnostics / recall denominators; the scale path
     * is [[annKnnEdges]]. */
   private def bruteKnnEdges(n: DataFrame, k: Int = 3): DataFrame = {
-    val qv = n.select(col("vec_id").as("q_id"), col("an").as("qa"))
-    val cv = n.select(col("vec_id").as("n_id"), col("an").as("ca"))
+    val qv = n.select(col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("an").as("qa"))
+    val cv = n.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("an").as("ca"))
     val pairs = cv.join(broadcast(qv), col("n_id") =!= col("q_id"))
-      .select(col("q_id"), col("n_id"),
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
         dot(col("qa"), col("ca")).as("cosine"))
     graft.plans.TopK.topKPerKey(pairs,
         keys = Seq(col("q_id")),
         order = Seq(col("cosine").desc, col("n_id").asc), k = k)
-      .select(col("q_id"), col("n_id"))
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"))
   }
 
   /** Directed cosine k-NN edges built from IVF MULTI-PROBE candidates —
@@ -100,8 +106,9 @@ object SimilarityQueries {
     * query's second-closest cell); recall vs the brute build is
     * measured by td_knn_ann_recall. */
   private[graft] def annKnnEdges(s: SparkSession, n: DataFrame, k: Int = 3,
-      checkpoint: Boolean = true): DataFrame = {
-    val cells = ivfCells(s)
+      checkpoint: Boolean = true, cellsOverride: Option[Int] = None)
+      : DataFrame = {
+    val cells = cellsOverride.getOrElse(ivfCells(s))
     val cents = n.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("an").as("ca"))
     // labels ride the whole build (narrow int column on streams the
@@ -162,6 +169,23 @@ object SimilarityQueries {
           .otherwise(lit(0.0)).as("lcc"))
       .orderBy("vec_id")
   }
+
+  /** Oracle CTE fragment shared by the three ANN-kNN oracles
+    * (graph_ann / ann_recall / purity_ann): the IVF multi-probe
+    * blocking — `cc` = the 16 seed centroids (the oracle-pinned
+    * [[ivfCells]] default, spelled HERE exactly once so the quantizer
+    * constant cannot desynchronize across the oracles) and `pr` =
+    * each vector's top-2 probed cells with rn=1 its home cell; label
+    * rides `pr` for the purity consumer (unused by the other two).
+    * Follows [[NormCte]]'s `n`. */
+  private val IvfProbeCte =
+    """cc AS (SELECT vec_id AS cid, an AS ca FROM n WHERE vec_id < 16),
+      |pr AS (SELECT vec_id, label, an, cell, rn FROM (
+      |  SELECT n.vec_id, n.label, n.an, cc.cid AS cell, row_number() OVER (
+      |      PARTITION BY n.vec_id
+      |      ORDER BY list_reduce(list_transform(range(len(n.an)),
+      |        i -> n.an[i+1]*cc.ca[i+1]), (a,b) -> a+b) DESC, cc.cid) AS rn
+      |  FROM n, cc) WHERE rn <= 2)""".stripMargin
 
   /** Shared oracle CTE: normalized embeddings (same as DedupQueries). */
   private val NormCte =
@@ -881,13 +905,7 @@ object SimilarityQueries {
       "IVF multi-probe (top-2 of 16 cells) cosine 3-NN graph: " +
         "degree, triangles, clustering coeff")(
       s"""$NormCte,
-        |cc AS (SELECT vec_id AS cid, an AS ca FROM n WHERE vec_id < 16),
-        |pr AS (SELECT vec_id, an, cell, rn FROM (
-        |  SELECT n.vec_id, n.an, cc.cid AS cell, row_number() OVER (
-        |      PARTITION BY n.vec_id
-        |      ORDER BY list_reduce(list_transform(range(len(n.an)),
-        |        i -> n.an[i+1]*cc.ca[i+1]), (a,b) -> a+b) DESC, cc.cid) AS rn
-        |  FROM n, cc) WHERE rn <= 2),
+        |$IvfProbeCte,
         |p AS (SELECT q.vec_id AS q_id, x.vec_id AS n_id,
         |        list_reduce(list_transform(range(len(q.an)),
         |          i -> q.an[i+1]*x.an[i+1]), (a,b) -> a+b) AS cosine
@@ -936,13 +954,7 @@ object SimilarityQueries {
     "td_knn_ann_recall" -> QueryDef.sql(
       "per-node recall@3 of the IVF multi-probe 3-NN vs exact brute 3-NN")(
       s"""$NormCte,
-        |cc AS (SELECT vec_id AS cid, an AS ca FROM n WHERE vec_id < 16),
-        |pr AS (SELECT vec_id, an, cell, rn FROM (
-        |  SELECT n.vec_id, n.an, cc.cid AS cell, row_number() OVER (
-        |      PARTITION BY n.vec_id
-        |      ORDER BY list_reduce(list_transform(range(len(n.an)),
-        |        i -> n.an[i+1]*cc.ca[i+1]), (a,b) -> a+b) DESC, cc.cid) AS rn
-        |  FROM n, cc) WHERE rn <= 2),
+        |$IvfProbeCte,
         |p AS (SELECT q.vec_id AS q_id, x.vec_id AS n_id,
         |        list_reduce(list_transform(range(len(q.an)),
         |          i -> q.an[i+1]*x.an[i+1]), (a,b) -> a+b) AS cosine
@@ -964,9 +976,21 @@ object SimilarityQueries {
         |FROM kb LEFT JOIN ka ON ka.q_id = kb.q_id AND ka.n_id = kb.n_id
         |GROUP BY kb.q_id ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val nodes = knnNodes(s, DedupQueries.normalizedEmbeddings(s, dir))
-      val ann = annKnnEdges(s, nodes).select(col("q_id"), col("n_id"))
+      // the diagnostic sizes its quantizer from its ACTUAL node set
+      // (review r14): under the bench-only nodeBound the sample is a
+      // fixed few thousand nodes while ann.ivf.cells is sized for the
+      // full scaled corpus — quantizing the sample into the corpus's
+      // cell count would measure a blocking regime neither the fixture
+      // baseline nor the production build runs (≈6 nodes/cell at the
+      // 100× rung). Bounded, cells follow the sample's own √(n/2)
+      // optimum; unbounded (the correctness gate), ivfCells'
+      // oracle-pinned default governs.
+      val sampleCells = s.conf.getOption("spark.graft.knngraph.nodeBound")
+        .map(b => math.max(16L, math.round(math.sqrt(b.toDouble / 2))).toInt)
+      val ann = annKnnEdges(s, nodes, cellsOverride = sampleCells)
+        .select(col("q_id"), col("n_id"))
         .withColumn("m", lit(1))
-      bruteKnnEdges(nodes)
+      bruteKnnEdges(nodes).select(col("q_id"), col("n_id"))
         .join(ann, Seq("q_id", "n_id"), "left")
         .groupBy(col("q_id"))
         .agg(count(col("m")).as("n_match"))
@@ -988,13 +1012,7 @@ object SimilarityQueries {
     "td_knn_purity_ann" -> QueryDef.sql(
       "directed IVF multi-probe 3-NN label purity per vector")(
       s"""$NormCte,
-        |cc AS (SELECT vec_id AS cid, an AS ca FROM n WHERE vec_id < 16),
-        |pr AS (SELECT vec_id, label, an, cell, rn FROM (
-        |  SELECT n.vec_id, n.label, n.an, cc.cid AS cell, row_number() OVER (
-        |      PARTITION BY n.vec_id
-        |      ORDER BY list_reduce(list_transform(range(len(n.an)),
-        |        i -> n.an[i+1]*cc.ca[i+1]), (a,b) -> a+b) DESC, cc.cid) AS rn
-        |  FROM n, cc) WHERE rn <= 2),
+        |$IvfProbeCte,
         |p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
         |        x.label AS n_label, x.vec_id AS n_id,
         |        list_reduce(list_transform(range(len(q.an)),
@@ -1054,17 +1072,7 @@ object SimilarityQueries {
         |  CAST(n_same AS BIGINT) AS n_same,
         |  CAST(n_same AS DOUBLE) / CAST(k_n AS DOUBLE) AS knn_purity
         |FROM k ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val n = knnNodes(s, DedupQueries.normalizedEmbeddings(s, dir))
-      val qv = n.select(col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("an").as("qa"))
-      val cv = n.select(col("vec_id").as("n_id"), col("label").as("n_label"),
-        col("an").as("ca"))
-      val pairs = cv.join(broadcast(qv), col("n_id") =!= col("q_id"))
-        .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
-          dot(col("qa"), col("ca")).as("cosine"))
-      graft.plans.TopK.topKPerKey(pairs,
-          keys = Seq(col("q_id")),
-          order = Seq(col("cosine").desc, col("n_id").asc), k = 3)
+      bruteKnnEdges(knnNodes(s, DedupQueries.normalizedEmbeddings(s, dir)))
         .groupBy(col("q_id"), col("q_label"))
         .agg(count(lit(1)).as("k_n"),
           count(when(col("n_label") === col("q_label"), 1)).as("n_same"))

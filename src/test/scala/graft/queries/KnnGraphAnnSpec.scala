@@ -93,11 +93,12 @@ class KnnGraphAnnSpec extends AnyFunSuite with SparkTestSession {
     // value-level: the oracle owns exactness.
     val ann = run("td_knn_graph_ann")
       .agg(sum("deg")).head().getLong(0)
-    val brute = run("td_knn_graph_stats")
-      .agg(sum("deg")).head().getLong(0)
+    // one pass over the expensive brute query for both numbers
+    val bruteRow = run("td_knn_graph_stats")
+      .agg(sum("deg"), count(lit(1))).head()
+    val (brute, n) = (bruteRow.getLong(0), bruteRow.getLong(1))
     // directed picks per node are capped at 3 in both, so the
     // symmetrized degree mass is bounded by 2 * 3 * n in both
-    val n = run("td_knn_graph_stats").count()
     assert(ann <= 6 * n, s"ann=$ann n=$n")
     assert(brute <= 6 * n, s"brute=$brute n=$n")
   }
