@@ -422,13 +422,13 @@ object Bench {
       case _ => warm0
     }
 
-  /** Render the (full, compact) JSON lines. Totals are computed over
-    * SUCCEEDED queries only and each line carries `n_errors`: an earlier
-    * shape let an erroring query contribute 0 s, so a broken round
-    * compared FASTER than a working one. Consumers comparing `value`
-    * across rounds must gate on `n_errors == 0` (both lines carry it);
-    * per-query error detail is in `errors`. Factored out of main so
-    * BenchSpec can pin the JSON shape without running queries.
+  /** Render the (full, compact) JSON record lines. Totals are computed
+    * over SUCCEEDED queries only and each line carries `n_errors`: an
+    * earlier shape let an erroring query contribute 0 s, so a broken
+    * round compared FASTER than a working one. Consumers comparing
+    * `value` across rounds must gate on `n_errors == 0` (both lines
+    * carry it); per-query error detail is in `errors`. Factored out of
+    * main so BenchSpec can pin the JSON shape without running queries.
     *
     * `canaries` are the start/mid/end contention-probe times; both lines
     * carry `canary` (the raw checkpoints) and `canary_drift` (max/min —
@@ -437,8 +437,7 @@ object Bench {
     * comparison. `anchor_eligible` (VERDICT r12 #3) makes record status
     * machine-readable instead of re-derived each round: true iff the
     * drift met the ≤1.15 anchor protocol AND every query succeeded —
-    * consumers gate cross-round comparisons on this one field. */
-  /** Render the full and compact JSON record lines.
+    * consumers gate cross-round comparisons on this one field.
     *
     * SCHEMA CONTRACT (VERDICT r13 #7 — identical keys every round, so
     * cross-round per-query diffs never need archaeology): the FULL line

@@ -169,7 +169,18 @@ object Memo {
     * Butterfly built-frame discipline, shared so the next operator's
     * plan memo doesn't re-derive it. The caller owns the map (its
     * lifecycle hooks may drop entries selectively, e.g. releaseCaches'
-    * per-graph removeIf). */
+    * per-graph removeIf).
+    *
+    * Bound semantics are RACY-CLEAR by design (ADVICE r14): the
+    * size-check + clear + put sequence is not atomic, so concurrent
+    * builders may clear each other's just-inserted entries (spurious
+    * eviction → a redundant rebuild on the next call) and the map can
+    * transiently exceed `bound` by the number of racing builders.
+    * Both are benign for the documented pure-value tier — every
+    * served value is correct, the bound is a memory backstop, not an
+    * invariant. A future caller that needs a FIRM bound or eviction
+    * hooks must not use this tier: use [[memoized]] (per-key
+    * monitors, onEvict) instead. */
   private[graft] def getOrBuild[K, V](
       cache: java.util.concurrent.ConcurrentHashMap[K, V], key: K,
       bound: Int = 128)(mk: => V): V = {

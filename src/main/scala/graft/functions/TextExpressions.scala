@@ -206,17 +206,26 @@ case class MapRatioFold(left: Expression, right: Expression)
     * recycle ONE backing byte array across rows, so a DIFFERENT map
     * with the same entry count can occupy the same (object, offset)
     * region and would be served a stale index. Before serving, the
-    * memo therefore also re-checks the key array's total byte size
-    * and byte-equality of up to [[ProbePoints]] STRIDE-SAMPLED entries
+    * memo therefore also re-checks BOTH backing arrays' total byte
+    * sizes (keys AND values — a same-key-set map with sparse value
+    * differences must disagree in at least one of value bytes or a
+    * probed slot to be caught, and variable-width value regions make
+    * the size check bite first) and byte-equality of up to
+    * [[ProbePoints]] STRIDE-SAMPLED entries
     * (key bytes + value, null-aware, positions fixed per entry count:
-    * boundaries plus evenly-spaced interior points) — O(1) per row. A
-    * stale serve now requires a same-object, same-offset, same-count,
-    * same-size map agreeing at every probed entry while differing
-    * only at unprobed interior positions; for the intended
+    * boundaries plus evenly-spaced interior points) — O(1) per row.
+    * The validation is PROBABILISTIC, not airtight (ADVICE r14): a
+    * recycled-buffer per-row map with the same (object, offset,
+    * count) identity, BOTH array byte sizes equal, and entries
+    * matching at every probed position yet differing at an unprobed
+    * interior slot is still served the stale index. For the intended
     * broadcast-constant model maps (one object per executor) the
-    * probe always passes, and for recycled-buffer per-row maps a
-    * probe miss merely rebuilds — the correct GetMapValue-equivalent
-    * behavior, never a wrong answer. (The airtight alternative —
+    * probe always passes; for ordinary recycled-buffer per-row maps
+    * a probe miss merely rebuilds — the correct GetMapValue-
+    * equivalent behavior. Callers feeding genuinely PER-ROW maps
+    * whose values vary sparsely within one fixed-width key set
+    * should not route through this expression. (The airtight
+    * alternative —
     * restricting the memo to foldable children — would drop it for
     * the one caller it exists for: td_lm_surprisal's model map
     * arrives via a broadcast join column, not a literal. Full-bytes
@@ -227,6 +236,7 @@ case class MapRatioFold(left: Expression, right: Expression)
   private final class Memoized(
       val id: (AnyRef, Long, Long),
       val keyBytes: Long,
+      val valBytes: Long,
       val probeKeys: Array[UTF8String],
       val probeVals: Array[java.lang.Double],
       val idx: java.util.HashMap[UTF8String, java.lang.Double])
@@ -245,11 +255,16 @@ case class MapRatioFold(left: Expression, right: Expression)
     else Array.tabulate(ProbePoints)(i =>
       ((n - 1).toLong * i / (ProbePoints - 1)).toInt).distinct
 
-  private def keySize(m: MapData): Long = m.keyArray() match {
+  private def unsafeBytes(
+      a: org.apache.spark.sql.catalyst.util.ArrayData): Long = a match {
     case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
       u.getSizeInBytes.toLong
     case _ => 0L
   }
+
+  private def keySize(m: MapData): Long = unsafeBytes(m.keyArray())
+
+  private def valSize(m: MapData): Long = unsafeBytes(m.valueArray())
 
   private def valAt(m: MapData, i: Int): java.lang.Double =
     if (m.valueArray().isNullAt(i)) null
@@ -274,6 +289,7 @@ case class MapRatioFold(left: Expression, right: Expression)
     val pos = probePositions(n)
     if (c != null && (c.id._1 eq id._1) && c.id._2 == id._2 &&
       c.id._3 == id._3 && c.keyBytes == keySize(m) &&
+      c.valBytes == valSize(m) &&
       c.probeKeys.length == pos.length && probeMatches(c, m, pos))
       return c.idx
     val idx = new java.util.HashMap[UTF8String, java.lang.Double](n * 2)
@@ -294,7 +310,7 @@ case class MapRatioFold(left: Expression, right: Expression)
       i += 1
     }
     // probe fields cloned off the (possibly shared) buffer
-    cache = new Memoized(id, keySize(m),
+    cache = new Memoized(id, keySize(m), valSize(m),
       pos.map(p => ks.getUTF8String(p).clone()),
       pos.map(p => valAt(m, p)),
       idx)

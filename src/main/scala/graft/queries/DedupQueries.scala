@@ -732,8 +732,8 @@ object DedupQueries {
         |SELECT c.vec_id, c.cell, d.vec_id IS NULL AS kept
         |FROM cv c LEFT JOIN dup d ON c.vec_id = d.vec_id
         |ORDER BY c.vec_id""".stripMargin) { (s, dir) =>
-      val k = s.conf.getOption("spark.graft.semdedup.cells")
-        .map(_.toInt).getOrElse(8)
+      val k = graft.BenchConfs.intOpt(s, graft.BenchConfs.SemdedupCells)
+        .getOrElse(8)
       // the assignment subtree is referenced three times (both
       // self-join sides + the final projection); lazily localCheckpoint
       // it so the n x k distance evaluation — the query's dominant term

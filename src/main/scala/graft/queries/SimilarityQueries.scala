@@ -32,8 +32,8 @@ object SimilarityQueries {
     */
   private def isQueryVec(s: SparkSession, c: Column): Column = {
     val base = c % 50 === 0
-    s.conf.getOption("spark.graft.ann.queryIdBound")
-      .map(b => base && c < lit(b.toLong)).getOrElse(base)
+    graft.BenchConfs.longOpt(s, graft.BenchConfs.QueryIdBound)
+      .map(b => base && c < lit(b)).getOrElse(base)
   }
 
   /** Node set of the BRUTE-FORCE kNN members (td_knn_graph_stats,
@@ -48,8 +48,8 @@ object SimilarityQueries {
     * full-corpus kNN build at scale is [[annKnnEdges]] /
     * `td_knn_graph_ann`, which never honors this bound. */
   private def knnNodes(s: SparkSession, n: DataFrame): DataFrame =
-    s.conf.getOption("spark.graft.knngraph.nodeBound")
-      .map(b => n.filter(col("vec_id") < b.toLong)).getOrElse(n)
+    graft.BenchConfs.longOpt(s, graft.BenchConfs.NodeBound)
+      .map(b => n.filter(col("vec_id") < b)).getOrElse(n)
 
   /** IVF coarse-quantizer cell count, shared by td_ann_ivf and the
     * ANN-backed kNN graph build. `spark.graft.ann.ivf.cells` is
@@ -62,7 +62,19 @@ object SimilarityQueries {
     * in-cell candidate term grow as n^1.5, never a fixed-k n² pair
     * blow-up. */
   private def ivfCells(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.ann.ivf.cells").map(_.toInt).getOrElse(16)
+    graft.BenchConfs.intOpt(s, graft.BenchConfs.IvfCells).getOrElse(16)
+
+  /** IVF multi-probe count for the ANN kNN build.
+    * `spark.graft.ann.probes` is BENCH-ONLY (ann.queryIdBound
+    * contract — the correctness gate never sets it, so the
+    * oracle-pinned default of 2 governs every hash): multi-probe is
+    * THE standard IVF recall lever (Multi-probe LSH, Lv et al.
+    * VLDB'07; FAISS `nprobe`) — a true neighbor just across a cell
+    * boundary is found via the query's next-closest cells. Cost is
+    * linear in the knob: candidates per query grow ∝ probes
+    * (probes·n²/k pair volume), shuffle stays O(n·probes). */
+  private def ivfProbes(s: SparkSession): Int =
+    graft.BenchConfs.intOpt(s, graft.BenchConfs.Probes).getOrElse(2)
 
   /** Directed exact cosine k-NN edges,
     * (q_id, q_label, n_id, n_label) — the brute-force baseline:
@@ -87,30 +99,75 @@ object SimilarityQueries {
       .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"))
   }
 
-  /** Directed cosine k-NN edges built from IVF MULTI-PROBE candidates —
-    * the full-corpus kNN-graph build that survives 100 TB (VERDICT r13
-    * #1): every vector probes its top-2 coarse-quantizer cells and is
-    * a CANDIDATE in its top-1 cell, so candidate generation is an
-    * equi-join on cell id — the node set is never broadcast and never
-    * crossed with itself. With cells ∝ √n (see [[ivfCells]]) the
-    * in-cell pair volume is O(n^1.5); shuffle is O(n) per side for the
-    * cell join plus the TopKPerKey O(n·k) cut. Plan shape:
-    *   - cell scoring: n × cells rows streamed through a broadcast of
-    *     the (≤ √n)-row centroid table, never materialized;
-    *   - probe selection: TopKPerKey k=2 (map-side cut, shuffle O(n)),
-    *     NOT a row_number window over the n × cells exchange;
-    *   - the 2-row-per-node probe frame is localCheckpointed so the
-    *     scoring pass runs once, not once per join side.
-    * Multi-probe (probe > 1) is the standard IVF recall lever (an
-    * exact neighbor just across a cell boundary is found via the
-    * query's second-closest cell); recall vs the brute build is
-    * measured by td_knn_ann_recall. */
-  private[graft] def annKnnEdges(s: SparkSession, n: DataFrame, k: Int = 3,
-      checkpoint: Boolean = true, cellsOverride: Option[Int] = None)
-      : DataFrame = {
-    val cells = cellsOverride.getOrElse(ivfCells(s))
-    val cents = n.filter(col("vec_id") < cells)
+  /** IVF coarse-quantizer centroid table (cid, ca — unit double
+    * arrays). Default: the first-`cells` data seed (oracle-pinned —
+    * the gate never sets a bench conf, so every ANN oracle hash is
+    * computed against this quantizer). With `spark.graft.ann.ivf.train`
+    * = N > 0 (BENCH-ONLY, VERDICT r14 #1) the seeds are refined by N
+    * rounds of SPHERICAL k-means — assign every vector to its max-dot
+    * centroid, recompute each cell's mean, L2-normalize the mean back
+    * onto the unit sphere — the standard IVF training loop (Lloyd on
+    * unit vectors; the machinery mirrors td_kmeans_lloyd).
+    * Determinism discipline: the only cross-row reduction, the
+    * per-(cell, pos) component sum, runs in exact micro-unit longs
+    * (round(an·1e6) — order-independent); everything per-row (dot
+    * folds, the final mean division, the normalization) is a fixed
+    * ascending fold, so trained centroids are bit-stable across runs
+    * and partitionings. Plan per round: one corpus scan × a broadcast
+    * of the (≤ cells)-row centroid table, assignment through a
+    * TopKPerKey k=1 map-side cut (never an n × cells exchange), and a
+    * groupBy whose output is cells·d rows with map-side partials — no
+    * shuffle grows with the corpus; training adds scans, not
+    * exchanges. A cell that attracts no vectors drops out (standard
+    * Lloyd; the probe scoring simply never routes there). */
+  private[graft] def ivfCentroids(s: SparkSession, n: DataFrame,
+      cells: Int): DataFrame = {
+    val seeds = n.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("an").as("ca"))
+    val iters = graft.BenchConfs.intOpt(s, graft.BenchConfs.IvfTrain)
+      .getOrElse(0)
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val scored = n.join(broadcast(cents))
+        .select(col("vec_id"), col("an"), col("cid"),
+          dot(col("an"), col("ca")).as("cdot"))
+      val asg = graft.plans.TopK.topKPerKey(scored,
+          keys = Seq(col("vec_id")),
+          order = Seq(col("cdot").desc, col("cid").asc), k = 1)
+        .select(col("cid"),
+          transform(col("an"),
+            x => round(x * 1000000).cast("long")).as("am"))
+      val mean = asg
+        .select(col("cid"), posexplode(col("am")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("sm"), count(lit(1)).as("cnt"))
+        .withColumn("cm", col("sm").cast("double") / col("cnt"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
+          .as("ps"))
+        .select(col("cid"),
+          transform(col("ps"), p => p.getField("cm")).as("cm"))
+      // micro-unit scale cancels in the normalization: cm = 1e6·mean,
+      // so cm/||cm|| IS the unit mean direction
+      cents = mean
+        .withColumn("nrm", sqrt(dot(col("cm"), col("cm"))))
+        .select(col("cid"), transform(col("cm"), x => x / col("nrm"))
+          .as("ca"))
+    }
+    cents
+  }
+
+  /** The IVF multi-probe frame (vec_id, label, an, cell, rn): each
+    * vector's top-`probes` coarse-quantizer cells by dot, rn=1 its
+    * home cell. Extracted from [[annKnnEdges]] so the spec can assert
+    * blocking-sensitive intermediates (e.g. the distinct home-cell
+    * count equals the configured cell count) that the build's output
+    * could coincidentally mask (ADVICE r14). */
+  private[graft] def annProbeFrame(s: SparkSession, n: DataFrame,
+      cellsOverride: Option[Int] = None): DataFrame = {
+    val cells = cellsOverride.getOrElse(ivfCells(s))
+    val nProbes = ivfProbes(s)
+    val cents = ivfCentroids(s, n, cells)
     // labels ride the whole build (narrow int column on streams the
     // vectors already traverse) so the purity consumer pays zero extra
     // joins — the same ride-along the brute purity query uses
@@ -119,18 +176,47 @@ object SimilarityQueries {
         dot(col("an"), col("ca")).as("cdot"))
     val probes = graft.plans.TopK.topKPerKey(scored,
       keys = Seq(col("vec_id")),
-      order = Seq(col("cdot").desc, col("cid").asc), k = 2)
-    // rank within the ≤2 probe rows per node (tiny O(n) window over
-    // the post-cut frame): rn=1 is the node's home cell (where it is a
-    // candidate); rn<=2 are the cells it searches as a query
+      order = Seq(col("cdot").desc, col("cid").asc), k = nProbes)
+    // rank within the ≤probes rows per node (tiny O(n·probes) window
+    // over the post-cut frame): rn=1 is the node's home cell (where it
+    // is a candidate); rn<=probes are the cells it searches as a query
     val rw = Window.partitionBy(col("vec_id"))
       .orderBy(col("cdot").desc, col("cid").asc)
+    probes.withColumn("rn", row_number().over(rw))
+      .select(col("vec_id"), col("label"), col("an"),
+        col("cid").as("cell"), col("rn"))
+  }
+
+  /** Directed cosine k-NN edges built from IVF MULTI-PROBE candidates —
+    * the full-corpus kNN-graph build that survives 100 TB (VERDICT r13
+    * #1): every vector probes its top-`probes` (oracle-pinned 2;
+    * [[ivfProbes]]) coarse-quantizer cells and is a CANDIDATE in its
+    * top-1 cell, so candidate generation is an equi-join on cell id —
+    * the node set is never broadcast and never crossed with itself.
+    * With cells ∝ √n (see [[ivfCells]]) the in-cell pair volume is
+    * O(probes·n^1.5); shuffle is O(n·probes) per side for the cell
+    * join plus the TopKPerKey O(n·k) cut. Plan shape:
+    *   - cell scoring: n × cells rows streamed through a broadcast of
+    *     the (≤ √n)-row centroid table ([[ivfCentroids]] — seeded by
+    *     default, Lloyd-trained under the bench-only ivf.train knob),
+    *     never materialized;
+    *   - probe selection: TopKPerKey k=probes (map-side cut, shuffle
+    *     O(n·probes)), NOT a row_number window over the n × cells
+    *     exchange ([[annProbeFrame]]);
+    *   - the probes-rows-per-node probe frame is localCheckpointed so
+    *     the scoring pass runs once, not once per join side.
+    * Multi-probe (probes > 1) is the standard IVF recall lever (an
+    * exact neighbor just across a cell boundary is found via the
+    * query's next-closest cells); recall vs the brute build is
+    * measured by td_knn_ann_recall, and the trained-vs-seeded /
+    * probes-2-vs-4 A/B is a committed rung (BASELINE.md, round 15). */
+  private[graft] def annKnnEdges(s: SparkSession, n: DataFrame, k: Int = 3,
+      checkpoint: Boolean = true, cellsOverride: Option[Int] = None)
+      : DataFrame = {
     // `checkpoint = false` is a TEST-ONLY escape (PlanSpec): the
     // checkpoint truncates the visible plan to a Scan ExistingRDD, so
     // the shape gate inspects the un-truncated build
-    val pr0 = probes.withColumn("rn", row_number().over(rw))
-      .select(col("vec_id"), col("label"), col("an"),
-        col("cid").as("cell"), col("rn"))
+    val pr0 = annProbeFrame(s, n, cellsOverride)
     val pr = if (checkpoint) pr0.localCheckpoint(false) else pr0
     val qside = pr.select(col("vec_id").as("q_id"),
       col("label").as("q_label"), col("an").as("qa"), col("cell"))
@@ -985,7 +1071,7 @@ object SimilarityQueries {
       // 100× rung). Bounded, cells follow the sample's own √(n/2)
       // optimum; unbounded (the correctness gate), ivfCells'
       // oracle-pinned default governs.
-      val sampleCells = s.conf.getOption("spark.graft.knngraph.nodeBound")
+      val sampleCells = graft.BenchConfs.longOpt(s, graft.BenchConfs.NodeBound)
         .map(b => math.max(16L, math.round(math.sqrt(b.toDouble / 2))).toInt)
       val ann = annKnnEdges(s, nodes, cellsOverride = sampleCells)
         .select(col("q_id"), col("n_id"))

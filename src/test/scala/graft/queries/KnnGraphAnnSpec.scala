@@ -30,17 +30,60 @@ class KnnGraphAnnSpec extends AnyFunSuite with SparkTestSession {
     }
   }
 
+  private def nodes = DedupQueries.normalizedEmbeddings(spark, sfDir)
+
   test("ann.ivf.cells re-trains the quantizer (bench-only knob)") {
-    val base = run("td_knn_graph_ann").collect().toSeq
-    spark.conf.set("spark.graft.ann.ivf.cells", "64")
+    // blocking-sensitive INTERMEDIATE, not query output (ADVICE r14:
+    // two blockings can coincidentally produce identical diagnostics;
+    // the home-cell count cannot coincide across cell settings): seed
+    // vector i's home cell is always its own centroid (dot = 1,
+    // maximal), so the distinct home-cell count equals the configured
+    // cell count exactly — 64 under the knob, the oracle-pinned 16
+    // without it.
+    def homeCells(): Long = SimilarityQueries.annProbeFrame(spark, nodes)
+      .filter(org.apache.spark.sql.functions.col("rn") === 1)
+      .select("cell").distinct().count()
+    assert(homeCells() == 16L)
+    spark.conf.set(graft.BenchConfs.IvfCells, "64")
+    try assert(homeCells() == 64L, "cells knob did not reach the blocking")
+    finally spark.conf.unset(graft.BenchConfs.IvfCells)
+  }
+
+  test("ann.probes widens the probe frame (bench-only knob)") {
+    // with cells >= 4 every vector has 4 scoreable centroids, so the
+    // probe frame must hold exactly `probes` rows per vector: 2n by
+    // the oracle-pinned default, 4n under the knob — a row count, so
+    // it cannot coincide across the two settings
+    val n = nodes.count()
+    def probeRows(): Long =
+      SimilarityQueries.annProbeFrame(spark, nodes).count()
+    assert(probeRows() == 2 * n)
+    spark.conf.set(graft.BenchConfs.Probes, "4")
+    try assert(probeRows() == 4 * n, "probes knob did not reach the build")
+    finally spark.conf.unset(graft.BenchConfs.Probes)
+  }
+
+  test("ann.ivf.train refines the seeded quantizer (bench-only knob)") {
+    import org.apache.spark.sql.functions._
+    val seeded = SimilarityQueries.ivfCentroids(spark, nodes, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    spark.conf.set(graft.BenchConfs.IvfTrain, "2")
     try {
-      val wide = run("td_knn_graph_ann").collect().toSeq
-      // a 4× finer quantizer blocks differently: same diagnostics
-      // shape, different edge set — the knob must actually reach the
-      // build (a silently ignored conf would return `base` verbatim)
-      assert(wide.nonEmpty)
-      assert(wide != base, "cells knob did not change the blocking")
-    } finally spark.conf.unset("spark.graft.ann.ivf.cells")
+      val trained = SimilarityQueries.ivfCentroids(spark, nodes, 16)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // the INTERMEDIATE the knob rewires, not query output: a Lloyd
+      // round replaces each seed (a raw data vector) with its cell's
+      // normalized mean — coincidence would need a cell whose unit
+      // mean bit-equals its seed vector, i.e. all ~30 members parallel
+      assert(trained.nonEmpty && trained.keySet.subsetOf(seeded.keySet))
+      assert(trained.exists { case (cid, ca) => seeded(cid) != ca },
+        "train knob did not reach the quantizer")
+      // trained centroids live on the unit sphere (spherical k-means)
+      trained.values.foreach { ca =>
+        val nrm = math.sqrt(ca.map(x => x * x).sum)
+        assert(math.abs(nrm - 1.0) < 1e-9, s"non-unit centroid norm $nrm")
+      }
+    } finally spark.conf.unset(graft.BenchConfs.IvfTrain)
   }
 
   test("recall is bounded and honors the bench-only nodeBound") {
