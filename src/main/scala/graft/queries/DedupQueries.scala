@@ -336,6 +336,130 @@ object DedupQueries {
       minhashVerifiedPairs(s, dir).orderBy("a_id", "b_id")
     },
 
+    // ---- LSH QUALITY GATE (VERDICT r14 #3 — the dedup analog of
+    // td_ann_recall): candidate recall of the production 4-band×2-row
+    // MinHash blocking, per exact-Jaccard band, plus its verified
+    // precision — the numbers band/row sizing lives or dies by
+    // (P[candidate] = 1-(1-j^r)^b: ≈0.27 at j=0.5, ≈0.94 at j=0.9 for
+    // b=4, r=2 — the S-curve this gate measures empirically).
+    // GROUND TRUTH is exact and complete above j >= 0.3 via PREFIX
+    // FILTERING (Bayardo et al. WWW'07 / Chaudhuri et al. ICDE'06):
+    // under a global token order, J(x,y) >= t forces the prefixes of
+    // length |x| - ceil(t|x|) + 1 to intersect, so the prefix-token
+    // equi-join is a LOSSLESS candidate superset — never all-pairs —
+    // and the exact-Jaccard filter trims it to the true pair universe.
+    // ceil(0.3·len) is computed as floor((3·len+9)/10) — exact in
+    // doubles for any set size, so both engines slice identical
+    // prefixes. This is a fixture-scale quality gate by definition
+    // (truth must be exact, like td_knn_ann_recall's brute member);
+    // at 100 TB the same query runs on a corpus SAMPLE — the metric,
+    // not the blocking, is the deliverable. n_cand/precision are
+    // properties of the whole candidate set, constant across band
+    // rows by construction.
+    "td_dedup_lsh_recall" -> QueryDef.sql(
+      "MinHash(4x2) LSH candidate recall per exact-Jaccard band + precision")(
+      s"""$ShingleCte,
+        |sh2 AS (SELECT doc_id, hs, list_sort(hs) AS shs FROM hs),
+        |pf AS (SELECT doc_id, unnest(list_slice(shs, 1,
+        |         CAST(len(shs) - floor((3*len(shs)+9)/10.0) + 1 AS INT)))
+        |         AS tok FROM sh2),
+        |cp AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |       FROM pf x JOIN pf y ON x.tok = y.tok
+        |         AND x.doc_id < y.doc_id),
+        |truth AS (SELECT a_id, b_id,
+        |            CAST(CASE WHEN j >= 0.9 THEN 0.9 WHEN j >= 0.7 THEN 0.7
+        |                 WHEN j >= 0.5 THEN 0.5 ELSE 0.3 END AS DOUBLE)
+        |              AS band_lo
+        |          FROM (SELECT a_id, b_id,
+        |                  len(list_intersect(a.hs, b.hs)) /
+        |                    len(list_distinct(list_concat(a.hs, b.hs))) AS j
+        |                FROM cp JOIN hs a ON cp.a_id = a.doc_id
+        |                        JOIN hs b ON cp.b_id = b.doc_id)
+        |          WHERE j >= 0.3),
+        |sig AS (SELECT doc_id, list_transform(range(8), k ->
+        |          list_min(list_transform(hs,
+        |            h -> ((2*k+3)*h + (5*k+7)) % 1000000007))) AS sig
+        |        FROM hs),
+        |bands AS (SELECT doc_id,
+        |            b::VARCHAR || '_' || sig[2*b+1]::VARCHAR || '_' ||
+        |            sig[2*b+2]::VARCHAR AS bkey
+        |          FROM sig, (SELECT unnest([0,1,2,3]) AS b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        |         FROM bands x JOIN bands y
+        |           ON x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |g AS (SELECT count(*) AS n_cand,
+        |        count(*) FILTER (j >= 0.5) AS n_cand_verified
+        |      FROM (SELECT len(list_intersect(a.hs, b.hs)) /
+        |              len(list_distinct(list_concat(a.hs, b.hs))) AS j
+        |            FROM cand JOIN hs a ON cand.a_id = a.doc_id
+        |                      JOIN hs b ON cand.b_id = b.doc_id)),
+        |hit AS (SELECT t.band_lo, count(*) AS n_true, count(c.a_id) AS n_hit
+        |        FROM truth t LEFT JOIN cand c
+        |          ON t.a_id = c.a_id AND t.b_id = c.b_id
+        |        GROUP BY t.band_lo)
+        |SELECT band_lo, CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_hit AS BIGINT) AS n_hit,
+        |  n_hit / CAST(n_true AS DOUBLE) AS recall,
+        |  CAST(g.n_cand AS BIGINT) AS n_cand,
+        |  CAST(g.n_cand_verified AS BIGINT) AS n_cand_verified,
+        |  CASE WHEN g.n_cand = 0 THEN NULL
+        |       ELSE g.n_cand_verified / CAST(g.n_cand AS DOUBLE) END
+        |    AS precision_at_05
+        |FROM hit, g ORDER BY band_lo""".stripMargin) { (s, dir) =>
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), words(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"),
+          array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
+        .localCheckpoint(false) // 4 consumers (prefix, 2 verify sides, sig)
+      // exact truth: prefix-filter candidates -> exact jaccard >= 0.3
+      val shs = sh.select(col("doc_id"), col("hs"),
+        array_sort(col("hs")).as("shs"))
+      val pLen = (size(col("shs")) -
+        floor((size(col("shs")) * 3 + lit(9)) / lit(10.0)).cast("int") + 1)
+      val pf = shs.select(col("doc_id"),
+        explode(slice(col("shs"), lit(1), pLen)).as("tok"))
+      val cp = pf.select(col("doc_id").as("a_id"), col("tok"))
+        .join(pf.select(col("doc_id").as("b_id"), col("tok").as("tok_y")),
+          col("tok") === col("tok_y") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      def withJ(pairs: DataFrame): DataFrame = pairs
+        .join(sh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
+        .select(col("a_id"), col("b_id"),
+          jaccard(col("a_hs"), col("b_hs")).as("j"))
+      val truth = withJ(cp).filter(col("j") >= 0.3)
+        .select(col("a_id"), col("b_id"),
+          when(col("j") >= 0.9, 0.9).when(col("j") >= 0.7, 0.7)
+            .when(col("j") >= 0.5, 0.5).otherwise(0.3).as("band_lo"))
+      // production candidate set: the identical 4x2 banding
+      // td_dedup_minhash_lsh deploys
+      val sig = sh.select(col("doc_id"), minhashSig(col("hs"), 8).as("sig"))
+      val bandArr = transform(sequence(lit(0), lit(3)), b =>
+        concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
+          element_at(col("sig"), b * 2 + 2)))
+      val bands = sig.select(col("doc_id"), explode(bandArr).as("bkey"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("bkey"))
+        .join(bands.select(col("doc_id").as("b_id"), col("bkey").as("bkey_y")),
+          col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val g = withJ(cand).agg(count(lit(1)).as("n_cand"),
+        count(when(col("j") >= 0.5, 1)).as("n_cand_verified"))
+      val hit = truth
+        .join(cand.withColumn("m", lit(1)), Seq("a_id", "b_id"), "left")
+        .groupBy(col("band_lo"))
+        .agg(count(lit(1)).as("n_true"), count(col("m")).as("n_hit"))
+      hit.crossJoin(broadcast(g))
+        .select(col("band_lo"), col("n_true"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_true").cast("double"))
+            .as("recall"),
+          col("n_cand"), col("n_cand_verified"),
+          when(col("n_cand") === 0, lit(null).cast("double"))
+            .otherwise(col("n_cand_verified").cast("double") /
+              col("n_cand").cast("double")).as("precision_at_05"))
+        .orderBy("band_lo")
+    },
+
     // ---- Duplicate-cluster resolution: connected components over the
     // verified near-dup pairs (keep one representative per cluster — the
     // final step of a production dedup pipeline). Alternating

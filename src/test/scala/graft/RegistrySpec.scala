@@ -53,7 +53,7 @@ class RegistrySpec extends AnyFunSuite with SparkTestSession {
         // pair-finding queries may legitimately be empty at tiny SF;
         // everything else must produce rows
         val mayBeEmpty = Set("td_dedup_ngram_jaccard", "td_dedup_minhash_lsh",
-          "td_dedup_simhash", "td_embed_neardup",
+          "td_dedup_simhash", "td_embed_neardup", "td_dedup_lsh_recall",
           // 150 names at sf0.001: the stop-gram cap (tf*20 <= n) leaves
           // too few signature grams for any candidate pair to form
           "rel_fuzzy_join_sig")
