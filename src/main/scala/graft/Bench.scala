@@ -383,7 +383,17 @@ object Bench {
     * `BENCH_r{N}.json` + 1 (the driver writes its record AFTER running
     * this bench). None when no BENCH_r files exist (ad-hoc run outside
     * the repo root — the plain detail file still lands). Pure;
-    * pinned in BenchSpec. */
+    * pinned in BenchSpec.
+    *
+    * NAMING CONVENTION (VERDICT r14 #7): `bench_full_r{N}.json` is the
+    * DRIVER's slot — its judge-time run overwrites the working-tree
+    * copy, so a builder claim anchored to that name can drift from the
+    * file's contents. The BUILDER's committed closing record goes in
+    * the sibling `bench_full_r{N}_local.json` (cp'd from the stamped
+    * file at close of round — the r10-r13 convention, now the rule):
+    * committed claims cite the `_local` file, driver comparisons cite
+    * the unsuffixed one, and neither can silently overwrite the
+    * other. */
   private[graft] def roundStampedPath(outPath: String,
       cwdFiles: Seq[String]): Option[String] = {
     val r = raw"BENCH_r(\d+)\.json".r

@@ -533,8 +533,10 @@ object SimilarityQueries {
         |SELECT q_id, rnk, n_id, cell, cosine FROM r WHERE rnk <= 3
         |ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
       val n = DedupQueries.normalizedEmbeddings(s, dir)
-      val cents = n.filter(col("vec_id") < ivfCells(s))
-        .select(col("vec_id").as("cid"), col("an").as("ca"))
+      // shared quantizer machinery: seeded = the oracle-pinned cents
+      // (identical construction), and the bench-only ivf.train knob
+      // makes the SEARCH index quality-tunable too (round 15)
+      val cents = ivfCentroids(s, n, ivfCells(s))
       val scored = n.join(broadcast(cents))
         .select(col("vec_id"), col("an"), col("cid"),
           dot(col("an"), col("ca")).as("cdot"))

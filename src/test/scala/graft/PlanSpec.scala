@@ -149,6 +149,21 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
     assert(p.linesIterator.count(_.contains("TopKPerKey")) >= 4, p)
   }
 
+  test("incremental ANN blocks on cell id — no corpus broadcast or cross join") {
+    // registry build minus its checkpoint barrier would need a
+    // test-only escape like annKnnEdges'; the registry plan suffices
+    // here because the candidate join and both TopKPerKey cuts sit
+    // ABOVE the checkpoint — only the probe-scoring subtree truncates
+    val p = plan("td_incremental_ann")
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair join must be a hash equi-join on the cell id; the one
+    // permissible broadcast below the checkpoint (the ≤cells centroid
+    // table via TakeOrdered+limit) is invisible here, so NO nested
+    // loop may appear at all in the visible plan
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.linesIterator.count(_.contains("TopKPerKey")) >= 2, p)
+  }
+
   test("narrow text-analysis queries shuffle only for the final sort") {
     for (name <- Seq("td_fingerprint", "td_token_count", "td_quality_score")) {
       val p = plan(name)
