@@ -51,10 +51,27 @@ object BenchConfs {
     * Read by SimilarityQueries.annKnnEdges. */
   val Probes = "spark.graft.ann.probes"
 
+  /** PQ codebook TRAINING: Lloyd iteration count for the per-subspace
+    * k-means refinement replacing the label-derived codebook (round
+    * 15 — production corpora have no labels; the trained codebook is
+    * the unsupervised path). Unset/0 = the oracle-pinned label%10
+    * codebook; N > 0 = N assign→update rounds per subspace. Read by
+    * SimilarityQueries.pqTop3. */
+  val PqTrain = "spark.graft.ann.pq.train"
+
+  /** PQ codebook SIZE (codes per subspace); oracle-pinned default 10.
+    * The label-derived codebook cannot exceed the label cardinality
+    * (10), so sizes above 10 are only meaningful with [[PqTrain]] —
+    * the production lever (real PQ runs k=256): recall is
+    * codebook-resolution-bound once clusters out-populate codes. Read
+    * by SimilarityQueries.pqTop3. */
+  val PqCodes = "spark.graft.ann.pq.codes"
+
   /** Every bench-only conf, for the RegistrySpec never-set-under-the-
     * gate assertion. */
   val all: Seq[String] =
-    Seq(QueryIdBound, NodeBound, IvfCells, SemdedupCells, IvfTrain, Probes)
+    Seq(QueryIdBound, NodeBound, IvfCells, SemdedupCells, IvfTrain,
+      Probes, PqTrain, PqCodes)
 
   def intOpt(s: SparkSession, key: String): Option[Int] =
     s.conf.getOption(key).map(_.toInt)

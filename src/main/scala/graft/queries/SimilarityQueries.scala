@@ -323,27 +323,102 @@ object SimilarityQueries {
       |            list(d ORDER BY s)), (a, b) -> a + b) AS adc_dist
       |        FROM ad0 GROUP BY q_id, n_id)""".stripMargin
 
+  /** Per-(subspace, code) TRAINED PQ codebook — Lloyd k-means over each
+    * subspace's 16-dim micro-unit subvectors (seeds = the first
+    * `nCodes` vectors' subvectors), the unsupervised replacement for
+    * the label-derived codebook (production corpora have no labels).
+    * Same determinism discipline as [[ivfCentroids]]: assignment
+    * distances are exact integers (micro-unit squared diffs, fused
+    * [[graft.functions.GraftFunctions.sqDist]] kernel, ties to min
+    * code), updates are per-(s, code, pos) exact long sums, the mean is
+    * one exact-int division. A code whose cell empties RETAINS its
+    * previous centroid (left-join + coalesce) so the (s, code) grid
+    * stays DENSE — the ADC path's flat 40-slot qdist array indexes by
+    * s·nCodes+code and would misalign if a code vanished. Output rows
+    * carry the centroid widened into the 64-slot layout (slice s
+    * holds it, other slices zero — never read at this s), so the
+    * encode/ADC plan is IDENTICAL to the label-codebook path: only
+    * the broadcast 40-row table changes. Plan per round: one
+    * (n·subspaces)-row scan × a broadcast 40-row centroid table
+    * through a TopKPerKey k=1 cut, plus a 40·16-row map-side-partial
+    * groupBy — no shuffle grows with the corpus. */
+  private[graft] def trainedPqCodebook(s: SparkSession, vm: DataFrame,
+      iters: Int, subDim: Int = 16, nCodes: Int = 10): DataFrame = {
+    val sv = vm
+      .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("s"),
+        col("vm"))
+      .select(col("vec_id"), col("s"),
+        slice(col("vm"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+    var cents = sv.filter(col("vec_id") < nCodes)
+      .select(col("s"), col("vec_id").cast("int").as("code"),
+        col("sv").as("cv"))
+    for (_ <- 1 to iters) {
+      val asg = graft.plans.TopK.topKPerKey(
+        sv.join(broadcast(cents), Seq("s"))
+          .select(col("vec_id"), col("s"), col("code"), col("sv"),
+            sqDist(col("sv"), col("cv")).as("d")),
+        keys = Seq(col("vec_id"), col("s")),
+        order = Seq(col("d").asc, col("code").asc), k = 1)
+      val mean = asg
+        .select(col("s"), col("code"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(sum(col("v").cast("long")).as("sm"), count(lit(1)).as("cnt"))
+        .withColumn("cm", col("sm").cast("double") / col("cnt"))
+        .groupBy(col("s"), col("code"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
+          .as("ps"))
+        .select(col("s"), col("code"),
+          transform(col("ps"), p => p.getField("cm")).as("cv2"))
+      cents = cents.join(mean, Seq("s", "code"), "left")
+        .select(col("s"), col("code"),
+          coalesce(col("cv2"), col("cv")).as("cv"))
+    }
+    cents.select(col("s"), col("code"),
+      transform(sequence(lit(0), lit(63)), j =>
+        when(j >= col("s") * subDim && j < (col("s") + 1) * subDim,
+          element_at(col("cv"), j - col("s") * subDim + 1))
+          .otherwise(lit(0.0))).as("cma"))
+  }
+
+  /** Micro-unit vector frame (vec_id, label, vm) — the exact-integer
+    * representation the whole PQ chain runs in; shared with the
+    * codebook spec/tooling. */
+  private[graft] def microVectors(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("vd"))
+      .select(col("vec_id"), col("label"),
+        transform(col("vd"),
+          x => round(x * 1000000).cast("long").cast("double")).as("vm"))
+
   /** PQ(4×16) encode + ADC top-k per query (see td_ann_pq's doc for the
     * plan-shape rationale); returns (q_id, n_id, adc_dist, rnk<=k). */
   private def pqTop3(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val subDim = 16
+    // `spark.graft.ann.pq.codes` (BENCH-ONLY; oracle-pinned default 10)
+    // sizes the codebook, the qdist lookup array (4·nCodes slots) and
+    // the s·nCodes+code indexing together, so the layout can never
+    // desynchronize; sizes > 10 are the trained path's lever — the
+    // label codebook tops out at the label cardinality
+    val nCodes = graft.BenchConfs.intOpt(s, graft.BenchConfs.PqCodes)
+      .getOrElse(10)
     // micro-unit vectors: exact integers in doubles
     val vd = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("vd"))
-    val vm = vd.select(col("vec_id"), col("label"),
-      transform(col("vd"),
-        x => round(x * 1000000).cast("long").cast("double")).as("vm"))
+    val vm = microVectors(s, dir)
     // codebook: per-code centroid (micro-unit double), as one 64-dim
-    // array per code, ordered by position. The code is label % 10: a
-    // PQ codebook's size is a FIXED design parameter (real PQ: 256
-    // codes/subspace) independent of corpus size — label cardinality
-    // may grow with the data (the stress fixture scales it with the
-    // corpus, as an IVF cell id must), and the modulus keeps the
-    // codebook, the 40-slot qdist lookup array, and the s*10+code
-    // indexing invariant. Identity on the base fixture (labels 0..9).
+    // array per code, ordered by position. The code is label % nCodes
+    // (oracle-pinned 10): a PQ codebook's size is a FIXED design
+    // parameter (real PQ: 256 codes/subspace) independent of corpus
+    // size — label cardinality may grow with the data (the stress
+    // fixture scales it with the corpus, as an IVF cell id must), and
+    // the modulus keeps the codebook, the 4·nCodes-slot qdist lookup
+    // array, and the s·nCodes+code indexing invariant. Identity on
+    // the base fixture (labels 0..9).
     val cb = vd
-      .select(pmod(col("label"), lit(10)).as("label"),
+      .select(pmod(col("label"), lit(nCodes)).as("label"),
         posexplode(col("vd")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(round(col("x") * 1000000).cast("long")).cast("double") /
@@ -351,8 +426,16 @@ object SimilarityQueries {
       .groupBy(col("label").as("code"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cm")))).as("pc"))
       .select(col("code"), transform(col("pc"), p => p("cm")).as("cma"))
-    val cbs = cb.select(explode(sequence(lit(0), lit(3))).as("s"),
-      col("code"), col("cma"))
+    // `spark.graft.ann.pq.train` (BENCH-ONLY, BenchConfs contract —
+    // the oracle-pinned default is the label%10 codebook above) swaps
+    // in the unsupervised per-subspace k-means codebook; everything
+    // downstream (encode, qdist, ADC) is shape-identical
+    val cbs = graft.BenchConfs.intOpt(s, graft.BenchConfs.PqTrain) match {
+      case Some(iters) if iters > 0 =>
+        trainedPqCodebook(s, vm, iters, nCodes = nCodes)
+      case _ => cb.select(explode(sequence(lit(0), lit(3))).as("s"),
+        col("code"), col("cma"))
+    }
     // ascending-index prepend-0 fold of squared diffs on subspace s —
     // the fused codegen kernel ([[graft.functions.SubspaceL2]]), not a
     // higher-order-function chain: this expression runs candidates ×
@@ -391,7 +474,6 @@ object SimilarityQueries {
     // PROJECTION (4 element_at lookups + explicit left-associated add)
     // — the candidate stream never shuffles; the only exchange is the
     // per-query top-k heap (TopKPerKey via the rn<=k rewrite)
-    val nCodes = 10
     val qd = vm.filter(isQueryVec(s, col("vec_id")))
       .select(col("vec_id").as("q_id"), col("vm").as("qm"))
     val qarr = qd.crossJoin(broadcast(cbs))

@@ -128,6 +128,34 @@ object AnnQualityAb {
         f""""recall_at_3":$recall%.6f,"purity_ann":$purity%.6f,""" +
         f""""sec_recall":$tRecall%.2f,"sec_purity":$tPurity%.2f}""")
     }
+    spark.conf.unset(BenchConfs.IvfTrain)
+    spark.conf.unset(BenchConfs.Probes)
+
+    // PQ codebook A/B (round 15): the label%10 codebook is effectively
+    // SUPERVISED on this fixture (labels ARE the planted clusters), so
+    // the question the trained leg answers is whether unsupervised
+    // per-subspace k-means recovers it — the production regime, where
+    // no labels exist. td_ann_pq_recall needs q·n exact cosine truth;
+    // bound the query set at scale via the fixedq knob.
+    spark.conf.set(BenchConfs.QueryIdBound, nVecs.toString)
+    // grid: the supervised-on-this-fixture label codebook (10 codes),
+    // unsupervised trained at the same resolution, and trained at the
+    // production lever (more codes than clusters — the regime where
+    // PQ stops quantizing whole clusters to one point)
+    for ((pqTrain, codes) <- Seq((false, 10), (true, 10), (true, 64),
+        (true, 256))) {
+      if (pqTrain) spark.conf.set(BenchConfs.PqTrain, "2")
+      else spark.conf.unset(BenchConfs.PqTrain)
+      spark.conf.set(BenchConfs.PqCodes, codes.toString)
+      val t0 = System.nanoTime()
+      val recall = mean("td_ann_pq_recall", "recall_at_3")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"pq_ab","train":$pqTrain,"codes":$codes,""" +
+        f""""recall_at_3":$recall%.6f,"sec":$sec%.2f}""")
+    }
+    spark.conf.unset(BenchConfs.PqTrain)
+    spark.conf.unset(BenchConfs.PqCodes)
+    spark.conf.unset(BenchConfs.QueryIdBound)
     spark.stop()
   }
 }

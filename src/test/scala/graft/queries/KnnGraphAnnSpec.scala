@@ -86,6 +86,49 @@ class KnnGraphAnnSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset(graft.BenchConfs.IvfTrain)
   }
 
+  test("trained PQ codebook keeps the dense 40-slot grid and slice layout") {
+    val vm = SimilarityQueries.microVectors(spark, sfDir)
+    val cb = SimilarityQueries.trainedPqCodebook(spark, vm, iters = 2)
+      .collect()
+    // DENSE grid: the ADC qdist array indexes s*10+code flatly — a
+    // dropped code would misalign every lookup after it (the
+    // empty-cell-retains-previous-centroid rule exists for this)
+    assert(cb.length == 40)
+    assert(cb.map(r => (r.getInt(0), r.getInt(1))).toSet ==
+      (for (s <- 0 until 4; c <- 0 until 10) yield (s, c)).toSet)
+    cb.foreach { r =>
+      val (s, cma) = (r.getInt(0), r.getSeq[Double](2))
+      assert(cma.length == 64)
+      // only slice s is populated — other slices are never read at s,
+      // and a nonzero there would mean the widening is misaligned
+      cma.zipWithIndex.foreach { case (x, j) =>
+        if (j < s * 16 || j >= (s + 1) * 16) assert(x == 0.0, s"($s,$j)")
+      }
+    }
+    // the trained codebook is a different artifact than the label
+    // codebook (intermediate-level check, ADVICE r14 discipline):
+    // Lloyd centroids are means of SEED-ASSIGNED cells, label
+    // centroids means of label cells — coincidence would need the two
+    // partitions to agree exactly on every subspace
+    val conf = spark.conf
+    assert(conf.getOption(graft.BenchConfs.PqTrain).isEmpty)
+    val labelCb = SparkEntry.registry("td_ann_pq").build(spark, sfDir)
+      .collect()
+    conf.set(graft.BenchConfs.PqTrain, "2")
+    try {
+      val trainedOut = SparkEntry.registry("td_ann_pq").build(spark, sfDir)
+        .collect()
+      assert(trainedOut.nonEmpty)
+      // output rows remain well-formed under the knob (rnk 1..3, no
+      // self pairs) — the value-level claim stays with the intermediate
+      trainedOut.foreach { r =>
+        assert(r.getAs[Int]("rnk") >= 1 && r.getAs[Int]("rnk") <= 3, r)
+        assert(r.getAs[Long]("q_id") != r.getAs[Long]("n_id"), r)
+      }
+      assert(labelCb.nonEmpty)
+    } finally conf.unset(graft.BenchConfs.PqTrain)
+  }
+
   test("recall is bounded and honors the bench-only nodeBound") {
     val r = run("td_knn_ann_recall")
     val rows = r.collect()
