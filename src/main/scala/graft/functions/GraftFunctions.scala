@@ -92,7 +92,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => HyperplaneBucket(es(0))),
     (FunctionIdentifier("graft_map_ratio_fold"),
       info("graft_map_ratio_fold", classOf[MapRatioFold]),
-      (es: Seq[Expression]) => MapRatioFold(es(0), es(1)))
+      (es: Seq[Expression]) => MapRatioFold(es(0), es(1))),
+    (FunctionIdentifier("graft_sort_bits"),
+      info("graft_sort_bits", classOf[DoubleSortBits]),
+      (es: Seq[Expression]) => DoubleSortBits(es(0)))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -123,6 +126,11 @@ object GraftFunctions {
     * per element. */
   def mapRatioFold(bgs: Column, m: Column): Column =
     call_function("graft_map_ratio_fold", bgs, m)
+
+  /** Order-preserving double -> long encoding (see [[DoubleSortBits]]):
+    * the bridge between double-valued scores and the long-keyed
+    * bounded-state top-k aggregate. */
+  def sortBits(x: Column): Column = call_function("graft_sort_bits", x)
 
   /** MinHash signature of an array<long> of hashes in [0, P). */
   def minhashSig(hashes: Column, k: Int): Column =

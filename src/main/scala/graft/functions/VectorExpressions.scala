@@ -301,3 +301,48 @@ case class HyperplaneBucket(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Order-preserving bijection from a double onto the signed longs:
+  * x < y (SQL double ordering) ⇔ sortBits(x) < sortBits(y) (long
+  * ordering). The standard IEEE-754 total-order transform — flip all
+  * value bits of negatives (the sign bit stays set, so they sort
+  * below every positive and ascend with value), identity on
+  * non-negatives (Lucene's doubleToSortableLong) — with -0.0
+  * first normalized to +0.0 (`+ 0.0`) so the two zero encodings
+  * cannot order a tie differently than SQL comparison (which treats
+  * them equal) would.
+  *
+  * Purpose: lets the LONG-keyed bounded-state top-k aggregate
+  * ([[BottomKByKeyAgg]]) rank by a double without loss — e.g.
+  * `bottomk(sortBits(-cosine), n_id, k)` is exactly top-k by
+  * (cosine DESC, n_id ASC), the ANN family's total order, inside a
+  * streaming groupBy where a rank window cannot run. NaN (never
+  * produced by the vector kernels on valid input) canonicalizes above
+  * +Infinity, matching SQL's NaN-last ordering. */
+case class DoubleSortBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(DoubleType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_sort_bits"
+
+  override def nullSafeEval(x: Any): Any = {
+    val b = java.lang.Double.doubleToLongBits(x.asInstanceOf[Double] + 0.0)
+    // Lucene's doubleToSortableLong: negatives flip their 63 value
+    // bits (sign stays set, so they sort below every positive and
+    // ascend with value); non-negatives are identity
+    b ^ ((b >> 63) & 0x7fffffffffffffffL)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val b = ctx.freshName("b")
+      s"""
+         |long $b = Double.doubleToLongBits($c + 0.0d);
+         |${ev.value} = $b ^ (($b >> 63) & 0x7fffffffffffffffL);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -877,6 +877,101 @@ object StreamingQueries {
       runToMemory(stream, "append").orderBy("doc_id")
     },
 
+    // ---- streaming ANN serving (round 15, the similarity twin of
+    // st_incremental_dedup): arriving new vectors (vec_id % 5 = 4) get
+    // 3-NN answers against the EXISTING corpus's IVF index. The
+    // quantizer — the first 16 existing vectors, an index artifact a
+    // serving job loads into memory (FAISS-style) — is collected at
+    // PLAN BUILD (≤16 rows) and both cell assignments run as PURE
+    // per-row expressions over it (16 codegen'd dots + one array_sort
+    // per row, zero shuffle): the stream side probes its top-2 cells,
+    // the static side (the existing corpus with precomputed home
+    // cells — in production a stored column) joins on cell id
+    // (stream-static inner, the blocking discipline of annKnnEdges).
+    // The per-query top-3 is BOUNDED STATE: the long-keyed bottom-k
+    // aggregate keyed by the order-preserving [[DoubleSortBits]]
+    // encoding of -cosine, so state is O(k) per query — never the
+    // candidate list — and the emitted ranks are exactly the
+    // (cosine DESC, n_id ASC) total order the oracle replays.
+    // Within-batch (new×new) neighbors are the following batch pass's
+    // job (td_incremental_ann covers them), mirroring
+    // st_incremental_dedup's contract.
+    "st_incremental_ann" -> QueryDef.sql(
+      "streaming new-vector 3-NN vs the existing corpus's IVF index")(
+      """WITH vd AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd
+        |            FROM embeddings),
+        |nr AS (SELECT vec_id, vd,
+        |         sqrt(list_reduce(list_transform(range(len(vd)),
+        |           i -> vd[i+1]*vd[i+1]), (a,b) -> a+b)) AS nrm FROM vd),
+        |n AS (SELECT vec_id, list_transform(vd, x -> x / nrm) AS an
+        |      FROM nr),
+        |cc AS (SELECT vec_id AS cid, an AS ca FROM n
+        |       WHERE vec_id % 5 <> 4 ORDER BY vec_id LIMIT 16),
+        |he AS (SELECT vec_id, an, cell FROM (
+        |  SELECT n.vec_id, n.an, cc.cid AS cell, row_number() OVER (
+        |      PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_transform(range(len(n.an)),
+        |        i -> n.an[i+1]*cc.ca[i+1]), (a,b) -> a+b) DESC, cc.cid) AS rn
+        |  FROM n, cc WHERE n.vec_id % 5 <> 4) WHERE rn = 1),
+        |pq AS (SELECT vec_id, an, cell FROM (
+        |  SELECT n.vec_id, n.an, cc.cid AS cell, row_number() OVER (
+        |      PARTITION BY n.vec_id
+        |      ORDER BY list_reduce(list_transform(range(len(n.an)),
+        |        i -> n.an[i+1]*cc.ca[i+1]), (a,b) -> a+b) DESC, cc.cid) AS rn
+        |  FROM n, cc WHERE n.vec_id % 5 = 4) WHERE rn <= 2),
+        |p AS (SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+        |        list_reduce(list_transform(range(len(q.an)),
+        |          i -> q.an[i+1]*x.an[i+1]), (a,b) -> a+b) AS cosine
+        |      FROM pq q JOIN he x ON q.cell = x.cell),
+        |r AS (SELECT q_id, n_id, row_number() OVER
+        |        (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk FROM p)
+        |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, n_id
+        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
+      import graft.functions.GraftFunctions.{bottomKSample, dot, sortBits}
+      val n = graft.queries.DedupQueries.normalizedEmbeddings(s, dir)
+      val existing = n.filter(col("vec_id") % 5 =!= 4)
+      // the stored quantizer, loaded at plan build (16 × 64 doubles)
+      val cents = existing.orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("cid"), col("an").as("ca"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      // per-row probe ranking over the in-memory quantizer: ascending
+      // (-dot, cid) struct sort == the oracle's (dot DESC, cid) order
+      // (-0.0 == 0.0 under SQL struct comparison, so zero-dot ties
+      // still break by cid)
+      def rankedCells(an: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column = array_sort(array(cents.map {
+        case (cid, ca) => struct(
+          (-dot(an, typedlit(ca))).as("negdot"), lit(cid).as("cid"))
+      }: _*))
+      // static side: existing corpus with its home-cell column (in
+      // production a stored index column; no bench knob here — the
+      // serving contract is the pinned 16-cell oracle index)
+      val cside = existing
+        .withColumn("cell", element_at(rankedCells(col("an")), 1)("cid"))
+        .select(col("vec_id").as("n_id"), col("an").as("ca"), col("cell"))
+      val stream = Tables.loadStream(s, dir, "embeddings")
+        .filter(col("vec_id") % 5 === 4)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("vd"))
+        .withColumn("nrm", sqrt(dot(col("vd"), col("vd"))))
+        .select(col("q_id"),
+          transform(col("vd"), x => x / col("nrm")).as("qa"))
+        .select(col("q_id"), col("qa"),
+          explode(slice(rankedCells(col("qa")), 1, 2)).as("probe"))
+        .select(col("q_id"), col("qa"), col("probe")("cid").as("cell"))
+      val agg = stream.join(cside, Seq("cell"))
+        .select(col("q_id"),
+          sortBits(-dot(col("qa"), col("ca"))).as("key"), col("n_id"))
+        .groupBy(col("q_id"))
+        .agg(bottomKSample(col("key"), col("n_id"), 3).as("top"))
+      runToMemory(agg, "complete")
+        .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
+          col("e")("payload").as("n_id"))
+        .orderBy("q_id", "rnk")
+    },
+
     // ---- the custom DSv2 connector's micro-batch half: graftgen's id
     // space is the offset axis, admission control (rowsPerBatch=6000)
     // bounds each batch, and AvailableNow drains [0, rows) in 4 batches

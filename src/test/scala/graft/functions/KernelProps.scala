@@ -280,6 +280,20 @@ object KernelProps extends Properties("graft.kernels") {
       val want = if (full <= k) full else -1
       Prop(got == want) :| s"a=$a b=$b k=$k got=$got full=$full"
     }
+  property("DoubleSortBits preserves SQL double ordering (and -0.0 == 0.0)") =
+    forAll(
+      Gen.oneOf(Gen.choose(-1e12, 1e12), Gen.oneOf(0.0, -0.0, 1.0, -1.0,
+        Double.MinPositiveValue, -Double.MinPositiveValue,
+        Double.MaxValue, -Double.MaxValue)),
+      Gen.oneOf(Gen.choose(-1e12, 1e12), Gen.oneOf(0.0, -0.0, 2.5e-300)))
+    { (x: Double, y: Double) =>
+      def enc(d: Double): Long =
+        DoubleSortBits(dummy).nullSafeEval(d).asInstanceOf[Long]
+      val cmpD = java.lang.Double.compare(x + 0.0, y + 0.0) // SQL order, zeros merged
+      val cmpL = java.lang.Long.compare(enc(x), enc(y))
+      Integer.signum(cmpD) == Integer.signum(cmpL)
+    }
+
 }
 
 object MapRatioFoldProps extends Properties("graft.mapRatioFold") {
@@ -343,4 +357,5 @@ object MapRatioFoldProps extends Properties("graft.mapRatioFold") {
         expr.nullSafeEval(strArr(Seq("aa")), m2) == v + 1 &&
         expr.nullSafeEval(strArr(Seq("aa")), m1) == v
     }
+
 }
