@@ -490,6 +490,52 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- QUALITY-WEIGHTED cluster representative (round 15): production
+    // dedup keeps the BEST document per duplicate cluster, not the
+    // lowest id — RefinedWeb/FineWeb pipelines rank cluster members by a
+    // quality signal and drop the rest. Composition: the memoized CC
+    // labels (shared with td_dedup_clusters/corpus — the cluster pass is
+    // paid once per corpus) join the shared composite quality score
+    // (TextQueries.qualityScored — the exact formula td_quality_score
+    // gates on), and the representative is the per-cluster argmax by
+    // (quality_score DESC, doc_id ASC) — a TopKPerKey k=1 map-side cut,
+    // never a cluster-wide window over a global sort. Scale: clusters
+    // are the CC output (linear in verified pairs), the quality frame is
+    // a narrow per-row map, the rep join is an equi-join on
+    // component_id — everything linear, nothing all-pairs.
+    "td_dedup_best_rep" -> QueryDef.sql(
+      "quality-weighted dup-cluster representative (keep the best doc)")(
+      s"""${VerifiedPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+        |bi AS (SELECT a_id AS s, b_id AS t FROM verified
+        |       UNION ALL SELECT b_id, a_id FROM verified),
+        |reach(s, t) AS (
+        |  SELECT DISTINCT s, s FROM bi
+        |  UNION
+        |  SELECT r.s, b.t FROM reach r JOIN bi b ON r.t = b.s),
+        |lab AS (SELECT s AS doc_id, min(t) AS component_id
+        |        FROM reach GROUP BY s),
+        |${graft.queries.TextQueries.QualityCte},
+        |m AS (SELECT l.doc_id, l.component_id, q.quality_score
+        |      FROM lab l JOIN q ON l.doc_id = q.doc_id),
+        |r AS (SELECT doc_id, component_id, quality_score,
+        |        row_number() OVER (PARTITION BY component_id
+        |          ORDER BY quality_score DESC, doc_id) AS rn FROM m)
+        |SELECT doc_id, component_id, quality_score, rn = 1 AS is_rep
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val m = dupClusterLabels(s, dir)
+        .select(col("id").as("doc_id"), col("label").as("component_id"))
+        .join(TextQueries.qualityScored(s, dir)
+          .select(col("doc_id"), col("quality_score")), "doc_id")
+      val rep = graft.plans.TopK.topKPerKey(m,
+          keys = Seq(col("component_id")),
+          order = Seq(col("quality_score").desc, col("doc_id").asc), k = 1)
+        .select(col("component_id"), col("doc_id").as("rep_id"))
+      m.join(rep, "component_id")
+        .select(col("doc_id"), col("component_id"), col("quality_score"),
+          (col("doc_id") === col("rep_id")).as("is_rep"))
+        .orderBy("doc_id")
+    },
+
     // ---- SimHash near-dup: 32-bit frequency-weighted simhash, candidates
     // from 4×8-bit band equi-join. Pigeonhole: hamming <= 3 ⇒ at least one
     // of the 4 bands is identical, so band blocking is *exact* for this

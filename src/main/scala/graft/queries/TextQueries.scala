@@ -17,6 +17,43 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Per-document quality signals + the composite quality score —
+    * frame (doc_id, n_char, n_tok, n_distinct, quality_score) — shared
+    * by td_quality_score, td_quality_buckets, and the dedup layer's
+    * quality-weighted cluster representative (td_dedup_best_rep, which
+    * is why it is `private[graft]`). Every double op mirrors the
+    * oracle's [[QualityCte]] left-to-right (the bit-parity discipline:
+    * exact integer inputs, fixed association, so the score is
+    * hash-stable cross-engine). */
+  private[graft] def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_char"), ws.as("ws"))
+      .select(col("doc_id"), col("n_char"), size(col("ws")).as("n_tok"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+      .withColumn("quality_score",
+        least(col("n_tok").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
+          (col("n_distinct").cast("double") / col("n_tok")) * lit(0.4) +
+          least(((col("n_char") - (col("n_tok") - 1)).cast("double") /
+            col("n_tok")) / lit(8.0), lit(1.0)) * lit(0.2))
+  }
+
+  /** The oracle-side twin of [[qualityScored]]: a qw/qc/q CTE chain
+    * ending in q(doc_id, n_char, n_tok, n_distinct, quality_score).
+    * Callers prepend `WITH ` or splice after other CTEs — the qw/qc
+    * names are prefixed so the chain composes with DedupQueries'
+    * ShingleCte (which owns `w`) in td_dedup_best_rep's oracle. */
+  private[graft] val QualityCte: String =
+    """qw AS (SELECT doc_id, length(text) AS n_char,
+      |        string_split(text, ' ') AS ws FROM documents),
+      |qc AS (SELECT doc_id, n_char, len(ws) AS n_tok,
+      |        len(list_distinct(ws)) AS n_distinct FROM qw),
+      |q AS (SELECT doc_id, n_char, n_tok, n_distinct,
+      |        least(CAST(n_tok AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+      |          + (CAST(n_distinct AS DOUBLE) / n_tok) * CAST(0.4 AS DOUBLE)
+      |          + least((CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
+      |          AS quality_score FROM qc)""".stripMargin
+
   /** Private-use placeholder symbol for the BPE trainer's step-`i`
     * merged token (constructed from code points, NOT Spark's chr() —
     * which is mod-256 ASCII — and embedded into the oracle SQL as
@@ -416,35 +453,20 @@ object TextQueries {
     // oracle left-to-right.
     "td_quality_score" -> QueryDef.sql(
       "document quality score from length/diversity/word-length signals")(
-      """WITH w AS (SELECT doc_id, length(text) AS n_char,
-        |             string_split(text, ' ') AS ws FROM documents),
-        |c AS (SELECT doc_id, n_char, len(ws) AS n_tok,
-        |        len(list_distinct(ws)) AS n_distinct FROM w)
+      s"""WITH $QualityCte
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
         |  CAST(n_distinct AS DOUBLE) / n_tok AS distinct_ratio,
         |  CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok AS avg_word_len,
-        |  least(CAST(n_tok AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-        |    + (CAST(n_distinct AS DOUBLE) / n_tok) * CAST(0.4 AS DOUBLE)
-        |    + least((CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
-        |    AS quality_score
-        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val ws = words(col("text"))
-      val c = t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("n_char"), ws.as("ws"))
-        .select(col("doc_id"), col("n_char"), size(col("ws")).as("n_tok"),
-          size(array_distinct(col("ws"))).as("n_distinct"))
-      val distinctRatio = col("n_distinct").cast("double") / col("n_tok")
-      val avgWordLen =
-        (col("n_char") - (col("n_tok") - 1)).cast("double") / col("n_tok")
-      c.select(
+        |  quality_score
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      qualityScored(s, dir).select(
         col("doc_id"),
         col("n_tok").cast("long").as("n_tokens"),
-        distinctRatio.as("distinct_ratio"),
-        avgWordLen.as("avg_word_len"),
-        (least(col("n_tok").cast("double") / lit(100.0), lit(1.0)) * lit(0.4)
-          + distinctRatio * lit(0.4)
-          + least(avgWordLen / lit(8.0), lit(1.0)) * lit(0.2))
-          .as("quality_score"))
+        (col("n_distinct").cast("double") / col("n_tok"))
+          .as("distinct_ratio"),
+        ((col("n_char") - (col("n_tok") - 1)).cast("double") / col("n_tok"))
+          .as("avg_word_len"),
+        col("quality_score"))
         .orderBy("doc_id")
     },
 
@@ -688,32 +710,16 @@ object TextQueries {
     // first n%10 buckets get ceil(n/10) rows, the rest floor(n/10).
     "td_quality_buckets" -> QueryDef.sql(
       "quality-score deciles with per-decile corpus statistics")(
-      """WITH w AS (SELECT doc_id, length(text) AS n_char,
-        |             string_split(text, ' ') AS ws FROM documents),
-        |c AS (SELECT doc_id, n_char, len(ws) AS n_tok,
-        |        len(list_distinct(ws)) AS n_distinct FROM w),
-        |q AS (SELECT doc_id, n_tok,
-        |        least(CAST(n_tok AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
-        |          + (CAST(n_distinct AS DOUBLE) / n_tok) * CAST(0.4 AS DOUBLE)
-        |          + least((CAST(n_char - (n_tok - 1) AS DOUBLE) / n_tok) / CAST(8 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.2 AS DOUBLE)
-        |          AS score FROM c),
-        |d AS (SELECT *, ntile(10) OVER (ORDER BY score, doc_id) AS decile
-        |      FROM q)
+      s"""WITH $QualityCte,
+        |d AS (SELECT *, ntile(10) OVER (ORDER BY quality_score, doc_id)
+        |        AS decile FROM q)
         |SELECT CAST(decile AS INTEGER) AS decile, count(*) AS n_docs,
         |       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-        |       min(score) AS min_score, max(score) AS max_score
+        |       min(quality_score) AS min_score,
+        |       max(quality_score) AS max_score
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
-      val ws = words(col("text"))
-      val c = t(s, dir, "documents")
-        .select(col("doc_id"), length(col("text")).as("n_char"), ws.as("ws"))
-        .select(col("doc_id"), col("n_char"), size(col("ws")).as("n_tok"),
-          size(array_distinct(col("ws"))).as("n_distinct"))
-      val score =
-        least(col("n_tok").cast("double") / lit(100.0), lit(1.0)) * lit(0.4) +
-          (col("n_distinct").cast("double") / col("n_tok")) * lit(0.4) +
-          least(((col("n_char") - (col("n_tok") - 1)).cast("double") /
-            col("n_tok")) / lit(8.0), lit(1.0)) * lit(0.2)
-      val scored = c.select(col("doc_id"), col("n_tok"), score.as("score"))
+      val scored = qualityScored(s, dir)
+        .select(col("doc_id"), col("n_tok"), col("quality_score").as("score"))
         .withColumn("ord", struct(col("score"), col("doc_id")))
       val n = scored.count()
       val q = n / 10
