@@ -164,6 +164,45 @@ object StreamingQueries {
     sess.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
 
+  /** Per-label UNIT centroids (label, ca) of a normalized-embedding
+    * frame (label, an) — exact micro-unit component sums, one double
+    * division per component, one normalization (the ivfCentroids
+    * determinism discipline: bit-stable at any partitioning). Shared
+    * by st_embedding_drift and its multi-batch determinism spec. */
+  private[graft] def labelCentroids(ex: DataFrame): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    ex.select(col("label"), posexplode(transform(col("an"),
+        x => round(x * 1000000).cast("long"))).as(Seq("pos", "mv")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("mv")).as("sm"), count(lit(1)).as("cnt"))
+      .withColumn("cm", col("sm").cast("double") / col("cnt"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
+        .as("ps"))
+      .select(col("label"), transform(col("ps"), p => p.getField("cm"))
+        .as("cm"))
+      .withColumn("nrm", sqrt(dot(col("cm"), col("cm"))))
+      .select(col("label"), transform(col("cm"), x => x / col("nrm"))
+        .as("ca"))
+  }
+
+  /** st_embedding_drift's scoring fold over a (label, an) frame —
+    * batch OR stream: cosine to the broadcast own-label centroid,
+    * rounded to exact micro-units, then per-label (count, Σ micro).
+    * Long sums are commutative/associative, so the Complete-mode
+    * state this produces is batching-independent by construction;
+    * StreamingDeterminismSpec pins it over 3 explicit file batches. */
+  private[graft] def driftScoreAgg(an: DataFrame, cu: DataFrame,
+      nCol: String, sumCol: String): DataFrame = {
+    import graft.functions.GraftFunctions.dot
+    an.join(broadcast(cu), "label")
+      .select(col("label"),
+        round(dot(col("an"), col("ca")) * 1000000).cast("long")
+          .as("cmicro"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as(nCol), sum(col("cmicro")).as(sumCol))
+  }
+
   private def runToMemory(df: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${runSeq.incrementAndGet()}"
     val sess = df.sparkSession
@@ -970,6 +1009,93 @@ object StreamingQueries {
         .select(col("q_id"), (col("pos") + 1).cast("int").as("rnk"),
           col("e")("payload").as("n_id"))
         .orderBy("q_id", "rnk")
+    },
+
+    // ---- STREAMING EMBEDDING-DRIFT MONITOR (round 15): the
+    // distribution-shift check an embedding ingest pipeline runs
+    // continuously — per label, how coherent are ARRIVING vectors with
+    // the corpus's per-label centroid, vs how coherent the corpus
+    // itself is. The static side computes each label's unit centroid
+    // and the existing members' mean cosine to it (the baseline); the
+    // stream scores arriving vectors (vec_id % 5 = 4) against the
+    // BROADCAST centroids (stream-static join on a labels-row table)
+    // and keeps per-label (count, Σ round(cos·1e6)) as Complete-mode
+    // state — two longs per label, bounded regardless of stream
+    // length. All cross-row reductions are exact micro-unit longs
+    // (the ivfCentroids discipline), so means and drift are
+    // bit-stable cross-engine at any partitioning/batching; the
+    // means' one double division and drift's one subtraction happen
+    // batch-side over the sink table. A drift << 0 on a label says
+    // arriving data no longer matches the corpus — the signal that
+    // gates index retraining (the ivf.train knob) in production.
+    "st_embedding_drift" -> QueryDef.sql(
+      "streaming per-label cosine drift of arriving vectors vs corpus centroids")(
+      """WITH vd AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vd
+        |            FROM embeddings),
+        |nr AS (SELECT vec_id, label, vd,
+        |         sqrt(list_reduce(list_transform(range(len(vd)),
+        |           i -> vd[i+1]*vd[i+1]), (a,b) -> a+b)) AS nrm FROM vd),
+        |n AS (SELECT vec_id, label,
+        |        list_transform(vd, x -> x / nrm) AS an FROM nr),
+        |ex AS (SELECT * FROM n WHERE vec_id % 5 <> 4),
+        |cs AS (SELECT label, t.k AS pos,
+        |         CAST(sum(CAST(round(an[t.k+1]*1000000) AS BIGINT)) AS DOUBLE)
+        |           / count(*) AS cm
+        |       FROM ex, unnest(range(len(an))) AS t(k) GROUP BY 1, 2),
+        |cv AS (SELECT label, list(cm ORDER BY pos) AS cm FROM cs
+        |       GROUP BY label),
+        |cu AS (SELECT label, list_transform(cm, x -> x /
+        |         sqrt(list_reduce(list_transform(range(len(cm)),
+        |           i -> cm[i+1]*cm[i+1]), (a,b) -> a+b))) AS ca FROM cv),
+        |eco AS (SELECT e.label,
+        |          CAST(round(list_reduce(list_transform(range(len(e.an)),
+        |            i -> e.an[i+1]*cu.ca[i+1]), (a,b) -> a+b) * 1000000)
+        |            AS BIGINT) AS cmicro
+        |        FROM ex e JOIN cu ON e.label = cu.label),
+        |est AS (SELECT label, count(*) AS n_existing,
+        |          CAST(sum(cmicro) AS DOUBLE) / (1000000.0 * count(*))
+        |            AS mean_cos_existing
+        |        FROM eco GROUP BY label),
+        |nw AS (SELECT * FROM n WHERE vec_id % 5 = 4),
+        |nco AS (SELECT w.label,
+        |          CAST(round(list_reduce(list_transform(range(len(w.an)),
+        |            i -> w.an[i+1]*cu.ca[i+1]), (a,b) -> a+b) * 1000000)
+        |            AS BIGINT) AS cmicro
+        |        FROM nw w JOIN cu ON w.label = cu.label),
+        |nst AS (SELECT label, count(*) AS n_new,
+        |          CAST(sum(cmicro) AS DOUBLE) / (1000000.0 * count(*))
+        |            AS mean_cos_new
+        |        FROM nco GROUP BY label)
+        |SELECT est.label, est.n_existing, est.mean_cos_existing,
+        |       nst.n_new, nst.mean_cos_new,
+        |       nst.mean_cos_new - est.mean_cos_existing AS drift
+        |FROM est JOIN nst ON est.label = nst.label
+        |ORDER BY est.label""".stripMargin) { (s, dir) =>
+      import graft.functions.GraftFunctions.dot
+      val n = graft.queries.DedupQueries.normalizedEmbeddings(s, dir)
+      val ex = n.filter(col("vec_id") % 5 =!= 4)
+      val cu = labelCentroids(ex)
+      val est = driftScoreAgg(ex, cu, "n_existing", "esum")
+      val stream = driftScoreAgg(
+        Tables.loadStream(s, dir, "embeddings")
+          .filter(col("vec_id") % 5 === 4)
+          .select(col("label"),
+            col("embedding").cast("array<double>").as("vd"))
+          .withColumn("nrm", sqrt(dot(col("vd"), col("vd"))))
+          .select(col("label"), transform(col("vd"), x => x / col("nrm"))
+            .as("an")),
+        cu, "n_new", "nsum")
+      runToMemory(stream, "complete")
+        .join(est, "label")
+        .select(col("label"), col("n_existing"),
+          (col("esum").cast("double") /
+            (lit(1000000.0) * col("n_existing"))).as("mean_cos_existing"),
+          col("n_new"),
+          (col("nsum").cast("double") /
+            (lit(1000000.0) * col("n_new"))).as("mean_cos_new"))
+        .withColumn("drift",
+          col("mean_cos_new") - col("mean_cos_existing"))
+        .orderBy("label")
     },
 
     // ---- the custom DSv2 connector's micro-batch half: graftgen's id

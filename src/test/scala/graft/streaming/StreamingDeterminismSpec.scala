@@ -331,4 +331,49 @@ class StreamingDeterminismSpec extends AnyFunSuite with SparkTestSession {
       got.exceptAll(expected).count() == 0,
       "foreachBatch upsert table diverges from batch max_by")
   }
+
+  test("embedding-drift state over 3 file batches equals the batch fold") {
+    // st_embedding_drift's Complete-mode state is per-label
+    // (count, Σ micro-cosine) long sums — batching-independent by
+    // construction; this pins it: the same new-vector rows split into
+    // 3 file batches must land the identical (n_new, nsum) state the
+    // one-batch gate run and the batch-side fold produce.
+    val n = graft.queries.DedupQueries
+      .normalizedEmbeddings(spark, "/root/testdata/sf0.001")
+    val ex = n.filter(col("vec_id") % 5 =!= 4)
+    val nw = n.filter(col("vec_id") % 5 === 4)
+    val cu = graft.queries.StreamingQueries.labelCentroids(ex)
+      .localCheckpoint(true) // 4 consumers: batch fold + 3 micro-batches
+    val newAn = nw.select(col("vec_id"), col("label"), col("an"))
+
+    val srcDir = Files.createTempDirectory("stream-drift-src-")
+    val chunked = newAn.withColumn("_chunk",
+      ntile(3).over(Window.orderBy(col("vec_id"))))
+    (1 to 3).foreach { i =>
+      val tmp = Files.createTempDirectory(s"stream-drift-chunk$i-")
+      chunked.filter(col("_chunk") === i).select(col("label"), col("an"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val dst = srcDir.resolve(f"chunk_$i%02d.parquet")
+      Files.move(onePartFile(tmp), dst)
+      Files.setLastModifiedTime(dst,
+        FileTime.fromMillis(1700000000000L + i * 10000L))
+    }
+    val stream = spark.readStream
+      .schema(newAn.select(col("label"), col("an")).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val agg = graft.queries.StreamingQueries
+      .driftScoreAgg(stream, cu, "n_new", "nsum")
+    val q = agg.writeStream.format("memory").queryName("det_drift")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination(180000) finally q.stop()
+
+    val got = spark.table("det_drift")
+    val expected = graft.queries.StreamingQueries
+      .driftScoreAgg(newAn, cu, "n_new", "nsum")
+    assert(expected.count() > 0)
+    assert(expected.exceptAll(got).count() == 0 &&
+      got.exceptAll(expected).count() == 0,
+      "drift state diverges from the batch fold under 3-batch replay")
+  }
 }
