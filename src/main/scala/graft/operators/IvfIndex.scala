@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: the BUILD-ONCE / SERVE-MANY contract of a
+  * production vector store (FAISS on disk, Milvus/Vespa segment files).
+  * The index is two parquet tables:
+  *
+  *   - `centroids/` — (cid, ca): the coarse quantizer, ≤ √n rows;
+  *   - `postings/`  — (n_id, an, cell): every corpus vector stored
+  *     under its home cell (the inverted lists, written
+  *     partitionBy(cell) so a probe's candidate read is a partition-
+  *     pruned scan, never a full-corpus pass).
+  *
+  * `build` pays the corpus scan once (assignment through a TopKPerKey
+  * k=1 map-side cut against the broadcast quantizer — never an
+  * n × cells exchange); `serve` answers a query batch from the stored
+  * artifacts alone: probe selection against the ≤ √n-row broadcast
+  * centroid table, a cell equi-join against the postings (partition-
+  * pruned to the probed cells at 100 TB via the cell partitioning),
+  * and a bounded per-query top-k — cost ∝ |batch| · probes · cell
+  * size, independent of how many batches have been served before.
+  *
+  * The blocking, scoring, and total order are EXACTLY the registry's
+  * incremental-ANN contract (td_incremental_ann / st_incremental_ann):
+  * IvfIndexSpec proves a save→load→serve round-trip answers the
+  * identical rows the streaming path computes in-plan.
+  */
+object IvfIndex {
+
+  import graft.functions.GraftFunctions.dot
+
+  /** Coarse quantizer + postings for a normalized corpus
+    * (vec_id, an): seeds = the `cells` lowest-id vectors (the
+    * registry's oracle-pinned seeding; train upstream and pass
+    * `centsOverride` for a Lloyd-refined quantizer). */
+  def build(corpus: DataFrame, cells: Int,
+      centsOverride: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val cents = centsOverride.getOrElse(
+      corpus.orderBy(col("vec_id")).limit(cells)
+        .select(col("vec_id").as("cid"), col("an").as("ca")))
+    val scored = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("an"), col("cid"),
+        dot(col("an"), col("ca")).as("cdot"))
+    val postings = graft.plans.TopK.topKPerKey(scored,
+        keys = Seq(col("vec_id")),
+        order = Seq(col("cdot").desc, col("cid").asc), k = 1)
+      .select(col("vec_id").as("n_id"), col("an"), col("cid").as("cell"))
+    (cents, postings)
+  }
+
+  /** Persist the index. Postings are partitioned by cell so a serving
+    * scan restricted to probed cells is partition-pruned at the
+    * source — the on-disk analog of FAISS's inverted lists. The
+    * repartition co-locates each cell before the write: without it
+    * every task opens a writer per cell it touches (tasks × cells
+    * small files — IndexPersist measured the 100× build at 227 s
+    * against 145 s with the shuffle, and the serve leg at 4.2 s
+    * against 0.9 s), with it each inverted list is
+    * one file (a production writer adds maxRecordsPerFile to cap
+    * list-file size; cell size is O(√n) here, far below any cap). */
+  def save(dir: String, cents: DataFrame, postings: DataFrame): Unit = {
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    postings.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Load a persisted index: (centroids, postings). */
+  def load(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.Tables.pinDialect(s)
+    (s.read.parquet(s"$dir/centroids"),
+      // partitionBy writes `cell` as a directory key typed by
+      // inference; pin it back to the postings' long
+      s.read.parquet(s"$dir/postings")
+        .withColumn("cell", col("cell").cast("long")))
+  }
+
+  /** Answer a normalized query batch (q_id, qa) from the index:
+    * directed k-NN rows (q_id, rnk, n_id, cosine) under the registry's
+    * (cosine DESC, n_id ASC) total order. Probe selection is a
+    * TopKPerKey k=`probes` cut against the broadcast quantizer;
+    * candidates come from the probed cells' postings via the cell
+    * equi-join; the final cut is TopKPerKey k=`k` + a rank window over
+    * the ≤k post-cut rows per query. */
+  def serve(queries: DataFrame, cents: DataFrame, postings: DataFrame,
+      k: Int = 3, probes: Int = 2): DataFrame = {
+    val scored = queries.join(broadcast(cents))
+      .select(col("q_id"), col("qa"), col("cid"),
+        dot(col("qa"), col("ca")).as("cdot"))
+    val probed = graft.plans.TopK.topKPerKey(scored,
+        keys = Seq(col("q_id")),
+        order = Seq(col("cdot").desc, col("cid").asc), k = probes)
+      .select(col("q_id"), col("qa"), col("cid").as("cell"))
+    val pairs = probed.join(postings, Seq("cell"))
+      .select(col("q_id"), col("n_id"),
+        dot(col("qa"), col("an")).as("cosine"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("n_id"))
+    graft.plans.TopK.topKPerKey(pairs,
+        keys = Seq(col("q_id")),
+        order = Seq(col("cosine").desc, col("n_id").asc), k = k)
+      .withColumn("rnk", row_number().over(rk))
+      .select(col("q_id"), col("rnk"), col("n_id"), col("cosine"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.IvfIndex
+import org.apache.spark.sql.functions._
+
+/** Build-once / serve-many wall-clock A/B for the persisted IVF index
+  * (`operators.IvfIndex`): at 100 TB the index BUILD is the expensive
+  * per-corpus-vintage job and SERVING must not re-pay it — this tool
+  * measures exactly that split, at an integer scale factor over the
+  * driver fixture.
+  *
+  *   - corpus = existing vectors (vec_id % 5 ≠ 4) of the scaled
+  *     fixture, replicated with a deterministic per-replica
+  *     perturbation (vec_id-shifted, exact integer-mix noise — the
+  *     StressSmoke embedding-replica shape) so ANN top-k stays
+  *     non-degenerate;
+  *   - build = quantizer seed + posting assignment + partitioned
+  *     parquet write, cells = √(n/2) (the exact-assignment optimum);
+  *   - serve = load the stored artifacts, answer the FIXED 1× query
+  *     batch (base-fixture new vectors), three repetitions — the
+  *     serve wall must be flat across repetitions and a small
+  *     fraction of build.
+  *
+  * {{{ sbt "runMain graft.tools.IndexPersist 10 /root/testdata/sf0.1 /tmp/graft-ivfidx" }}}
+  */
+object IndexPersist {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(10)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val work = if (args.length > 2) args(2)
+      else s"${System.getProperty("java.io.tmpdir")}/graft-ivfidx-x$scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.pinDialect(Tables.localSession("graft-ivf-index", cpus))
+
+    val emb = Tables.load(spark, src, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+    val nBase = emb.count()
+
+    // scaled existing corpus, normalized: replicas shift vec_id and add
+    // an exact integer-mix perturbation per (replica, position) so no
+    // two replicas are identical vectors
+    val reps = spark.range(scale).toDF("rep")
+    val noise = (r: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+      (pmod(r * lit(2654435761L) + v * lit(40503L) + j * lit(69427L) +
+        lit(2166136261L), lit(1000003L)).cast("double") / lit(1000003.0) -
+        lit(0.5)) * lit(0.05)
+    val corpus = emb.crossJoin(broadcast(reps))
+      .filter(col("vec_id") % 5 =!= 4)
+      .select((col("vec_id") + col("rep") * lit(nBase)).as("vec_id"),
+        transform(col("vd"), (x, j) =>
+          x + noise(col("rep"), col("vec_id"), j.cast("long"))).as("vd"))
+      .withColumn("nrm", sqrt(aggregate(col("vd"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .select(col("vec_id"), transform(col("vd"), x => x / col("nrm"))
+        .as("an"))
+
+    val nVecs = nBase / 5 * 4 * scale
+    val cells = math.max(16, math.round(math.sqrt(nVecs / 2.0))).toInt
+    val idxDir = s"$work/index"
+
+    val (_, buildS) = timed {
+      val (cents, postings) = IvfIndex.build(corpus, cells)
+      IvfIndex.save(idxDir, cents, postings)
+    }
+
+    // fixed 1x query batch (the production serving regime: batch size
+    // does not grow with the corpus)
+    val queries = emb.filter(col("vec_id") % 5 === 4)
+      .withColumn("nrm", sqrt(aggregate(col("vd"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .select(col("vec_id").as("q_id"),
+        transform(col("vd"), x => x / col("nrm")).as("qa"))
+    val nQueries = queries.count()
+
+    val (lc, lp) = IvfIndex.load(spark, idxDir)
+    val serveS = (1 to 3).map { i =>
+      val (_, s) = timed {
+        IvfIndex.serve(queries, lc, lp)
+          .write.mode("overwrite").parquet(s"$work/answers_$i")
+      }
+      s
+    }
+
+    println(s"""{"metric":"ivf_index_persist","scale":$scale,""" +
+      s""""vecs":$nVecs,"cells":$cells,"batch":$nQueries,""" +
+      f""""build_s":$buildS%.2f,""" +
+      s""""serve_s":[${serveS.map(s => f"$s%.2f").mkString(",")}]}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.{SparkEntry, SparkTestSession}
+import graft.queries.DedupQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted-index contract: a save→load→serve round trip answers
+  * EXACTLY the rows the registry's streaming incremental-ANN path
+  * (st_incremental_ann) computes in-plan — same seeds, same probe
+  * order, same (cosine DESC, n_id ASC) total order — and the stored
+  * postings are laid out one directory per cell (the partition-pruned
+  * read path at scale).
+  */
+class IvfIndexSpec extends AnyFunSuite with SparkTestSession {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("save -> load -> serve equals the streaming incremental-ANN rows") {
+    val n = DedupQueries.normalizedEmbeddings(spark, sfDir)
+    val existing = n.filter(col("vec_id") % 5 =!= 4)
+      .select(col("vec_id"), col("an"))
+    val (cents, postings) = IvfIndex.build(existing, cells = 16)
+    val dir = Files.createTempDirectory("ivf-index-").toString
+    IvfIndex.save(dir, cents, postings)
+
+    val (lc, lp) = IvfIndex.load(spark, dir)
+    val queries = n.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id").as("q_id"), col("an").as("qa"))
+    val served = IvfIndex.serve(queries, lc, lp)
+      .select(col("q_id"), col("rnk"), col("n_id"))
+
+    val expected = SparkEntry.registry("st_incremental_ann")
+      .build(spark, sfDir)
+      .select(col("q_id"), col("rnk"), col("n_id"))
+    assert(expected.count() > 0)
+    assert(served.exceptAll(expected).isEmpty &&
+      expected.exceptAll(served).isEmpty,
+      "served rows diverge from the streaming incremental-ANN path")
+
+    // inverted-list layout: one cell=<cid> directory per quantizer
+    // cell (every seed's home cell is itself — dot(an, an) is maximal)
+    val listing = Files.list(Paths.get(s"$dir/postings"))
+    val cellDirs =
+      try listing.toArray.map(_.toString).count(_.contains("cell="))
+      finally listing.close()
+    assert(cellDirs == 16, s"expected 16 cell directories, got $cellDirs")
+  }
+
+  test("serve output is a ranked k-NN: dense ranks, no self matches") {
+    val n = DedupQueries.normalizedEmbeddings(spark, sfDir)
+    val existing = n.filter(col("vec_id") % 5 =!= 4)
+      .select(col("vec_id"), col("an"))
+    val (cents, postings) = IvfIndex.build(existing, cells = 16)
+    val queries = n.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id").as("q_id"), col("an").as("qa"))
+    val rows = IvfIndex.serve(queries, cents, postings).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_id") % 5 != 4, s"non-existing neighbor: $r")
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, r)
+    }
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq ==
+        (1 to rs.length).toSeq, s"non-dense ranks for q=$q")
+      assert(rs.length <= 3, s"more than k rows for q=$q")
+    }
+  }
+}
