@@ -44,7 +44,12 @@ object BenchConfs {
     * spherical k-means refinement of the data-seeded centroids
     * (VERDICT r14 #1). Unset/0 = the oracle-pinned seeded quantizer;
     * N > 0 = N assign→update→normalize rounds before the probe
-    * scoring. Read by SimilarityQueries.annKnnEdges. */
+    * scoring. Read by SimilarityQueries.ivfCentroids — i.e. it
+    * rewires EVERY consumer of the shared quantizer: the ANN kNN
+    * graph build (annKnnEdges / td_knn_graph_ann / td_knn_purity_ann
+    * / td_knn_ann_recall) AND td_ann_ivf's serving index. A sweep
+    * setting it for one family changes the other's numbers in the
+    * same session. */
   val IvfTrain = "spark.graft.ann.ivf.train"
 
   /** IVF multi-probe count (recall lever); oracle-pinned default 2.

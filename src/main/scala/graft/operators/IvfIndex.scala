@@ -31,6 +31,37 @@ object IvfIndex {
 
   import graft.functions.GraftFunctions.dot
 
+  /** Top-`k` quantizer cells per row of `vecs` under the assignment
+    * total order (dot DESC, cid ASC) — THE shared probe/assignment
+    * discipline: SimilarityQueries.annProbeFrame, td_incremental_ann,
+    * [[build]] and [[serve]] all route here, so the tie-break and
+    * probe selection can never drift between sites (review r15; four
+    * hand-kept copies before). Plan shape: `vecs` × a broadcast of the
+    * centroid table streamed (never materialized), a TopKPerKey
+    * map-side cut (shuffle O(rows·k), never a rows × cells exchange),
+    * and — for k > 1 — a rank window over the ≤k post-cut rows per id
+    * (reuses the cut's hash partitioning; no extra exchange). Returns
+    * `vecs`' columns + `cell` + `rn` (1 = the home cell). */
+  def probeFrame(vecs: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val keep = vecs.columns.toSeq.map(col)
+    val scored = vecs.join(broadcast(cents))
+      .select(keep ++ Seq(col("cid"),
+        dot(col(vecCol), col("ca")).as("cdot")): _*)
+    val cut = graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col(idCol)),
+      order = Seq(col("cdot").desc, col("cid").asc), k = k)
+    val ranked =
+      if (k == 1) cut.withColumn("rn", lit(1))
+      else {
+        val rw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol))
+          .orderBy(col("cdot").desc, col("cid").asc)
+        cut.withColumn("rn", row_number().over(rw))
+      }
+    ranked.select(keep ++ Seq(col("cid").as("cell"), col("rn")): _*)
+  }
+
   /** Coarse quantizer + postings for a normalized corpus
     * (vec_id, an): seeds = the `cells` lowest-id vectors (the
     * registry's oracle-pinned seeding; train upstream and pass
@@ -41,13 +72,9 @@ object IvfIndex {
     val cents = centsOverride.getOrElse(
       corpus.orderBy(col("vec_id")).limit(cells)
         .select(col("vec_id").as("cid"), col("an").as("ca")))
-    val scored = corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("an"), col("cid"),
-        dot(col("an"), col("ca")).as("cdot"))
-    val postings = graft.plans.TopK.topKPerKey(scored,
-        keys = Seq(col("vec_id")),
-        order = Seq(col("cdot").desc, col("cid").asc), k = 1)
-      .select(col("vec_id").as("n_id"), col("an"), col("cid").as("cell"))
+    val postings = probeFrame(
+        corpus.select(col("vec_id"), col("an")), cents, "vec_id", "an", 1)
+      .select(col("vec_id").as("n_id"), col("an"), col("cell"))
     (cents, postings)
   }
 
@@ -83,17 +110,19 @@ object IvfIndex {
     * TopKPerKey k=`probes` cut against the broadcast quantizer;
     * candidates come from the probed cells' postings via the cell
     * equi-join; the final cut is TopKPerKey k=`k` + a rank window over
-    * the ≤k post-cut rows per query. */
+    * the ≤k post-cut rows per query. Self matches (n_id = q_id) are
+    * excluded — the td_incremental_ann contract, and the only sane
+    * answer when the batch overlaps the indexed corpus (e.g. building
+    * the corpus's own kNN graph); callers therefore must give queries
+    * ids in the corpus id space, or ids that cannot collide with it
+    * (review r15 — without the filter an indexed query answered
+    * itself at rank 1, displacing a true neighbor). */
   def serve(queries: DataFrame, cents: DataFrame, postings: DataFrame,
       k: Int = 3, probes: Int = 2): DataFrame = {
-    val scored = queries.join(broadcast(cents))
-      .select(col("q_id"), col("qa"), col("cid"),
-        dot(col("qa"), col("ca")).as("cdot"))
-    val probed = graft.plans.TopK.topKPerKey(scored,
-        keys = Seq(col("q_id")),
-        order = Seq(col("cdot").desc, col("cid").asc), k = probes)
-      .select(col("q_id"), col("qa"), col("cid").as("cell"))
+    val probed = probeFrame(queries, cents, "q_id", "qa", probes)
+      .select(col("q_id"), col("qa"), col("cell"))
     val pairs = probed.join(postings, Seq("cell"))
+      .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
         dot(col("qa"), col("an")).as("cosine"))
     val rk = org.apache.spark.sql.expressions.Window

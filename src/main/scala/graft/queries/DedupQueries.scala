@@ -443,6 +443,7 @@ object DedupQueries {
         .join(bands.select(col("doc_id").as("b_id"), col("bkey").as("bkey_y")),
           col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
+        .localCheckpoint(false) // 2 consumers: precision agg + hit join
       val g = withJ(cand).agg(count(lit(1)).as("n_cand"),
         count(when(col("j") >= 0.5, 1)).as("n_cand_verified"))
       val hit = truth
@@ -526,6 +527,7 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("label").as("component_id"))
         .join(TextQueries.qualityScored(s, dir)
           .select(col("doc_id"), col("quality_score")), "doc_id")
+        .localCheckpoint(false) // 2 consumers: rep cut + final join
       val rep = graft.plans.TopK.topKPerKey(m,
           keys = Seq(col("component_id")),
           order = Seq(col("quality_score").desc, col("doc_id").asc), k = 1)

@@ -166,25 +166,17 @@ object SimilarityQueries {
   private[graft] def annProbeFrame(s: SparkSession, n: DataFrame,
       cellsOverride: Option[Int] = None): DataFrame = {
     val cells = cellsOverride.getOrElse(ivfCells(s))
-    val nProbes = ivfProbes(s)
-    val cents = ivfCentroids(s, n, cells)
     // labels ride the whole build (narrow int column on streams the
     // vectors already traverse) so the purity consumer pays zero extra
-    // joins — the same ride-along the brute purity query uses
-    val scored = n.join(broadcast(cents))
-      .select(col("vec_id"), col("label"), col("an"), col("cid"),
-        dot(col("an"), col("ca")).as("cdot"))
-    val probes = graft.plans.TopK.topKPerKey(scored,
-      keys = Seq(col("vec_id")),
-      order = Seq(col("cdot").desc, col("cid").asc), k = nProbes)
-    // rank within the ≤probes rows per node (tiny O(n·probes) window
-    // over the post-cut frame): rn=1 is the node's home cell (where it
-    // is a candidate); rn<=probes are the cells it searches as a query
-    val rw = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cdot").desc, col("cid").asc)
-    probes.withColumn("rn", row_number().over(rw))
-      .select(col("vec_id"), col("label"), col("an"),
-        col("cid").as("cell"), col("rn"))
+    // joins — the same ride-along the brute purity query uses. The
+    // probe cut itself is the ONE shared assignment discipline
+    // (IvfIndex.probeFrame: broadcast scoring, TopKPerKey cut, tiny
+    // post-cut rank window — rn=1 is the node's home cell, where it
+    // is a candidate; rn<=probes are the cells it searches as a
+    // query).
+    graft.operators.IvfIndex.probeFrame(
+      n.select(col("vec_id"), col("label"), col("an")),
+      ivfCentroids(s, n, cells), "vec_id", "an", ivfProbes(s))
   }
 
   /** Directed cosine k-NN edges built from IVF MULTI-PROBE candidates —
@@ -400,9 +392,19 @@ object SimilarityQueries {
     // sizes the codebook, the qdist lookup array (4·nCodes slots) and
     // the s·nCodes+code indexing together, so the layout can never
     // desynchronize; sizes > 10 are the trained path's lever — the
-    // label codebook tops out at the label cardinality
+    // label codebook tops out at the label cardinality, so codes > 10
+    // without training would leave 4·nCodes-slot lookups indexing a
+    // 40-row codebook: out-of-range element_at = NULL adc_dist under
+    // the non-ANSI dialect, i.e. well-formed garbage. Fail loudly
+    // instead (review r15).
     val nCodes = graft.BenchConfs.intOpt(s, graft.BenchConfs.PqCodes)
       .getOrElse(10)
+    val pqIters = graft.BenchConfs.intOpt(s, graft.BenchConfs.PqTrain)
+      .getOrElse(0)
+    require(nCodes <= 10 || pqIters > 0,
+      s"${graft.BenchConfs.PqCodes}=$nCodes exceeds the label codebook's " +
+        s"10-code cardinality; set ${graft.BenchConfs.PqTrain} > 0 (the " +
+        "trained codebook is the only path past 10 codes)")
     // micro-unit vectors: exact integers in doubles
     val vd = Tables.load(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -430,12 +432,10 @@ object SimilarityQueries {
     // the oracle-pinned default is the label%10 codebook above) swaps
     // in the unsupervised per-subspace k-means codebook; everything
     // downstream (encode, qdist, ADC) is shape-identical
-    val cbs = graft.BenchConfs.intOpt(s, graft.BenchConfs.PqTrain) match {
-      case Some(iters) if iters > 0 =>
-        trainedPqCodebook(s, vm, iters, nCodes = nCodes)
-      case _ => cb.select(explode(sequence(lit(0), lit(3))).as("s"),
+    val cbs =
+      if (pqIters > 0) trainedPqCodebook(s, vm, pqIters, nCodes = nCodes)
+      else cb.select(explode(sequence(lit(0), lit(3))).as("s"),
         col("code"), col("cma"))
-    }
     // ascending-index prepend-0 fold of squared diffs on subspace s —
     // the fused codegen kernel ([[graft.functions.SubspaceL2]]), not a
     // higher-order-function chain: this expression runs candidates ×
@@ -740,16 +740,9 @@ object SimilarityQueries {
       // artifact read, not a scan)
       val cents = n.filter(!isNew).orderBy(col("vec_id")).limit(cells)
         .select(col("vec_id").as("cid"), col("an").as("ca"))
-      val scored = n.join(broadcast(cents))
-        .select(col("vec_id"), col("an"), col("cid"),
-          dot(col("an"), col("ca")).as("cdot"))
-      val probes = graft.plans.TopK.topKPerKey(scored,
-        keys = Seq(col("vec_id")),
-        order = Seq(col("cdot").desc, col("cid").asc), k = 2)
-      val rw = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cdot").desc, col("cid").asc)
-      val pr = probes.withColumn("rn", row_number().over(rw))
-        .select(col("vec_id"), col("an"), col("cid").as("cell"), col("rn"))
+      // the shared probe/assignment discipline (IvfIndex.probeFrame)
+      val pr = graft.operators.IvfIndex.probeFrame(
+          n.select(col("vec_id"), col("an")), cents, "vec_id", "an", 2)
         .localCheckpoint(false)
       val qside = pr.filter(col("vec_id") % 5 === 4)
         .select(col("vec_id").as("q_id"), col("an").as("qa"), col("cell"))

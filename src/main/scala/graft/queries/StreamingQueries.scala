@@ -1074,7 +1074,12 @@ object StreamingQueries {
       import graft.functions.GraftFunctions.dot
       val n = graft.queries.DedupQueries.normalizedEmbeddings(s, dir)
       val ex = n.filter(col("vec_id") % 5 =!= 4)
-      val cu = labelCentroids(ex)
+      // the stream-static join re-evaluates the static subplan each
+      // micro-batch, so without the checkpoint the centroid job (a
+      // corpus scan + a labels·dim shuffle) would run once per batch
+      // plus once for the baseline (review r15); checkpointed it runs
+      // once
+      val cu = labelCentroids(ex).localCheckpoint(false)
       val est = driftScoreAgg(ex, cu, "n_existing", "esum")
       val stream = driftScoreAgg(
         Tables.loadStream(s, dir, "embeddings")

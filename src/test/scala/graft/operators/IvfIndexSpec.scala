@@ -49,6 +49,26 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestSession {
     assert(cellDirs == 16, s"expected 16 cell directories, got $cellDirs")
   }
 
+  test("serving the indexed corpus itself never answers self matches") {
+    // the build-once/serve-many overlap case (e.g. the corpus's own
+    // kNN graph): without serve's self-exclusion every indexed query
+    // would answer itself at rank 1 with cosine 1.0 (review r15)
+    val n = DedupQueries.normalizedEmbeddings(spark, sfDir)
+    val existing = n.filter(col("vec_id") % 5 =!= 4)
+      .select(col("vec_id"), col("an"))
+    val (cents, postings) = IvfIndex.build(existing, cells = 16)
+    val queries = existing.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("an").as("qa"))
+    val rows = IvfIndex.serve(queries, cents, postings).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("q_id") != r.getAs[Long]("n_id"),
+        s"self match served: $r")
+      assert(r.getAs[Double]("cosine") < 1.0 - 1e-12 ||
+        r.getAs[Long]("n_id") != r.getAs[Long]("q_id"), r)
+    }
+  }
+
   test("serve output is a ranked k-NN: dense ranks, no self matches") {
     val n = DedupQueries.normalizedEmbeddings(spark, sfDir)
     val existing = n.filter(col("vec_id") % 5 =!= 4)
