@@ -989,6 +989,11 @@ object StreamingQueries {
       val cside = existing
         .withColumn("cell", element_at(rankedCells(col("an")), 1)("cid"))
         .select(col("vec_id").as("n_id"), col("an").as("ca"), col("cell"))
+        // the stream-static join re-evaluates the static side each
+        // micro-batch — checkpoint so the corpus assignment scan runs
+        // once (the drift monitor's discipline; in production this
+        // side is the stored postings table, see operators.IvfIndex)
+        .localCheckpoint(false)
       val stream = Tables.loadStream(s, dir, "embeddings")
         .filter(col("vec_id") % 5 === 4)
         .select(col("vec_id").as("q_id"),
