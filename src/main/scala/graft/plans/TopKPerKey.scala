@@ -84,9 +84,26 @@ case class TopKPerKeyExec(
   override protected def doExecute(): RDD[InternalRow] =
     if (partial) executePartial() else executeFinal()
 
-  /** Map-side prune: per-key bounded heaps under a byte budget; overflow
-    * rows stream through unbuffered (the final pass re-filters, so any
-    * superset is correct). */
+  /** Map-side prune: a RUN-AWARE cut in front of per-key bounded heaps
+    * under a byte budget.
+    *
+    * Rows for one key are CONSECUTIVE in the common producing shapes —
+    * a broadcast join expanding each outer row into its (row × cells)
+    * scores, a generator explode, a sorted upstream — so the cut first
+    * folds the CURRENT RUN into one O(k) heap with no per-key map
+    * entry at all, and only a run's ≤k SURVIVORS enter the budgeted
+    * hash map when the key changes (interleaved keys degrade to run
+    * length 1, which is exactly the old per-row path). This bounds the
+    * worst-case map output at ~n·k rows REGARDLESS of key cardinality:
+    * before the run cut, a task whose key count overflowed the byte
+    * budget streamed every row of every untracked key — at the ANN
+    * probe-cut shape (keys × cells input) that degraded to the n×cells
+    * worst case the operator exists to avoid (measured at the 800×
+    * rung: 405M-row / 11.9 GB probe-cut shuffle, re-measured at 3.2M
+    * rows after the run cut — BASELINE round 15). Overflow survivors
+    * still stream through unbuffered (the final pass re-filters, so
+    * any superset is correct — partial hash aggregation's fallback
+    * discipline). */
   private def executePartial(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
@@ -114,7 +131,7 @@ case class TopKPerKeyExec(
       }
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(sortOrder, childOutput)
-      // reverse heap: the WORST kept row sits at the head for O(log k)
+      // reverse heaps: the WORST kept row sits at the head for O(log k)
       // eviction when a better row arrives
       val heaps =
         new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
@@ -123,42 +140,69 @@ case class TopKPerKeyExec(
         case u: UnsafeRow => u.getSizeInBytes.toLong
         case _ => 64L + 16L * childOutput.length // non-unsafe fallback
       }
-      val passThrough = iter.flatMap { row =>
-        val key = keyProj(row)
-        var pq = heaps.get(key)
-        if (pq == null) {
-          if (retained >= budget) Iterator.single(row) // budget full: stream
-          else {
+      // the current run's key and O(k) heap (heap object reused across
+      // runs; rows inside are copies)
+      var runKey: UnsafeRow = null
+      var runPq = new java.util.PriorityQueue[InternalRow](limit + 1,
+        ordering.reverse)
+      // route the finished run's survivors into the budgeted hash map;
+      // rows that cannot be tracked stream through (returned)
+      def flushRun(): Iterator[InternalRow] =
+        if (runKey == null || runPq.isEmpty) Iterator.empty
+        else {
+          val survivors = runPq.toArray(new Array[InternalRow](runPq.size()))
+          runPq.clear()
+          var pq = heaps.get(runKey)
+          if (pq == null && retained < budget) {
             pq = new java.util.PriorityQueue[InternalRow](limit + 1,
               ordering.reverse)
-            val kc = key.copy()
+            val kc = runKey.copy()
             heaps.put(kc, pq)
-            pq.add(row.copy())
-            retained += kc.getSizeInBytes + sizeOf(row)
-            Iterator.empty
+            retained += kc.getSizeInBytes
           }
-        } else if (pq.size() < limit) {
-          if (retained >= budget) Iterator.single(row)
+          if (pq == null) survivors.iterator // budget full: stream
           else {
-            pq.add(row.copy())
-            retained += sizeOf(row)
-            Iterator.empty
+            val overflow = Array.newBuilder[InternalRow]
+            survivors.foreach { row =>
+              if (pq.size() < limit) {
+                if (retained >= budget) overflow += row
+                else { pq.add(row); retained += sizeOf(row) }
+              } else if (ordering.compare(row, pq.peek()) < 0) {
+                val out = pq.poll()
+                pq.add(row)
+                retained += sizeOf(row) - sizeOf(out)
+              }
+              // else: strictly worse than the tracked k — drop
+            }
+            overflow.result().iterator
           }
-        } else if (ordering.compare(row, pq.peek()) < 0) {
-          val out = pq.poll()
-          pq.add(row.copy())
-          retained += sizeOf(row) - sizeOf(out)
+        }
+      val passThrough = iter.flatMap { row =>
+        val key = keyProj(row)
+        if (runKey != null && key == runKey) {
+          // run continuation: O(log k), no map lookup, no budget
+          if (runPq.size() < limit) runPq.add(row.copy())
+          else if (ordering.compare(row, runPq.peek()) < 0) {
+            runPq.poll()
+            runPq.add(row.copy())
+          }
           Iterator.empty
-        } else Iterator.empty
+        } else {
+          val out = flushRun()
+          runKey = key.copy()
+          runPq.add(row.copy())
+          out
+        }
       }
       import scala.jdk.CollectionConverters._
-      // ++ is by-name: the drain sees the fully-populated heaps only
-      // after the input (and with it passThrough) is exhausted
-      passThrough ++ heaps.values().iterator().asScala.flatMap { pq =>
-        val arr = pq.toArray(new Array[InternalRow](pq.size()))
-        java.util.Arrays.sort(arr, ordering)
-        arr.iterator
-      }
+      // ++ is by-name: the final flush and the drain run only after the
+      // input (and with it passThrough) is exhausted, in this order
+      passThrough ++ flushRun() ++
+        heaps.values().iterator().asScala.flatMap { pq =>
+          val arr = pq.toArray(new Array[InternalRow](pq.size()))
+          java.util.Arrays.sort(arr, ordering)
+          arr.iterator
+        }
     }
   }
 

@@ -69,6 +69,49 @@ class TopKPerKeySpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.unset("spark.graft.topk.partialBudgetBytes")
   }
 
+  test("run-aware partial cut bounds map output at ~n*k under any budget") {
+    // the ANN probe-cut shape: each key's rows CONSECUTIVE (one outer
+    // row expanded by a broadcast join). Before the run cut, a task
+    // whose key count overflowed the byte budget streamed EVERY row of
+    // every untracked key (n × cells); the run cut caps it at the run
+    // survivors (~n·k) regardless of budget — measured at the 800× ANN
+    // rung as 405M → 3.2M probe-cut rows (BASELINE round 15).
+    spark.conf.set("spark.graft.topk.partialBudgetBytes", "1024")
+    try {
+      val n = 1000L
+      val fanout = 50
+      val df = spark.range(n).toDF("key")
+        .join(broadcast(spark.range(fanout).toDF("v")))
+        .select(col("key"), pmod(col("v") * 7, lit(fanout)).as("score"))
+      val partialOnly = org.apache.spark.sql.graft.PlanShim.ofRows(spark,
+        TopKPerKey(
+          Seq(org.apache.spark.sql.graft.PlanShim.expression(col("key"))),
+          Seq(org.apache.spark.sql.catalyst.expressions.SortOrder(
+            org.apache.spark.sql.graft.PlanShim.expression(col("score")),
+            org.apache.spark.sql.catalyst.expressions.Ascending)),
+          k = 2, df.queryExecution.analyzed, partial = true))
+      val cnt = partialOnly.count()
+      assert(cnt <= n * 2 + 64,
+        s"partial pass emitted $cnt rows for $n consecutive-key groups " +
+          s"(pre-run-cut behavior would emit ~${n * fanout})")
+      // and the cut is still a correct superset: the full pair equals
+      // the declarative window under the same tiny budget
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("score").asc, col("v").asc)
+      val src = spark.range(n).toDF("key")
+        .join(broadcast(spark.range(fanout).toDF("v")))
+        .select(col("key"), col("v"),
+          pmod(col("v") * 7, lit(fanout)).as("score"))
+      val a = TopK.topKPerKey(src, keys = Seq(col("key")),
+          order = Seq(col("score").asc, col("v").asc), k = 2)
+        .orderBy("key", "score", "v").collect().toSeq
+      val b = src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2).drop("rn")
+        .orderBy("key", "score", "v").collect().toSeq
+      assert(a == b && a.nonEmpty)
+    } finally spark.conf.unset("spark.graft.topk.partialBudgetBytes")
+  }
+
   test("k=1 degenerates to first-per-key") {
     val got = viaOperator(1)
       .groupBy("l_returnflag", "l_linestatus").count().collect()
