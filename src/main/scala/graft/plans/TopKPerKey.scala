@@ -93,7 +93,8 @@ case class TopKPerKeyExec(
     * folds the CURRENT RUN into one O(k) heap with no per-key map
     * entry at all, and only a run's ≤k SURVIVORS enter the budgeted
     * hash map when the key changes (interleaved keys degrade to run
-    * length 1, which is exactly the old per-row path). This bounds the
+    * length 1 — the old per-row path plus one row memcpy, the
+    * documented trade at the run-start site below). This bounds the
     * worst-case map output at ~n·k rows REGARDLESS of key cardinality:
     * before the run cut, a task whose key count overflowed the byte
     * budget streamed every row of every untracked key — at the ANN
@@ -140,57 +141,102 @@ case class TopKPerKeyExec(
         case u: UnsafeRow => u.getSizeInBytes.toLong
         case _ => 64L + 16L * childOutput.length // non-unsafe fallback
       }
-      // the current run's key and O(k) heap (heap object reused across
-      // runs; rows inside are copies)
+      // per-row insert into the budgeted hash map, or stream the row
+      // through when it cannot be tracked — the pre-run-cut per-row
+      // path, byte for byte. `copied` says whether `row` may be kept
+      // as-is (run survivors are already copies; fresh iterator rows
+      // are reused buffers and must be copied before buffering).
+      def mapInsertOrStream(key: UnsafeRow, row: InternalRow,
+          copied: Boolean): Iterator[InternalRow] = {
+        var pq = heaps.get(key)
+        if (pq == null) {
+          if (retained >= budget) Iterator.single(row) // budget full
+          else {
+            pq = new java.util.PriorityQueue[InternalRow](limit + 1,
+              ordering.reverse)
+            val kc = key.copy()
+            heaps.put(kc, pq)
+            val r = if (copied) row else row.copy()
+            pq.add(r)
+            retained += kc.getSizeInBytes + sizeOf(r)
+            Iterator.empty
+          }
+        } else if (pq.size() < limit) {
+          if (retained >= budget) Iterator.single(row)
+          else {
+            val r = if (copied) row else row.copy()
+            pq.add(r)
+            retained += sizeOf(r)
+            Iterator.empty
+          }
+        } else if (ordering.compare(row, pq.peek()) < 0) {
+          val out = pq.poll()
+          val r = if (copied) row else row.copy()
+          pq.add(r)
+          retained += sizeOf(r) - sizeOf(out)
+          Iterator.empty
+        } else Iterator.empty // dominated by k tracked same-key rows
+      }
+      // The current run's key and O(k) heap (rows inside are copies —
+      // the input buffer is reused). The heap is capped by the SAME
+      // byte budget via its own counter (it is transient per run, so
+      // tracked memory is ≤ 2× budget overall): a rewritten user
+      // window with a huge k over wide rows must not pin k·rowSize
+      // unbudgeted (review r15); a row the cap refuses streams
+      // through — still a correct superset. Interleaved keys (run
+      // length 1, budget full) pay ONE row memcpy + one key copy per
+      // row over the old zero-copy stream — accepted deliberately:
+      // the alternative (streaming each run's first row) inflates the
+      // consecutive shape's map output from k to k+1 rows per key,
+      // and shuffle serialization dwarfs a memcpy.
       var runKey: UnsafeRow = null
-      var runPq = new java.util.PriorityQueue[InternalRow](limit + 1,
+      var runBytes = 0L
+      val runPq = new java.util.PriorityQueue[InternalRow](16,
         ordering.reverse)
       // route the finished run's survivors into the budgeted hash map;
       // rows that cannot be tracked stream through (returned)
       def flushRun(): Iterator[InternalRow] =
         if (runKey == null || runPq.isEmpty) Iterator.empty
-        else {
+        else if (runPq.size() == 1) {
+          // run-length-1 fast path: no array materialization
+          val r = runPq.poll()
+          runBytes = 0L
+          mapInsertOrStream(runKey, r, copied = true)
+        } else {
           val survivors = runPq.toArray(new Array[InternalRow](runPq.size()))
           runPq.clear()
-          var pq = heaps.get(runKey)
-          if (pq == null && retained < budget) {
-            pq = new java.util.PriorityQueue[InternalRow](limit + 1,
-              ordering.reverse)
-            val kc = runKey.copy()
-            heaps.put(kc, pq)
-            retained += kc.getSizeInBytes
+          runBytes = 0L
+          val overflow = Array.newBuilder[InternalRow]
+          survivors.foreach { row =>
+            overflow ++= mapInsertOrStream(runKey, row, copied = true)
           }
-          if (pq == null) survivors.iterator // budget full: stream
-          else {
-            val overflow = Array.newBuilder[InternalRow]
-            survivors.foreach { row =>
-              if (pq.size() < limit) {
-                if (retained >= budget) overflow += row
-                else { pq.add(row); retained += sizeOf(row) }
-              } else if (ordering.compare(row, pq.peek()) < 0) {
-                val out = pq.poll()
-                pq.add(row)
-                retained += sizeOf(row) - sizeOf(out)
-              }
-              // else: strictly worse than the tracked k — drop
-            }
-            overflow.result().iterator
-          }
+          overflow.result().iterator
         }
       val passThrough = iter.flatMap { row =>
         val key = keyProj(row)
         if (runKey != null && key == runKey) {
-          // run continuation: O(log k), no map lookup, no budget
-          if (runPq.size() < limit) runPq.add(row.copy())
-          else if (ordering.compare(row, runPq.peek()) < 0) {
-            runPq.poll()
-            runPq.add(row.copy())
-          }
-          Iterator.empty
+          // run continuation: O(log k), no map lookup
+          if (runPq.size() < limit) {
+            if (runBytes >= budget) Iterator.single(row) // cap: stream
+            else {
+              val r = row.copy()
+              runPq.add(r)
+              runBytes += sizeOf(r)
+              Iterator.empty
+            }
+          } else if (ordering.compare(row, runPq.peek()) < 0) {
+            val out = runPq.poll()
+            val r = row.copy()
+            runPq.add(r)
+            runBytes += sizeOf(r) - sizeOf(out)
+            Iterator.empty
+          } else Iterator.empty // dominated within the run
         } else {
           val out = flushRun()
           runKey = key.copy()
-          runPq.add(row.copy())
+          val r = row.copy()
+          runPq.add(r)
+          runBytes = sizeOf(r)
           out
         }
       }
