@@ -979,7 +979,7 @@ object StreamingQueries {
       // (-0.0 == 0.0 under SQL struct comparison, so zero-dot ties
       // still break by cid)
       def rankedCells(an: org.apache.spark.sql.Column)
-          : org.apache.spark.sql.Column = array_sort(array(cents.map {
+          : org.apache.spark.sql.Column = array_sort(array(cents.toSeq.map {
         case (cid, ca) => struct(
           (-dot(an, typedlit(ca))).as("negdot"), lit(cid).as("cid"))
       }: _*))
