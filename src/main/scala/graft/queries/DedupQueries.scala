@@ -258,6 +258,106 @@ object DedupQueries {
         coalesce(col("label"), col("rep")).as("label"))
   }
 
+  /** The linear-shuffle incremental-admission plan of
+    * td_incremental_dedup (see the registry entry's SCALE SHAPE note
+    * for the design argument; factored out so IncrementalDedupSpec can
+    * run it against arbitrary constructed corpora).
+    *
+    * Input: `documents`-shaped frame (doc_id, text, lang, source).
+    * Output: the admitted new docs (doc_id, lang, source) ordered by
+    * doc_id — bit-identical to [[incrementalDedupDirect]]. */
+  private[graft] def incrementalDedup(docs: DataFrame): DataFrame = {
+    val isNew = col("doc_id") % 5 === 4
+    val dig = struct(md5(col("text").cast("binary")),
+      xxhash64(col("text")), length(col("text"))).as("_dig")
+    // digest classes (the shingleGroups contraction, with parity flags
+    // riding the agg): one row per distinct text, shuffled once with
+    // map-side partials holding one text per digest per task
+    val classes = docs.select(col("doc_id"), dig, col("text"))
+      .groupBy(col("_dig"))
+      .agg(first(col("text")).as("text"),
+        max(when(isNew, 1).otherwise(0)).as("has_new"),
+        max(when(!isNew, 1).otherwise(0)).as("has_existing"))
+    val ws = words(col("text"))
+    val sigd = classes
+      .select(col("_dig"), col("has_new"), col("has_existing"), ws.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("_dig"), col("has_new"), col("has_existing"),
+        array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
+      .withColumn("sig", minhashSig(col("hs"), 8))
+    val bandArr = transform(sequence(lit(0), lit(3)), b =>
+      concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
+        element_at(col("sig"), b * 2 + 2)))
+    // band frames CARRY the shingle set (linear payload: 4 rows × one
+    // array per class) so verification needs no post-join hs fetch.
+    // New side = all-new classes only: a mixed class's new members are
+    // exact-dropped below, so banding them would be dead work — and
+    // the oracle's ver-minus-ex difference never surfaces them either.
+    val nB = sigd.filter(col("has_new") === 1 && col("has_existing") === 0)
+      .select(col("_dig"), col("hs").as("n_hs"), explode(bandArr).as("bkey"))
+    val eB = sigd.filter(col("has_existing") === 1)
+      .select(col("hs").as("e_hs"), explode(bandArr).as("bkey"))
+    // the jaccard predicate is PIPELINED inside the band-join stage:
+    // in-bucket pairs are enumerated and discarded in-task, and only
+    // verified digests are exchanged (the distinct's input is bounded
+    // by the TRUE near-dup volume, not the candidate volume)
+    val verDig = nB.join(eB, "bkey")
+      .filter(jaccard(col("n_hs"), col("e_hs")) >= 0.5)
+      .select(col("_dig")).distinct()
+    // exact leg: classes holding both parities — their new members are
+    // text-equal to an existing doc (covers <3-word texts too)
+    val exDig = classes
+      .filter(col("has_new") === 1 && col("has_existing") === 1)
+      .select(col("_dig"))
+    docs.filter(isNew)
+      .select(col("doc_id"), col("lang"), col("source"), dig)
+      .join(exDig, Seq("_dig"), "left_anti")
+      .join(verDig, Seq("_dig"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-round-16 pair-materializing plan, verbatim — doc-level
+    * bands, candidate distinct, two hs joins, then verify. Kept ONLY as
+    * IncrementalDedupSpec's equivalence reference: it IS the oracle
+    * SQL's literal shape, so row-identity against it on adversarial
+    * corpora is the admitted-pair-universe-preservation proof for
+    * [[incrementalDedup]]'s contraction + in-stage verification. */
+  private[graft] def incrementalDedupDirect(docs: DataFrame): DataFrame = {
+    val isNew = col("doc_id") % 5 === 4
+    val sh = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
+    val sig = sh.select(col("doc_id"), minhashSig(col("hs"), 8).as("sig"))
+    val bandArr = transform(sequence(lit(0), lit(3)), b =>
+      concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
+        element_at(col("sig"), b * 2 + 2)))
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("bkey"))
+    val cand = bands.filter(isNew)
+      .select(col("doc_id").as("n_id"), col("bkey"))
+      .join(bands.filter(!isNew)
+        .select(col("doc_id").as("e_id"), col("bkey").as("bkey_y")),
+        col("bkey") === col("bkey_y"))
+      .select(col("n_id"), col("e_id")).distinct()
+    val ver = cand
+      .join(sh.select(col("doc_id").as("n_id"), col("hs").as("a_hs")), "n_id")
+      .join(sh.select(col("doc_id").as("e_id"), col("hs").as("b_hs")), "e_id")
+      .filter(jaccard(col("a_hs"), col("b_hs")) >= 0.5)
+      .select(col("n_id").as("doc_id")).distinct()
+    val dig = struct(md5(col("text").cast("binary")),
+      xxhash64(col("text")), length(col("text"))).as("_dig")
+    val ex = docs.filter(isNew).select(col("doc_id"), dig)
+      .join(docs.filter(!isNew).select(dig), "_dig")
+      .select(col("doc_id")).distinct()
+    docs.filter(isNew)
+      .join(ver, Seq("doc_id"), "left_anti")
+      .join(ex, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** vec_id, label, an (unit-normalized array<double>). */
   private[graft] def normalizedEmbeddings(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -705,6 +805,37 @@ object DedupQueries {
     // (digest equi-join, catches <3-word texts too) or a verified
     // near-dup (Jaccard >= 0.5) against an existing doc. Within-batch
     // duplicates are the following full pass's job (td_dedup_corpus).
+    //
+    // SCALE SHAPE (round 16 — the r15 ladder's one superlinear rung,
+    // 3.06× shuffle/octave at 400×): the old plan materialized the band
+    // join's candidate PAIRS into a distinct + two hs joins, so the
+    // shuffled volume was the pair count — quadratic in band-bucket
+    // width (703 cross-parity colliding pairs at 1× become
+    // width²-per-bucket under near-dup replication). The plan below
+    // keeps shuffle linear in the corpus by construction:
+    //
+    //   1. EXACT-DUP CONTRACTION to digest classes (the shingleGroups
+    //      discipline): every similarity signal is a pure function of
+    //      the text, so docs with identical text are interchangeable —
+    //      bands, signatures, and verification run once per DISTINCT
+    //      text, and per-doc verdicts are recovered by a digest join.
+    //      Classes with an existing member have all their new members
+    //      dropped by the exact leg, so only ALL-NEW classes enter the
+    //      near-dup machinery at all.
+    //   2. IN-STAGE VERIFICATION: both band frames carry their class's
+    //      hashed shingle set INTO the band equi-join, and the
+    //      Jaccard >= 0.5 predicate runs PIPELINED in the join stage —
+    //      candidate pairs are enumerated and discarded inside the
+    //      task, and only VERIFIED class digests reach the next
+    //      exchange. Shuffle = O(Σ|hs|) for the band frames (4 rows ×
+    //      one shingle array per class) + the tiny verified set; the
+    //      quadratic pair mass costs CPU (an array intersect per
+    //      in-bucket pair), never a shuffle write. Admitted-pair
+    //      universe is untouched: same band keys, same candidate
+    //      predicate, same Jaccard threshold, evaluated earlier in the
+    //      same plan (IncrementalDedupSpec pins equivalence against
+    //      the direct pair-materializing plan, mixed/short/no-band
+    //      classes included).
     "td_incremental_dedup" -> QueryDef.sql(
       "admit new batch vs existing corpus: exact + near-dup drops")(
       s"""$ShingleCte,
@@ -735,41 +866,7 @@ object DedupQueries {
         |  AND d.doc_id NOT IN (SELECT n_id FROM ver)
         |  AND d.doc_id NOT IN (SELECT n_id FROM ex)
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val isNew = col("doc_id") % 5 === 4
-      val sh = docs
-        .select(col("doc_id"), words(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"),
-          array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
-      val sig = sh.select(col("doc_id"), minhashSig(col("hs"), 8).as("sig"))
-      val bandArr = transform(sequence(lit(0), lit(3)), b =>
-        concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
-          element_at(col("sig"), b * 2 + 2)))
-      val bands = sig.select(col("doc_id"), explode(bandArr).as("bkey"))
-      val cand = bands.filter(isNew)
-        .select(col("doc_id").as("n_id"), col("bkey"))
-        .join(bands.filter(!isNew)
-          .select(col("doc_id").as("e_id"), col("bkey").as("bkey_y")),
-          col("bkey") === col("bkey_y"))
-        .select(col("n_id"), col("e_id")).distinct()
-      val ver = cand
-        .join(sh.select(col("doc_id").as("n_id"), col("hs").as("a_hs")), "n_id")
-        .join(sh.select(col("doc_id").as("e_id"), col("hs").as("b_hs")), "e_id")
-        .filter(jaccard(col("a_hs"), col("b_hs")) >= 0.5)
-        .select(col("n_id").as("doc_id")).distinct()
-      // exact text match via the fixed-width (md5, xxhash64, length)
-      // digest — same no-full-text-shuffle rationale as shingleGroups
-      val dig = struct(md5(col("text").cast("binary")),
-        xxhash64(col("text")), length(col("text"))).as("_dig")
-      val ex = docs.filter(isNew).select(col("doc_id"), dig)
-        .join(docs.filter(!isNew).select(dig), "_dig")
-        .select(col("doc_id")).distinct()
-      docs.filter(isNew)
-        .join(ver, Seq("doc_id"), "left_anti")
-        .join(ex, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
+      incrementalDedup(t(s, dir, "documents"))
     },
 
     // ---- Deterministic uniform sample via the bottom-k-by-hash sketch:

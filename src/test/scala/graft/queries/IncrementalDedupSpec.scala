@@ -1,0 +1,109 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Admitted-pair-universe preservation for the round-16
+  * td_incremental_dedup plan (VERDICT r15 #1): the linear-shuffle plan
+  * (digest-class contraction + in-stage verification,
+  * [[DedupQueries.incrementalDedup]]) must emit row-identical survivor
+  * sets to the pair-materializing plan that literally mirrors the
+  * oracle SQL ([[DedupQueries.incrementalDedupDirect]]) — on the driver
+  * fixture AND on constructed corpora that force every contraction edge
+  * case the fixture may not cover: mixed-parity duplicate classes,
+  * sub-3-word texts on both sides, within-batch-only duplicates, and
+  * the StressSmoke replica growth model (exact-dup even replicas +
+  * suffix near-dup odd replicas) that made the r15 rung superlinear.
+  */
+class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, text) => (id, text, "en", "unit") }
+      .toDF("doc_id", "text", "lang", "source")
+  }
+
+  private def assertEquivalent(docs: DataFrame, clue: String): Unit = {
+    val fast = DedupQueries.incrementalDedup(docs).collect().toSeq
+    val direct = DedupQueries.incrementalDedupDirect(docs).collect().toSeq
+    assert(fast == direct, s"$clue: staged plan diverges from direct plan\n" +
+      s"fast=${fast.take(20)}\ndirect=${direct.take(20)}")
+  }
+
+  test("fixture equivalence: sf0.01 and sf0.001 survivor sets identical") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = graft.Tables.load(spark, s"/root/testdata/$sf", "documents")
+      assertEquivalent(docs, sf)
+    }
+  }
+
+  test("mixed-parity duplicate classes: exact leg drops, ver leg unaffected") {
+    // text X exists as BOTH new (id 4, 14) and existing (id 1) — the
+    // contraction must route its new members to the exact leg, keep X
+    // on the EXISTING band side (a near-dup new doc of X must still be
+    // dropped), and never band X as a new class
+    val x = "alpha beta gamma delta epsilon zeta eta theta"
+    val nearX = x + " iota" // J(x, nearX) = 6/7 >= 0.5
+    val docs = docsDf(Seq(
+      1L -> x, 4L -> x, 14L -> x,         // mixed class
+      9L -> nearX,                        // new near-dup of existing X
+      2L -> "totally different words about something else entirely here",
+      24L -> "unrelated new document with its own vocabulary and phrasing"))
+    assertEquivalent(docs, "mixed-parity classes")
+    // and the semantics themselves: 4/14 exact-dropped, 9 near-dropped,
+    // 24 admitted
+    val out = DedupQueries.incrementalDedup(docs)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(24L), s"expected only 24 admitted, got $out")
+  }
+
+  test("short texts: never banded, exact leg still applies") {
+    val docs = docsDf(Seq(
+      1L -> "tiny one",        // existing, <3 words
+      4L -> "tiny one",        // new exact dup of a short text -> dropped
+      9L -> "tiny two",        // new short, no existing match -> admitted
+      14L -> "x",              // new single word -> admitted
+      2L -> "three word text")) // existing with hs, no new partner
+    assertEquivalent(docs, "short texts")
+    val out = DedupQueries.incrementalDedup(docs)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(9L, 14L), s"expected 9,14 admitted, got $out")
+  }
+
+  test("within-batch duplicates are NOT dropped (next full pass's job)") {
+    val y = "brand new content shared by two arriving documents today"
+    val docs = docsDf(Seq(
+      4L -> y, 14L -> y,       // all-new duplicate class: both admitted
+      1L -> "some existing corpus document with different words entirely"))
+    assertEquivalent(docs, "within-batch dups")
+    val out = DedupQueries.incrementalDedup(docs)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(4L, 14L), s"expected 4,14 admitted, got $out")
+  }
+
+  test("replica growth model: wide same-sig buckets stay equivalent") {
+    // the r15 superlinear regime in miniature: base docs replicated
+    // with parity-preserving id stride (10 % 5 == 0), even replicas
+    // exact, odd replicas suffix near-dups — band buckets get one
+    // class per odd replica plus the contracted even class
+    val bases = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again today",
+      1L -> "pack my box with five dozen liquor jugs before midnight",
+      4L -> "sphinx of black quartz judge my vow said the editor",
+      9L -> "how vexingly quick daft zebras jump over fences at dawn")
+    val docs = docsDf(for {
+      (id, text) <- bases
+      rep <- 0L until 8L
+    } yield (id + rep * 10L,
+      if (rep % 2 == 0) text else s"$text r$rep"))
+    assertEquivalent(docs, "replica growth model")
+  }
+
+  test("staged plan is deterministic across runs") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val a = DedupQueries.incrementalDedup(docs).collect().toSeq
+    val b = DedupQueries.incrementalDedup(docs).collect().toSeq
+    assert(a == b)
+  }
+}
