@@ -44,6 +44,17 @@ object IvfIndex {
     * `vecs`' columns + `cell` + `rn` (1 = the home cell). */
   def probeFrame(vecs: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
+    // reserved-name contract (ADVICE r15): the join and the keep-select
+    // below would go ambiguous or silently shadow if `vecs` already
+    // carried a working column, and `cents` must be exactly (cid, ca)
+    // or the broadcast join drags extra columns into the scored frame
+    val reserved = Set("cid", "ca", "cdot", "cell", "rn")
+    val clash = vecs.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"vecs carries reserved probe column(s) ${clash.mkString(", ")}; " +
+        s"rename before calling probeFrame (reserved: ${reserved.mkString(", ")})")
+    require(cents.columns.sorted.toSeq == Seq("ca", "cid"),
+      s"cents must be exactly (cid, ca), got (${cents.columns.mkString(", ")})")
     val keep = vecs.columns.toSeq.map(col)
     val scored = vecs.join(broadcast(cents))
       .select(keep ++ Seq(col("cid"),
@@ -94,14 +105,56 @@ object IvfIndex {
       .partitionBy("cell").parquet(s"$dir/postings")
   }
 
-  /** Load a persisted index: (centroids, postings). */
+  /** Build-and-publish-once: if `dir` does not already hold a complete
+    * index, run `build`, [[save]] into a process-unique staging dir,
+    * stamp the completion marker INSIDE it (so its contents are
+    * complete the instant it becomes visible), and atomically rename
+    * it into place. A concurrent builder that loses the rename simply
+    * discards its staging dir and reads the winner — the registry's
+    * sentinel discipline (StressSmoke.markerPath) adapted to an
+    * artifact multiple JVMs may race to create. A `dir` left behind
+    * WITHOUT the marker (a crash before the rename protocol existed,
+    * or a foreign layout) is torn down and rebuilt. Returns `dir`. */
+  def ensureSaved(dir: String)(build: => (DataFrame, DataFrame)): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val marker = Paths.get(dir, "_graft_ivf_ok")
+    if (!Files.exists(marker)) {
+      if (Files.exists(Paths.get(dir)))
+        graft.Tables.deleteRecursively(dir)
+      val staging = s"$dir.tmp-${ProcessHandle.current().pid()}"
+      val (cents, postings) = build
+      save(staging, cents, postings)
+      Files.createFile(Paths.get(staging, "_graft_ivf_ok"))
+      try Files.move(Paths.get(staging), Paths.get(dir),
+        StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.AccessDeniedException |
+            _: java.nio.file.DirectoryNotEmptyException =>
+          // a concurrent builder published first; its index is
+          // complete (marker-inside-then-rename), use it
+          graft.Tables.deleteRecursively(staging)
+      }
+    }
+    dir
+  }
+
+  /** Load a persisted index: (centroids, postings). The postings read
+    * is SCHEMA-PINNED (VERDICT r15 watch #3): `cell` is declared long
+    * directly in the read schema rather than cast after the fact — a
+    * post-read cast would wrap the partition column in an expression
+    * and break static partition pruning on [[servePruned]]'s `isin`
+    * filter (the pruned read IS the serve-path contract), and a pinned
+    * schema fails loudly if the index format ever gains columns. */
   def load(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
     graft.Tables.pinDialect(s)
+    val postingsSchema = StructType(Seq(
+      StructField("n_id", LongType),
+      StructField("an", ArrayType(DoubleType)),
+      StructField("cell", LongType)))
     (s.read.parquet(s"$dir/centroids"),
-      // partitionBy writes `cell` as a directory key typed by
-      // inference; pin it back to the postings' long
-      s.read.parquet(s"$dir/postings")
-        .withColumn("cell", col("cell").cast("long")))
+      s.read.schema(postingsSchema).parquet(s"$dir/postings"))
   }
 
   /** Answer a normalized query batch (q_id, qa) from the index:
@@ -111,16 +164,46 @@ object IvfIndex {
     * candidates come from the probed cells' postings via the cell
     * equi-join; the final cut is TopKPerKey k=`k` + a rank window over
     * the ≤k post-cut rows per query. Self matches (n_id = q_id) are
-    * excluded — the td_incremental_ann contract, and the only sane
+    * excluded — st_incremental_ann's EXISTING-CORPUS-ONLY contract
+    * (postings exclude the query batch, so in-batch new-vs-new
+    * candidates — which td_incremental_ann additionally surfaces —
+    * cannot appear here; ADVICE r15), and the only sane
     * answer when the batch overlaps the indexed corpus (e.g. building
     * the corpus's own kNN graph); callers therefore must give queries
     * ids in the corpus id space, or ids that cannot collide with it
     * (review r15 — without the filter an indexed query answered
     * itself at rank 1, displacing a true neighbor). */
   def serve(queries: DataFrame, cents: DataFrame, postings: DataFrame,
+      k: Int = 3, probes: Int = 2): DataFrame =
+    servePairs(probeFrame(queries, cents, "q_id", "qa", probes)
+      .select(col("q_id"), col("qa"), col("cell")), postings, k)
+
+  /** [[serve]], with the production READ path for a PERSISTED index
+    * (VERDICT r15 #3): the batch's probed cell ids are collected at
+    * plan build — bounded by the CELL COUNT, O(√n) longs even when
+    * every cell is probed, the FAISS look-up-then-fetch-lists step —
+    * and pushed as a STATIC `isin` filter on the postings scan's
+    * partition column, so a batch probing c cells READS c inverted-
+    * list partitions (spec-pinned in IvfIndexSpec; IndexPersist
+    * records the scan's partitions-read metric at the 400×/800×
+    * rungs). The generic [[serve]] keeps the pure-join form for
+    * in-plan (unsaved) postings, where there is no partitioned scan
+    * to prune. */
+  def servePruned(queries: DataFrame, cents: DataFrame, postings: DataFrame,
       k: Int = 3, probes: Int = 2): DataFrame = {
     val probed = probeFrame(queries, cents, "q_id", "qa", probes)
       .select(col("q_id"), col("qa"), col("cell"))
+      .localCheckpoint(false)
+    val cellIds = probed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq.sorted
+    servePairs(probed, postings.filter(col("cell").isin(cellIds: _*)), k)
+  }
+
+  /** Shared scoring leg of [[serve]]/[[servePruned]]: cell equi-join,
+    * self-exclusion, cosine, and the bounded per-query top-k under the
+    * registry's (cosine DESC, n_id ASC) total order. */
+  private def servePairs(probed: DataFrame, postings: DataFrame,
+      k: Int): DataFrame = {
     val pairs = probed.join(postings, Seq("cell"))
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),

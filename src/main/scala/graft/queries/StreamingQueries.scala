@@ -918,15 +918,20 @@ object StreamingQueries {
 
     // ---- streaming ANN serving (round 15, the similarity twin of
     // st_incremental_dedup): arriving new vectors (vec_id % 5 = 4) get
-    // 3-NN answers against the EXISTING corpus's IVF index. The
-    // quantizer — the first 16 existing vectors, an index artifact a
-    // serving job loads into memory (FAISS-style) — is collected at
-    // PLAN BUILD (≤16 rows) and both cell assignments run as PURE
-    // per-row expressions over it (16 codegen'd dots + one array_sort
-    // per row, zero shuffle): the stream side probes its top-2 cells,
-    // the static side (the existing corpus with precomputed home
-    // cells — in production a stored column) joins on cell id
-    // (stream-static inner, the blocking discipline of annKnnEdges).
+    // 3-NN answers against the EXISTING corpus's IVF index — which, as
+    // of round 16 (VERDICT r15 #4), is the PERSISTED operators.IvfIndex
+    // artifact: the plan builds the 16-cell index once per corpus
+    // vintage (fingerprint-keyed dir, IvfIndex.ensureSaved's
+    // atomic-publish protocol) and then serves purely from the stored
+    // files. The quantizer — the centroids table, ≤16 rows — is
+    // collected at PLAN BUILD from the artifact (the FAISS index-load
+    // pattern) and both cell assignments run as PURE per-row
+    // expressions over it (16 codegen'd dots + one array_sort per row,
+    // zero shuffle): the stream side probes its top-2 cells, the
+    // static side is the stored POSTINGS table read per micro-batch (a
+    // partition-pruned parquet scan in production — no recomputed home
+    // cells, no localCheckpoint), joined on cell id (stream-static
+    // inner, the blocking discipline of annKnnEdges).
     // The per-query top-3 is BOUNDED STATE: the long-keyed bottom-k
     // aggregate keyed by the order-preserving [[DoubleSortBits]]
     // encoding of -cosine, so state is O(k) per query — never the
@@ -967,13 +972,31 @@ object StreamingQueries {
         |SELECT q_id, CAST(rnk AS INTEGER) AS rnk, n_id
         |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin) { (s, dir) =>
       import graft.functions.GraftFunctions.{bottomKSample, dot, sortBits}
-      val n = graft.queries.DedupQueries.normalizedEmbeddings(s, dir)
-      val existing = n.filter(col("vec_id") % 5 =!= 4)
-      // the stored quantizer, loaded at plan build (16 × 64 doubles)
-      val cents = existing.orderBy(col("vec_id")).limit(16)
-        .select(col("vec_id").as("cid"), col("an").as("ca"))
-        .collect()
+      import graft.operators.IvfIndex
+      // the persisted index of the existing corpus: built+published
+      // once per corpus vintage (the fingerprint re-keys the dir when
+      // the fixture is rewritten under the same path), then every run
+      // — including every micro-batch's static side — reads the stored
+      // artifacts alone. The 16-cell seeding is IvfIndex.build's
+      // oracle-pinned contract, so the emitted rows (and the oracle
+      // hash) are identical to the former in-plan computation.
+      val fp = Tables.pathFingerprint(s, dir)
+      val digest = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s"incann16|$dir|$fp".getBytes("UTF-8"))
+        .take(6).map(b => f"$b%02x").mkString
+      val idxDir = IvfIndex.ensureSaved(
+        s"${System.getProperty("java.io.tmpdir")}/graft-incann-$digest") {
+        val n = graft.queries.DedupQueries.normalizedEmbeddings(s, dir)
+        IvfIndex.build(
+          n.filter(col("vec_id") % 5 =!= 4).select(col("vec_id"), col("an")),
+          cells = 16)
+      }
+      val (centsDf, postings) = IvfIndex.load(s, idxDir)
+      // the stored quantizer, loaded at plan build (16 × 64 doubles;
+      // sorted by cid for a deterministic expression tree)
+      val cents = centsDf.select(col("cid"), col("ca")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
       // per-row probe ranking over the in-memory quantizer: ascending
       // (-dot, cid) struct sort == the oracle's (dot DESC, cid) order
       // (-0.0 == 0.0 under SQL struct comparison, so zero-dot ties
@@ -983,17 +1006,14 @@ object StreamingQueries {
         case (cid, ca) => struct(
           (-dot(an, typedlit(ca))).as("negdot"), lit(cid).as("cid"))
       }: _*))
-      // static side: existing corpus with its home-cell column (in
-      // production a stored index column; no bench knob here — the
+      // static side: the stored postings table — home cells were
+      // assigned at BUILD time (IvfIndex.probeFrame k=1, the identical
+      // discipline the in-plan version ran), so each micro-batch's
+      // re-evaluation is a plain parquet scan of the inverted lists
+      // (no recomputation, no checkpoint; no bench knob here — the
       // serving contract is the pinned 16-cell oracle index)
-      val cside = existing
-        .withColumn("cell", element_at(rankedCells(col("an")), 1)("cid"))
-        .select(col("vec_id").as("n_id"), col("an").as("ca"), col("cell"))
-        // the stream-static join re-evaluates the static side each
-        // micro-batch — checkpoint so the corpus assignment scan runs
-        // once (the drift monitor's discipline; in production this
-        // side is the stored postings table, see operators.IvfIndex)
-        .localCheckpoint(false)
+      val cside = postings
+        .select(col("n_id"), col("an").as("ca"), col("cell"))
       val stream = Tables.loadStream(s, dir, "embeddings")
         .filter(col("vec_id") % 5 === 4)
         .select(col("vec_id").as("q_id"),

@@ -45,8 +45,12 @@ object IndexPersist {
     val nBase = emb.count()
 
     // scaled existing corpus, normalized: replicas shift vec_id and add
-    // an exact integer-mix perturbation per (replica, position) so no
-    // two replicas are identical vectors
+    // an exact integer-mix perturbation so no two replicas are identical
+    // vectors. The mix is keyed on (rep, BASE vec_id, position) — the
+    // `col("vec_id")` inside the select resolves against the input
+    // frame, i.e. the pre-shift id — and the `rep` term alone keeps
+    // replicas distinct (ADVICE r15: the old comment claimed the
+    // shifted id)
     val reps = spark.range(scale).toDF("rep")
     val noise = (r: org.apache.spark.sql.Column,
         v: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
@@ -82,18 +86,46 @@ object IndexPersist {
     val nQueries = queries.count()
 
     val (lc, lp) = IvfIndex.load(spark, idxDir)
+    // the production read path: probed cells collected (O(√n) bound),
+    // pushed as a static partition filter on the postings scan
     val serveS = (1 to 3).map { i =>
       val (_, s) = timed {
-        IvfIndex.serve(queries, lc, lp)
+        IvfIndex.servePruned(queries, lc, lp)
           .write.mode("overwrite").parquet(s"$work/answers_$i")
       }
       s
     }
 
+    // partition-pruning proof at scale (VERDICT r15 #3): re-run the
+    // served frame once through collect (tiny: batch × k rows) and
+    // read the postings scan's partitions-read metric off the executed
+    // plan — it must equal the batch's probed-cell count, not the cell
+    // total
+    val served = IvfIndex.servePruned(queries, lc, lp)
+    served.collect()
+    val partsRead = fileScans(served.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+      .flatMap(_.metrics.get("numPartitions").map(_.value))
+    val probedCells = IvfIndex.probeFrame(queries, lc, "q_id", "qa", 2)
+      .select(col("cell")).distinct().count()
     println(s"""{"metric":"ivf_index_persist","scale":$scale,""" +
       s""""vecs":$nVecs,"cells":$cells,"batch":$nQueries,""" +
       f""""build_s":$buildS%.2f,""" +
-      s""""serve_s":[${serveS.map(s => f"$s%.2f").mkString(",")}]}""")
+      s""""serve_s":[${serveS.map(s => f"$s%.2f").mkString(",")}],""" +
+      s""""probed_cells":$probedCells,""" +
+      s""""parts_read":[${partsRead.mkString(",")}]}""")
     spark.stop()
+  }
+
+  /** FileSourceScanExec nodes of an executed (possibly adaptive) plan,
+    * descending through AQE wrappers and query stages. */
+  private[graft] def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      fileScans(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      fileScans(q.plan)
+    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+    case other => other.children.flatMap(fileScans)
   }
 }

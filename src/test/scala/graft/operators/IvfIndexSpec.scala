@@ -64,9 +64,47 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestSession {
     rows.foreach { r =>
       assert(r.getAs[Long]("q_id") != r.getAs[Long]("n_id"),
         s"self match served: $r")
-      assert(r.getAs[Double]("cosine") < 1.0 - 1e-12 ||
-        r.getAs[Long]("n_id") != r.getAs[Long]("q_id"), r)
+      // the fixture has no duplicate (or collinear) vectors, so a
+      // cosine at 1.0 could only be a self match leaking through
+      // under a disguised id — assert the bound directly (the prior
+      // `|| n_id != q_id` disjunct was vacuously true; ADVICE r15)
+      assert(r.getAs[Double]("cosine") < 1.0 - 1e-12, r)
     }
+  }
+
+  test("servePruned: identical rows to serve, scan reads ONLY probed cells") {
+    val n = DedupQueries.normalizedEmbeddings(spark, sfDir)
+    val existing = n.filter(col("vec_id") % 5 =!= 4)
+      .select(col("vec_id"), col("an"))
+    val (cents, postings) = IvfIndex.build(existing, cells = 16)
+    val dir = Files.createTempDirectory("ivf-prune-").toString
+    IvfIndex.save(dir, cents, postings)
+    val (lc, lp) = IvfIndex.load(spark, dir)
+
+    // row identity on the standard batch: the isin pruning filter is a
+    // semantic no-op (join keys outside the probed cells cannot match)
+    val queries = n.filter(col("vec_id") % 5 === 4)
+      .select(col("vec_id").as("q_id"), col("an").as("qa"))
+    val served = IvfIndex.serve(queries, lc, lp).collect().toSeq
+    val pruned = IvfIndex.servePruned(queries, lc, lp).collect().toSeq
+    assert(pruned.nonEmpty && pruned.sortBy(r => (r.getLong(0),
+      r.getInt(1))) == served.sortBy(r => (r.getLong(0), r.getInt(1))))
+
+    // the pruning proof: two queries cloned from two quantizer seeds at
+    // probes=1 probe exactly their own home cells (a seed's best cell
+    // is itself), so the postings scan must READ exactly 2 of the 16
+    // partitions — the inverted-list fetch, not a full-corpus pass
+    val twoSeeds = lc.orderBy(col("cid")).limit(2)
+      .select(col("cid").as("q_id"), col("ca").as("qa"))
+    val df = IvfIndex.servePruned(twoSeeds, lc, lp, k = 3, probes = 1)
+    df.collect()
+    val partsRead = graft.tools.IndexPersist
+      .fileScans(df.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+      .flatMap(_.metrics.get("numPartitions").map(_.value))
+    assert(partsRead.nonEmpty, "no postings FileSourceScanExec found")
+    assert(partsRead.forall(_ == 2L),
+      s"expected every postings scan to read 2 partitions, got $partsRead")
   }
 
   test("serve output is a ranked k-NN: dense ranks, no self matches") {
