@@ -42,8 +42,9 @@ import org.apache.spark.sql.functions._
 object AnnQualityAb {
 
   /** Integer-mix pseudo-noise in [-0.5, 0.5): Knuth/FNV-style odd
-    * multipliers, exact in long arithmetic at any realistic id. */
-  private def mix(a: org.apache.spark.sql.Column,
+    * multipliers, exact in long arithmetic at any realistic id
+    * (shared with [[DriftRetrain]]'s two-epoch fixture). */
+  private[tools] def mix(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (pmod(a * lit(2654435761L) + b * lit(40503L) + lit(2166136261L),
       lit(1000003L)).cast("double") / lit(1000003.0)) - lit(0.5)
