@@ -100,6 +100,20 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assertEquivalent(docs, "replica growth model")
   }
 
+  test("null and empty texts: class grouping matches the direct joins") {
+    // null digests behave differently in groupBy (null keys group) vs
+    // equi-joins (engine-defined struct-null equality) — whatever
+    // Spark's semantics, the two plans must agree on them
+    import spark.implicits._
+    val docs = Seq[(Long, Option[String])](
+      1L -> None, 4L -> None,          // null text, both parities
+      2L -> Some(""), 9L -> Some(""),  // empty text, both parities
+      14L -> Some("plain new document with enough words to shingle"))
+      .map { case (id, t) => (id, t.orNull, "en", "unit") }
+      .toDF("doc_id", "text", "lang", "source")
+    assertEquivalent(docs, "null/empty texts")
+  }
+
   test("staged plan is deterministic across runs") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val a = DedupQueries.incrementalDedup(docs).collect().toSeq
