@@ -24,26 +24,42 @@ import org.apache.spark.sql.functions._
   *   1. `st_embedding_drift` over the fixture — per-label
   *      mean-cosine drift of arrivals vs the corpus centroids. A
   *      drift << 0 on every label is the retrain trigger.
-  *   2. Serving recall on the GROWN corpus (existing ∪ arrivals, the
+  *   2. Serving health on the GROWN corpus (existing ∪ arrivals, the
   *      post-admission state) for arrival-batch queries, same Lloyd-2
   *      training and √n cell budget both legs:
   *        - STALE quantizer: trained on the pre-drift corpus only —
   *          the index that was current before the batch arrived;
   *        - RETRAINED quantizer: trained on the grown corpus.
-  *      Truth is exact brute-force top-3 (self-excluded); recall@3 is
-  *      the fraction of true edges the IVF serve path returns. The
-  *      stale leg also reports its worst cell-occupancy share — the
-  *      shifted mass piling into the few old cells nearest epoch B is
-  *      WHY stale recall collapses.
+  *      Truth is exact brute-force top-3 (self-excluded). Three
+  *      stale-index failure modes are measured, because they are
+  *      distinct: (a) recall@3 at probes=1 — a shifted cluster sits
+  *      near the BOUNDARY of whatever old cells it straddles, so
+  *      single-probe serving splits it and loses true neighbors,
+  *      while a retrained quantizer gives the cluster interior cells;
+  *      (b) candidate volume per query — the pairs the cell join
+  *      actually scores, which balloons when shifted mass piles into
+  *      few old cells; (c) cell skew (max posting-list size over the
+  *      n/k mean) — the imbalance itself, the latency tail of every
+  *      IVF serving system. Recall at the default probes=2 is also
+  *      printed: multi-probe HIDES moderate drift (both straddled
+  *      cells get probed) at 2× the candidate cost — which is exactly
+  *      why production monitors watch the drift signal and the
+  *      candidate volume, not recall alone.
+  *
+  * Noise default 0.6: tight enough that clusters have real cell
+  * structure (the regime where quantizer placement matters), loose
+  * enough that brute purity is not saturated (AnnQualityAb's measured
+  * ladder).
   *
   * {{{ sbt "runMain graft.tools.DriftRetrain 10 /root/testdata/sf0.1 /tmp/graft-drift" }}}
   */
 object DriftRetrain {
 
-  private def recallAt3(served: DataFrame, truth: DataFrame): Double = {
+  /** (hits, truth edges) of the served top-3 against brute truth. */
+  private def hitsOf(served: DataFrame, truth: DataFrame): (Long, Long) = {
     val hit = truth.join(served.select(col("q_id"), col("n_id")),
       Seq("q_id", "n_id")).count()
-    hit.toDouble / truth.count()
+    (hit, truth.count())
   }
 
   def main(args: Array[String]): Unit = {
@@ -51,7 +67,11 @@ object DriftRetrain {
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val out = if (args.length > 2) args(2)
       else s"${System.getProperty("java.io.tmpdir")}/graft-drift-x$scale"
-    val noise = if (args.length > 3) args(3).toDouble else 1.2
+    val noise = if (args.length > 3) args(3).toDouble else 0.6
+    // 5th arg `control`: arrivals draw from the SAME epoch as the
+    // corpus — the no-drift baseline that calibrates the trigger
+    // threshold (the monitor's same-epoch reading on clustered data)
+    val control = args.length > 4 && args(4) == "control"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.pinDialect(Tables.localSession("graft-drift", cpus))
 
@@ -61,7 +81,7 @@ object DriftRetrain {
     val total = nBase * scale
 
     val marker = java.nio.file.Paths.get(
-      s"$out/_graft_drift_${scale}x_${nBase}_s$noise")
+      s"$out/_graft_drift_${scale}x_${nBase}_s${noise}_c$control")
     if (!java.nio.file.Files.exists(marker)) {
       val reps = spark.range(scale).toDF("rep")
       val js = sequence(lit(0), lit(dim - 1))
@@ -72,7 +92,8 @@ object DriftRetrain {
         .select((col("vec_id") + col("rep") * lit(nBase)).as("vec_id"),
           col("label"))
         .withColumn("ep",
-          when(col("vec_id") % 5 === 4, lit(104729L)).otherwise(lit(7919L)))
+          when(col("vec_id") % 5 === 4 && !lit(control), lit(104729L))
+            .otherwise(lit(7919L)))
       val mu = AnnQualityAb.mix(col("label") + col("ep"), _: org.apache.spark.sql.Column)
       val clustered = withId
         .withColumn("munorm", sqrt(aggregate(
@@ -131,8 +152,11 @@ object DriftRetrain {
       .localCheckpoint(false)
     spark.conf.unset(BenchConfs.IvfTrain)
 
-    // fixed arrival-batch query set (1× id bound), exact brute truth
-    val queries = n.filter(col("vec_id") % 5 === 4 && col("vec_id") < nBase)
+    // fixed arrival-batch query set (2× id bound — misses are a
+    // percent-scale effect, so the sample needs a few thousand truth
+    // edges), exact brute truth
+    val queries = n.filter(col("vec_id") % 5 === 4 &&
+        col("vec_id") < nBase * 2)
       .select(col("vec_id").as("q_id"), col("an").as("qa"))
       .localCheckpoint(false)
     val truth = graft.plans.TopK.topKPerKey(
@@ -148,17 +172,31 @@ object DriftRetrain {
 
     for ((tag, cents) <- Seq("stale" -> stale, "retrained" -> fresh)) {
       val t0 = System.nanoTime()
-      val (_, postings) = IvfIndex.build(grown, cells, Some(cents))
-      val served = IvfIndex.serve(queries, cents, postings)
-      val rec = recallAt3(served, truth)
+      val (_, p) = IvfIndex.build(grown, cells, Some(cents))
+      val postings = p.localCheckpoint(false)
+      val (hit1, nTrue) = hitsOf(
+        IvfIndex.serve(queries, cents, postings, probes = 1), truth)
+      val (hit2, _) = hitsOf(
+        IvfIndex.serve(queries, cents, postings, probes = 2), truth)
+      val (rec1, rec2) = (hit1.toDouble / nTrue, hit2.toDouble / nTrue)
       val sec = (System.nanoTime() - t0) / 1e9
-      // worst cell-occupancy share: the shifted mass concentrating
-      // into few old cells is the stale quantizer's failure mode
+      // candidate volume: the pairs the probes=1 cell join actually
+      // scores — the serving cost the drifted pile-up inflates
+      val cands = IvfIndex.probeFrame(queries, cents, "q_id", "qa", 1)
+        .select(col("q_id"), col("cell"))
+        .join(postings.select(col("cell")), Seq("cell")).count()
+      // cell skew: worst posting list vs the n/k mean — the latency
+      // tail of the index
       val occ = postings.groupBy(col("cell")).count()
         .agg(max(col("count"))).head().getLong(0)
-      println(f"""{"metric":"drift_recall","quantizer":"$tag",""" +
-        f""""recall_at_3":$rec%.4f,"cells":$cells,""" +
-        f""""max_cell_share":${occ.toDouble / total}%.4f,"sec":$sec%.1f}""")
+      val skew = occ.toDouble * cells / total
+      println(f"""{"metric":"drift_serving","quantizer":"$tag",""" +
+        f""""recall_p1":$rec1%.4f,"recall_p2":$rec2%.4f,""" +
+        f""""missed_p1":${nTrue - hit1},"missed_p2":${nTrue - hit2},""" +
+        f""""true_edges":$nTrue,""" +
+        f""""cells":$cells,"cands_per_query":${
+          cands.toDouble / queries.count()}%.1f,""" +
+        f""""cell_skew":$skew%.2f,"sec":$sec%.1f}""")
     }
     spark.stop()
   }
