@@ -140,6 +140,49 @@ object Tables {
     * [[Memo.isErrorFingerprint]] and bypass their caches entirely for such
     * stamps, so repeated errors neither serve stale entries nor grow
     * the maps; the subsequent data read surfaces the real error. */
+  /** Build-and-publish-once protocol for an on-disk artifact directory
+    * multiple JVMs may race to create (the persisted-index discipline,
+    * factored out of IvfIndex.ensureSaved so the digest store and any
+    * future artifact share ONE implementation): if `dir` does not hold
+    * `marker`, run `write` into a process-unique staging dir, stamp
+    * the marker INSIDE it (contents complete the instant the dir
+    * becomes visible), and atomically rename into place via
+    * [[publishDir]]. A `dir` left behind WITHOUT the marker (torn
+    * layout) is torn down and rebuilt. Returns `dir`. */
+  private[graft] def ensurePublished(dir: String,
+      marker: String = "_graft_pub_ok")(write: String => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    if (!Files.exists(Paths.get(dir, marker))) {
+      if (Files.exists(Paths.get(dir))) deleteRecursively(dir)
+      val staging = s"$dir.tmp-${ProcessHandle.current().pid()}"
+      write(staging)
+      Files.createFile(Paths.get(staging, marker))
+      publishDir(staging, dir, marker)
+    }
+    dir
+  }
+
+  /** The rename-or-discard step of [[ensurePublished]]: an atomic move
+    * of the complete staging dir into place. The JDK surfaces a lost
+    * rename differently per platform — Linux throws the PLAIN
+    * FileSystemException("Directory not empty"), not
+    * DirectoryNotEmptyException (EnsureSavedSpec caught a narrower
+    * catch crashing a real loser) — so the whole family is caught and
+    * the WINNER'S MARKER decides: present means a complete artifact
+    * beat us (discard ours), absent means a genuine IO failure that
+    * must propagate. */
+  private[graft] def publishDir(staging: String, dir: String,
+      marker: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    try Files.move(Paths.get(staging), Paths.get(dir),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        if (Files.exists(Paths.get(dir, marker))) deleteRecursively(staging)
+        else throw e
+    }
+  }
+
   private[graft] def pathFingerprint(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)

@@ -115,29 +115,17 @@ object IvfIndex {
     * artifact multiple JVMs may race to create. A `dir` left behind
     * WITHOUT the marker (a crash before the rename protocol existed,
     * or a foreign layout) is torn down and rebuilt. Returns `dir`. */
-  def ensureSaved(dir: String)(build: => (DataFrame, DataFrame)): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val marker = Paths.get(dir, "_graft_ivf_ok")
-    if (!Files.exists(marker)) {
-      if (Files.exists(Paths.get(dir)))
-        graft.Tables.deleteRecursively(dir)
-      val staging = s"$dir.tmp-${ProcessHandle.current().pid()}"
+  def ensureSaved(dir: String)(build: => (DataFrame, DataFrame)): String =
+    graft.Tables.ensurePublished(dir, "_graft_ivf_ok") { staging =>
       val (cents, postings) = build
       save(staging, cents, postings)
-      Files.createFile(Paths.get(staging, "_graft_ivf_ok"))
-      try Files.move(Paths.get(staging), Paths.get(dir),
-        StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.AccessDeniedException |
-            _: java.nio.file.DirectoryNotEmptyException =>
-          // a concurrent builder published first; its index is
-          // complete (marker-inside-then-rename), use it
-          graft.Tables.deleteRecursively(staging)
-      }
     }
-    dir
-  }
+
+  /** The rename-or-discard step, kept as the spec's direct handle on
+    * the losing-builder branch (EnsureSavedSpec); delegates to the
+    * shared protocol in [[graft.Tables.publishDir]]. */
+  private[operators] def publish(staging: String, dir: String): Unit =
+    graft.Tables.publishDir(staging, dir, "_graft_ivf_ok")
 
   /** Load a persisted index: (centroids, postings). The postings read
     * is SCHEMA-PINNED (VERDICT r15 watch #3): `cell` is declared long
