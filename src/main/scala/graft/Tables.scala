@@ -140,24 +140,35 @@ object Tables {
     * [[Memo.isErrorFingerprint]] and bypass their caches entirely for such
     * stamps, so repeated errors neither serve stale entries nor grow
     * the maps; the subsequent data read surfaces the real error. */
+  private val pubSeq = new java.util.concurrent.atomic.AtomicLong
+
   /** Build-and-publish-once protocol for an on-disk artifact directory
-    * multiple JVMs may race to create (the persisted-index discipline,
-    * factored out of IvfIndex.ensureSaved so the digest store and any
-    * future artifact share ONE implementation): if `dir` does not hold
-    * `marker`, run `write` into a process-unique staging dir, stamp
+    * multiple JVMs (or threads) may race to create (the
+    * persisted-index discipline, factored out of IvfIndex.ensureSaved
+    * so the digest store and any future artifact share ONE
+    * implementation): if `dir` does not hold `marker`, run `write`
+    * into a CALL-unique staging dir (pid + a process-global sequence —
+    * pid alone let two threads of one JVM share a staging path and
+    * publish a torn artifact under a valid marker; review r16), stamp
     * the marker INSIDE it (contents complete the instant the dir
     * becomes visible), and atomically rename into place via
-    * [[publishDir]]. A `dir` left behind WITHOUT the marker (torn
-    * layout) is torn down and rebuilt. Returns `dir`. */
+    * [[publishDir]]. A failed write never poisons later attempts: the
+    * staging dir is torn down on any throw. Returns `dir`. */
   private[graft] def ensurePublished(dir: String,
       marker: String = "_graft_pub_ok")(write: String => Unit): String = {
     import java.nio.file.{Files, Paths}
     if (!Files.exists(Paths.get(dir, marker))) {
-      if (Files.exists(Paths.get(dir))) deleteRecursively(dir)
-      val staging = s"$dir.tmp-${ProcessHandle.current().pid()}"
-      write(staging)
-      Files.createFile(Paths.get(staging, marker))
-      publishDir(staging, dir, marker)
+      val staging = s"$dir.tmp-${ProcessHandle.current().pid()}" +
+        s"-${pubSeq.incrementAndGet()}"
+      try {
+        write(staging)
+        Files.createFile(Paths.get(staging, marker))
+        publishDir(staging, dir, marker)
+      } catch {
+        case e: Throwable =>
+          deleteRecursively(staging, bestEffort = true)
+          throw e
+      }
     }
     dir
   }
@@ -168,19 +179,51 @@ object Tables {
     * FileSystemException("Directory not empty"), not
     * DirectoryNotEmptyException (EnsureSavedSpec caught a narrower
     * catch crashing a real loser) — so the whole family is caught and
-    * the WINNER'S MARKER decides: present means a complete artifact
-    * beat us (discard ours), absent means a genuine IO failure that
-    * must propagate. */
+    * the TARGET'S MARKER decides: present means a complete artifact
+    * beat us (discard ours and use it); absent means a TORN layout
+    * (a crash between content and marker, or a pre-protocol dir),
+    * which is torn down with the move retried once — the winner of
+    * THAT race is again arbitrated by the marker. Torn-layout
+    * teardown lives HERE, after our own build, not before it: an
+    * up-front exists-check would open a build-long window in which a
+    * concurrent winner's freshly published COMPLETE artifact gets
+    * deleted (review r16). */
   private[graft] def publishDir(staging: String, dir: String,
       marker: String): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    try Files.move(Paths.get(staging), Paths.get(dir),
+    def move(): Unit = Files.move(Paths.get(staging), Paths.get(dir),
       StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case e: java.nio.file.FileSystemException =>
-        if (Files.exists(Paths.get(dir, marker))) deleteRecursively(staging)
-        else throw e
+    def complete = Files.exists(Paths.get(dir, marker))
+    try move() catch {
+      case _: java.nio.file.FileSystemException if complete =>
+        deleteRecursively(staging)
+      case _: java.nio.file.FileSystemException =>
+        deleteRecursively(dir)
+        try move() catch {
+          case _: java.nio.file.FileSystemException if complete =>
+            deleteRecursively(staging)
+        }
     }
+  }
+
+  /** Content-addressed key for a /tmp artifact derived from input
+    * tables: sha-1 over (prefix | each input path | its
+    * [[pathFingerprint]]). Call sites MUST pass the TABLE paths they
+    * actually read, not the dataset root — the root listing only
+    * stamps immediate children, so an in-place rewrite inside a table
+    * SUBDIRECTORY would go unseen and serve a stale artifact (review
+    * r16). The prefix doubles as a format-version salt: bump it when
+    * the artifact layout changes. Error fingerprints (`!err-N`) are
+    * per-call nonces, so an unreadable input forces a rebuild rather
+    * than a stable-but-wrong key. */
+  private[graft] def artifactKey(spark: SparkSession, prefix: String,
+      tablePaths: String*): String = {
+    val parts = prefix +: tablePaths.flatMap(p =>
+      Seq(p, pathFingerprint(spark, p)))
+    val digest = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(parts.mkString("|").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    s"$prefix-$digest"
   }
 
   private[graft] def pathFingerprint(spark: SparkSession, path: String): String =

@@ -918,12 +918,11 @@ object StreamingQueries {
       val dig = struct(md5(col("text").cast("binary")).as("m"),
         xxhash64(col("text")).as("x"), length(col("text")).as("l"))
         .as("_dig")
-      val fp = Tables.pathFingerprint(s, dir)
-      val digest = java.security.MessageDigest.getInstance("SHA-1")
-        .digest(s"incdig|$dir|$fp".getBytes("UTF-8"))
-        .take(6).map(b => f"$b%02x").mkString
+      // keyed by the TABLE path's content fingerprint (artifactKey
+      // contract), prefix = format-version salt
+      val key = Tables.artifactKey(s, "graft-incdig", s"$dir/documents.parquet")
       val digDir = Tables.ensurePublished(
-        s"${System.getProperty("java.io.tmpdir")}/graft-incdig-$digest") {
+        s"${System.getProperty("java.io.tmpdir")}/$key") {
         staging =>
           t(s, dir, "documents").filter(col("doc_id") % 5 =!= 4)
             .select(dig).distinct()
@@ -1013,12 +1012,12 @@ object StreamingQueries {
       // artifacts alone. The 16-cell seeding is IvfIndex.build's
       // oracle-pinned contract, so the emitted rows (and the oracle
       // hash) are identical to the former in-plan computation.
-      val fp = Tables.pathFingerprint(s, dir)
-      val digest = java.security.MessageDigest.getInstance("SHA-1")
-        .digest(s"incann16|$dir|$fp".getBytes("UTF-8"))
-        .take(6).map(b => f"$b%02x").mkString
+      // keyed by the TABLE path's content fingerprint (artifactKey
+      // contract), prefix = format-version salt
+      val key = Tables.artifactKey(s, "graft-incann16",
+        s"$dir/embeddings.parquet")
       val idxDir = IvfIndex.ensureSaved(
-        s"${System.getProperty("java.io.tmpdir")}/graft-incann-$digest") {
+        s"${System.getProperty("java.io.tmpdir")}/$key") {
         val n = graft.queries.DedupQueries.normalizedEmbeddings(s, dir)
         IvfIndex.build(
           n.filter(col("vec_id") % 5 =!= 4).select(col("vec_id"), col("an")),

@@ -103,7 +103,8 @@ object IndexPersist {
     // total
     val served = IvfIndex.servePruned(queries, lc, lp)
     served.collect()
-    val partsRead = fileScans(served.queryExecution.executedPlan)
+    val partsRead = graft.plans.PlanScan
+      .fileScans(served.queryExecution.executedPlan)
       .filter(_.metadata.get("Location").exists(_.contains("postings")))
       .flatMap(_.metrics.get("numPartitions").map(_.value))
     val probedCells = IvfIndex.probeFrame(queries, lc, "q_id", "qa", 2)
@@ -115,17 +116,5 @@ object IndexPersist {
       s""""probed_cells":$probedCells,""" +
       s""""parts_read":[${partsRead.mkString(",")}]}""")
     spark.stop()
-  }
-
-  /** FileSourceScanExec nodes of an executed (possibly adaptive) plan,
-    * descending through AQE wrappers and query stages. */
-  private[graft] def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
-      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-      fileScans(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-      fileScans(q.plan)
-    case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-    case other => other.children.flatMap(fileScans)
   }
 }

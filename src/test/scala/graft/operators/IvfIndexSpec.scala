@@ -98,7 +98,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTestSession {
       .select(col("cid").as("q_id"), col("ca").as("qa"))
     val df = IvfIndex.servePruned(twoSeeds, lc, lp, k = 3, probes = 1)
     df.collect()
-    val partsRead = graft.tools.IndexPersist
+    val partsRead = graft.plans.PlanScan
       .fileScans(df.queryExecution.executedPlan)
       .filter(_.metadata.get("Location").exists(_.contains("postings")))
       .flatMap(_.metrics.get("numPartitions").map(_.value))
