@@ -291,11 +291,10 @@ object Bench {
         case null => Nil
         case fs => fs.map(_.getName).toSeq
       })
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
     (outPath +: stamped.toSeq).foreach { p =>
-      try {
-        java.nio.file.Files.write(java.nio.file.Paths.get(p),
-          (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case scala.util.control.NonFatal(_) => () } // best-effort
+      try guardedRecordWrite(p, full + "\n", force)
+      catch { case scala.util.control.NonFatal(_) => () } // best-effort
     }
     spark.stop()
     println(compact)
@@ -394,6 +393,42 @@ object Bench {
     * committed claims cite the `_local` file, driver comparisons cite
     * the unsuffixed one, and neither can silently overwrite the
     * other. */
+  private val recordWriteSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Overwrite-safe record write (VERDICT r16 #3 — the recurring
+    * gotcha fixed in CODE, not discipline: twice, a post-commit ad-hoc
+    * bench run silently clobbered the round's committed
+    * `anchor_eligible` record because this writer was unconditional).
+    * An existing file whose content carries `"anchor_eligible":true`
+    * is a PROMOTED record: unless `force` (env
+    * `SPARK_GRAFT_BENCH_FORCE=1`), the new content is written
+    * side-by-side as `<base>-unpromoted-<pid>-<seq>.json` and
+    * promotion stays an explicit, visible step (cp). Anything else —
+    * missing file, ineligible previous run — is overwritten as before
+    * (an eligible run SHOULD replace a noisy one). Returns the path
+    * actually written. */
+  private[graft] def guardedRecordWrite(path: String, content: String,
+      force: Boolean): String = {
+    import java.nio.file.{Files, Paths}
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val p = Paths.get(path)
+    val promoted = !force && Files.exists(p) &&
+      new String(Files.readAllBytes(p), utf8)
+        .contains("\"anchor_eligible\":true")
+    val target =
+      if (!promoted) path
+      else {
+        val side = path.stripSuffix(".json") +
+          s"-unpromoted-${ProcessHandle.current().pid()}" +
+          s"-${recordWriteSeq.incrementAndGet()}.json"
+        println(s"bench: $path holds an anchor_eligible record; wrote " +
+          s"$side instead (SPARK_GRAFT_BENCH_FORCE=1 overrides)")
+        side
+      }
+    Files.write(Paths.get(target), content.getBytes(utf8))
+    target
+  }
+
   private[graft] def roundStampedPath(outPath: String,
       cwdFiles: Seq[String]): Option[String] = {
     val r = raw"BENCH_r(\d+)\.json".r

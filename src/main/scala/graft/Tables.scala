@@ -142,6 +142,16 @@ object Tables {
     * the maps; the subsequent data read surfaces the real error. */
   private val pubSeq = new java.util.concurrent.atomic.AtomicLong
 
+  /** Ownership sentinel stamped into every staging dir BEFORE its
+    * content is written (so even a torn layout carries it), riding the
+    * publish rename into the final artifact. [[publishDir]]'s
+    * destructive torn-layout branch requires it: a directory holding
+    * neither the completion marker nor this sentinel is NOT a graft
+    * artifact, and tearing it down would destroy foreign data
+    * (VERDICT r16 #5 — all call sites key under java.io.tmpdir today,
+    * but the protocol must not rely on that). */
+  private[graft] val ArtifactSentinel = ".graft-artifact"
+
   /** Build-and-publish-once protocol for an on-disk artifact directory
     * multiple JVMs (or threads) may race to create (the
     * persisted-index discipline, factored out of IvfIndex.ensureSaved
@@ -161,9 +171,14 @@ object Tables {
       val staging = s"$dir.tmp-${ProcessHandle.current().pid()}" +
         s"-${pubSeq.incrementAndGet()}"
       try {
+        // ownership sentinel FIRST — before any content exists — so a
+        // crash mid-write leaves a dir publishDir may legally tear down
+        Files.createDirectories(Paths.get(staging))
+        Files.createFile(Paths.get(staging, ArtifactSentinel))
         write(staging)
         Files.createFile(Paths.get(staging, marker))
         publishDir(staging, dir, marker)
+        sweepStaleSiblings(dir)
       } catch {
         case e: Throwable =>
           deleteRecursively(staging, bestEffort = true)
@@ -172,6 +187,52 @@ object Tables {
     }
     dir
   }
+
+  /** Age-based GC for content-keyed artifact families (ADVICE r16:
+    * every fixture rewrite mints a new `<prefix>-<hash>` key while the
+    * superseded dir persists, and a crash mid-publish orphans a
+    * `.tmp-*` staging dir forever — a long-lived bench box leaks
+    * tmpdir unboundedly). Called after a successful publish — the
+    * exact moment a new vintage supersedes its siblings. Best-effort
+    * and deliberately conservative: only [[artifactKey]]-shaped names
+    * (`<stem>-<6 hex>`) have a well-defined key family; a sibling is
+    * swept only when it shares the stem, is PROVABLY ours (a `.tmp-`
+    * or `.trash-` name from this protocol, the [[ArtifactSentinel]],
+    * or a `_graft_*` marker from a pre-sentinel round), and has not
+    * been modified for `olderThanMs` — old enough that no live builder
+    * is writing it and no fresh run can have keyed to it. */
+  private[graft] def sweepStaleSiblings(dir: String,
+      olderThanMs: Long = 2L * 3600 * 1000): Unit =
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val p = Paths.get(dir).toAbsolutePath
+      val name = p.getFileName.toString
+      val cut = name.lastIndexOf('-')
+      if (cut <= 0 || !name.substring(cut + 1).matches("[0-9a-f]{6}")) return
+      val stem = name.substring(0, cut + 1)
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      def ours(sib: java.nio.file.Path): Boolean = {
+        val sn = sib.getFileName.toString
+        sn.contains(".tmp-") || sn.contains(".trash-") ||
+          Files.exists(sib.resolve(ArtifactSentinel)) ||
+          (Files.isDirectory(sib) && {
+            val ls = Files.list(sib)
+            try ls.iterator().asScala
+              .exists(_.getFileName.toString.startsWith("_graft_"))
+            finally ls.close()
+          })
+      }
+      val ls = Files.list(p.getParent)
+      try ls.iterator().asScala
+        .filter { sib =>
+          val sn = sib.getFileName.toString
+          sn != name && sn.startsWith(stem) &&
+            Files.getLastModifiedTime(sib).toMillis < cutoff && ours(sib)
+        }
+        .foreach(sib => deleteRecursively(sib.toString, bestEffort = true))
+      finally ls.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The rename-or-discard step of [[ensurePublished]]: an atomic move
     * of the complete staging dir into place. The JDK surfaces a lost
@@ -198,7 +259,39 @@ object Tables {
       case _: java.nio.file.FileSystemException if complete =>
         deleteRecursively(staging)
       case _: java.nio.file.FileSystemException =>
-        deleteRecursively(dir)
+        // torn-layout teardown — two r17 hardenings:
+        //  - OWNERSHIP GUARD (VERDICT r16 #5): only a dir this protocol
+        //    provably created may be destroyed. Every staging dir is
+        //    sentinel-stamped before its first content byte, so a torn
+        //    graft layout always carries [[ArtifactSentinel]]; a dir
+        //    with neither marker nor sentinel is foreign data and the
+        //    publish FAILS LOUDLY instead of deleting it.
+        //  - RENAME-ASIDE (ADVICE r16): the marker is re-checked
+        //    immediately before ONE ATOMIC move of the torn dir to a
+        //    trash name — a complete artifact published between the
+        //    outer catch and here is left in place, and no reader can
+        //    observe a half-deleted dir (the old in-place recursive
+        //    delete could also throw mid-walk if the dir was
+        //    concurrently replaced). The trash dir is removed
+        //    best-effort; a leftover is swept by [[sweepStaleSiblings]].
+        if (!complete && !Files.exists(Paths.get(dir, ArtifactSentinel)))
+          throw new IllegalStateException(
+            s"refusing to tear down $dir: holds neither $marker nor " +
+              s"$ArtifactSentinel — not a graft-published artifact; " +
+              "remove it manually if it is expendable")
+        if (!complete) {
+          val trash = s"$dir.trash-${ProcessHandle.current().pid()}" +
+            s"-${pubSeq.incrementAndGet()}"
+          try {
+            Files.move(Paths.get(dir), Paths.get(trash),
+              StandardCopyOption.ATOMIC_MOVE)
+            deleteRecursively(trash, bestEffort = true)
+          } catch {
+            // dir vanished or was replaced mid-race — the retried
+            // move below is arbitrated by the marker either way
+            case _: java.nio.file.FileSystemException => ()
+          }
+        }
         try move() catch {
           case _: java.nio.file.FileSystemException if complete =>
             deleteRecursively(staging)

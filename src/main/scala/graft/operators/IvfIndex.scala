@@ -73,6 +73,76 @@ object IvfIndex {
     ranked.select(keep ++ Seq(col("cid").as("cell"), col("rn")): _*)
   }
 
+  /** THE spherical-k-means refinement loop (Lloyd on unit vectors):
+    * assign every vector of `n` (vec_id, an) to its max-dot centroid,
+    * recompute each cell's mean, L2-normalize the mean back onto the
+    * unit sphere, `iters` times. Moved here from
+    * SimilarityQueries.ivfCentroids (round 17) so the registry's
+    * conf-gated trainer and [[trainSampled]] share ONE implementation —
+    * the same single-copy discipline as [[probeFrame]].
+    *
+    * Determinism: the only cross-row reduction, the per-(cell, pos)
+    * component sum, runs in exact micro-unit longs (round(an·1e6) —
+    * order-independent); everything per-row (dot folds, the final mean
+    * division, the normalization) is a fixed ascending fold, so
+    * trained centroids are bit-stable across runs and partitionings.
+    * Plan per round: one scan of `n` × a broadcast of the
+    * (≤ cells)-row centroid table, assignment through a TopKPerKey
+    * k=1 map-side cut (never an n × cells exchange), and a groupBy
+    * whose output is cells·d rows with map-side partials — no shuffle
+    * grows with the corpus; training adds scans, not exchanges. A
+    * cell that attracts no vectors drops out (standard Lloyd; the
+    * probe scoring simply never routes there). */
+  private[graft] def lloydRefine(n: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val scored = n.join(broadcast(cents))
+        .select(col("vec_id"), col("an"), col("cid"),
+          dot(col("an"), col("ca")).as("cdot"))
+      val asg = graft.plans.TopK.topKPerKey(scored,
+          keys = Seq(col("vec_id")),
+          order = Seq(col("cdot").desc, col("cid").asc), k = 1)
+        .select(col("cid"),
+          transform(col("an"),
+            x => round(x * 1000000).cast("long")).as("am"))
+      val mean = asg
+        .select(col("cid"), posexplode(col("am")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("sm"), count(lit(1)).as("cnt"))
+        .withColumn("cm", col("sm").cast("double") / col("cnt"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
+          .as("ps"))
+        .select(col("cid"),
+          transform(col("ps"), p => p.getField("cm")).as("cm"))
+      // micro-unit scale cancels in the normalization: cm = 1e6·mean,
+      // so cm/||cm|| IS the unit mean direction
+      cents = mean
+        .withColumn("nrm", sqrt(dot(col("cm"), col("cm"))))
+        .select(col("cid"), transform(col("cm"), x => x / col("nrm"))
+          .as("ca"))
+    }
+    cents
+  }
+
+  /** Bounded-sample quantizer training — the FAISS practice (VERDICT
+    * r16 #2): Lloyd never sees the full corpus. `sample` is a small
+    * deterministic subset (the caller picks ~tens of vectors per
+    * cell; FAISS warns above ~256/cell and subsamples to it), seeds =
+    * its `cells` lowest-id vectors, refined `rounds` times — so
+    * TRAINING costs sample·cells·rounds no matter how large the
+    * corpus grows, and the single full-corpus n·cells pass left in a
+    * build is the assignment itself. The registry's oracle contract
+    * (16-cell first-`cells` seeding, no training) is untouched; this
+    * is the bench/tool-scale path. */
+  def trainSampled(sample: DataFrame, cells: Int, rounds: Int): DataFrame =
+    lloydRefine(
+      sample.select(col("vec_id"), col("an")),
+      sample.orderBy(col("vec_id")).limit(cells)
+        .select(col("vec_id").as("cid"), col("an").as("ca")),
+      rounds)
+
   /** Coarse quantizer + postings for a normalized corpus
     * (vec_id, an): seeds = the `cells` lowest-id vectors (the
     * registry's oracle-pinned seeding; train upstream and pass
@@ -132,8 +202,12 @@ object IvfIndex {
     * directly in the read schema rather than cast after the fact — a
     * post-read cast would wrap the partition column in an expression
     * and break static partition pruning on [[servePruned]]'s `isin`
-    * filter (the pruned read IS the serve-path contract), and a pinned
-    * schema fails loudly if the index format ever gains columns. */
+    * filter (the pruned read IS the serve-path contract). The pin also
+    * fails loudly on a MISSING column or a type change; columns ADDED
+    * to the file are silently projected away by Spark's parquet
+    * reader, not rejected (ADVICE r16) — acceptable here, since extra
+    * columns cannot perturb the serve plan the schema exists to
+    * protect. */
   def load(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     graft.Tables.pinDialect(s)

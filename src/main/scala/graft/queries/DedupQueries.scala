@@ -300,9 +300,38 @@ object DedupQueries {
     // the jaccard predicate is PIPELINED inside the band-join stage:
     // in-bucket pairs are enumerated and discarded in-task, and only
     // verified digests are exchanged (the distinct's input is bounded
-    // by the TRUE near-dup volume, not the candidate volume)
-    val verDig = nB.join(eB, "bkey")
-      .filter(jaccard(col("n_hs"), col("e_hs")) >= 0.5)
+    // by the TRUE near-dup volume, not the candidate volume).
+    //
+    // Round 17 (VERDICT r16 #1 — the verify-CPU cap): the semantics
+    // needed per new class is EXISTS(matching existing class), so the
+    // join is LEFT SEMI — per probed band row the scan of the bucket's
+    // existing side STOPS at the first row satisfying the condition,
+    // which collapses the match-dense stress buckets (the replica
+    // model multiplies both sides of every colliding pair, so most
+    // in-bucket pairs verify) from width² predicate evaluations to
+    // ~width. For the pairs that ARE evaluated, the predicate is
+    // STAGED behind codegen's short-circuiting And:
+    //   (1) the O(1) size-ratio necessary condition (J >= 0.5 forces
+    //       |A∩B| <= min and |A∪B| >= max, hence 2·min >= max) kills
+    //       length-mismatched pairs before any per-element work;
+    //   (2) ONE array_intersect hash build with the integer-exact
+    //       threshold: for distinct arrays |A∪B| = |A|+|B|-|A∩B|, so
+    //       J >= 0.5 ⟺ 3·|A∩B| >= |A|+|B| — the old
+    //       intersect-AND-union double build halved, and the integer
+    //       comparison is exactly the oracle's double test (the sets
+    //       here are far below the 2^52 sizes where x/y >= 0.5 and
+    //       2x >= y could diverge). hs is non-empty by the
+    //       size(ws) >= 3 filter above, so the oracle's 0/0 = NaN
+    //       corner is unreachable on both plans.
+    // Survivor-set identity vs the literal pair-materializing plan is
+    // pinned by IncrementalDedupSpec (incl. the J = 0.5 and
+    // 2·min = max equality boundaries).
+    val sn = size(col("n_hs"))
+    val se = size(col("e_hs"))
+    val verified = least(sn, se) * 2 >= greatest(sn, se) &&
+      size(array_intersect(col("n_hs"), col("e_hs"))) * 3 >= sn + se
+    val verDig = nB.join(eB.withColumnRenamed("bkey", "e_bkey"),
+        col("bkey") === col("e_bkey") && verified, "left_semi")
       .select(col("_dig")).distinct()
     // exact leg: classes holding both parities — their new members are
     // text-equal to an existing doc (covers <3-word texts too)

@@ -107,54 +107,19 @@ object SimilarityQueries {
     * rounds of SPHERICAL k-means — assign every vector to its max-dot
     * centroid, recompute each cell's mean, L2-normalize the mean back
     * onto the unit sphere — the standard IVF training loop (Lloyd on
-    * unit vectors; the machinery mirrors td_kmeans_lloyd).
-    * Determinism discipline: the only cross-row reduction, the
-    * per-(cell, pos) component sum, runs in exact micro-unit longs
-    * (round(an·1e6) — order-independent); everything per-row (dot
-    * folds, the final mean division, the normalization) is a fixed
-    * ascending fold, so trained centroids are bit-stable across runs
-    * and partitionings. Plan per round: one corpus scan × a broadcast
-    * of the (≤ cells)-row centroid table, assignment through a
-    * TopKPerKey k=1 map-side cut (never an n × cells exchange), and a
-    * groupBy whose output is cells·d rows with map-side partials — no
-    * shuffle grows with the corpus; training adds scans, not
-    * exchanges. A cell that attracts no vectors drops out (standard
-    * Lloyd; the probe scoring simply never routes there). */
+    * unit vectors; the machinery mirrors td_kmeans_lloyd). The loop
+    * itself lives in [[graft.operators.IvfIndex.lloydRefine]] (one
+    * shared implementation with the sampled trainer — round 17); this
+    * wrapper owns only the registry seed rule and the conf gate. The
+    * determinism discipline (exact micro-unit component sums,
+    * bit-stable across runs and partitionings) is documented there. */
   private[graft] def ivfCentroids(s: SparkSession, n: DataFrame,
       cells: Int): DataFrame = {
     val seeds = n.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("an").as("ca"))
     val iters = graft.BenchConfs.intOpt(s, graft.BenchConfs.IvfTrain)
       .getOrElse(0)
-    var cents = seeds
-    for (_ <- 1 to iters) {
-      val scored = n.join(broadcast(cents))
-        .select(col("vec_id"), col("an"), col("cid"),
-          dot(col("an"), col("ca")).as("cdot"))
-      val asg = graft.plans.TopK.topKPerKey(scored,
-          keys = Seq(col("vec_id")),
-          order = Seq(col("cdot").desc, col("cid").asc), k = 1)
-        .select(col("cid"),
-          transform(col("an"),
-            x => round(x * 1000000).cast("long")).as("am"))
-      val mean = asg
-        .select(col("cid"), posexplode(col("am")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(sum(col("v")).as("sm"), count(lit(1)).as("cnt"))
-        .withColumn("cm", col("sm").cast("double") / col("cnt"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cm"))))
-          .as("ps"))
-        .select(col("cid"),
-          transform(col("ps"), p => p.getField("cm")).as("cm"))
-      // micro-unit scale cancels in the normalization: cm = 1e6·mean,
-      // so cm/||cm|| IS the unit mean direction
-      cents = mean
-        .withColumn("nrm", sqrt(dot(col("cm"), col("cm"))))
-        .select(col("cid"), transform(col("cm"), x => x / col("nrm"))
-          .as("ca"))
-    }
-    cents
+    graft.operators.IvfIndex.lloydRefine(n, seeds, iters)
   }
 
   /** The IVF multi-probe frame (vec_id, label, an, cell, rn): each

@@ -116,8 +116,17 @@ object DriftRetrain {
 
     // ---- leg 1: the monitor. Strongly negative drift on every label
     // is the retrain trigger (threshold here: mean drift < -0.05).
+    // The drift SIGNAL is this tool's input, not an optional metric —
+    // pin the sink to the collecting default (ADVICE r16: a session
+    // arriving with spark.graft.stream.sink = noop/digest/connector
+    // would hand an EMPTY frame to the min/max below) and fail loudly
+    // if the monitor still emits nothing.
+    spark.conf.unset("spark.graft.stream.sink")
     val drift = SparkEntry.registry("st_embedding_drift")
       .build(spark, out).collect()
+    require(drift.nonEmpty,
+      "st_embedding_drift emitted no rows — the drift signal is this " +
+        "tool's input; check the fixture at " + out)
     val drifts = drift.map(_.getAs[Double]("drift"))
     val meanDrift = drifts.sum / drifts.length
     val trigger = meanDrift < -0.05

@@ -14,9 +14,21 @@ import org.apache.spark.sql.functions._
   *     fixture, replicated with a deterministic per-replica
   *     perturbation (vec_id-shifted, exact integer-mix noise — the
   *     StressSmoke embedding-replica shape) so ANN top-k stays
-  *     non-degenerate;
-  *   - build = quantizer seed + posting assignment + partitioned
-  *     parquet write, cells = √(n/2) (the exact-assignment optimum);
+  *     non-degenerate. As of round 17 the corpus is MATERIALIZED to
+  *     parquet as untimed fixture prep (sentinel-guarded, the
+  *     StressSmoke discipline): at 100 TB the corpus already sits on
+  *     disk, so synthesizing it has no business inside the timed
+  *     build — and the materialized read gives the assignment scan
+  *     real file parallelism instead of the generator plan's
+  *     few-partition crossJoin (the r16 builds ran the n·cells pass
+  *     on the base fixture's file count);
+  *   - build (timed) = bounded-sample quantizer training
+  *     (IvfIndex.trainSampled — Lloyd-2 over ~64 vectors/cell, the
+  *     FAISS practice; VERDICT r16 #2) + ONE full-corpus assignment
+  *     pass + the partitioned parquet write, cells = √(n/2) (the
+  *     exact-assignment optimum). Training cost is sample·cells·rounds
+  *     — fixed per cell — so the only term that grows with the corpus
+  *     is the single n·cells assignment;
   *   - serve = load the stored artifacts, answer the FIXED 1× query
   *     batch (base-fixture new vectors), three repetitions — the
   *     serve wall must be flat across repetitions and a small
@@ -51,29 +63,61 @@ object IndexPersist {
     // frame, i.e. the pre-shift id — and the `rep` term alone keeps
     // replicas distinct (ADVICE r15: the old comment claimed the
     // shifted id)
-    val reps = spark.range(scale).toDF("rep")
-    val noise = (r: org.apache.spark.sql.Column,
-        v: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
-      (pmod(r * lit(2654435761L) + v * lit(40503L) + j * lit(69427L) +
-        lit(2166136261L), lit(1000003L)).cast("double") / lit(1000003.0) -
-        lit(0.5)) * lit(0.05)
-    val corpus = emb.crossJoin(broadcast(reps))
-      .filter(col("vec_id") % 5 =!= 4)
-      .select((col("vec_id") + col("rep") * lit(nBase)).as("vec_id"),
-        transform(col("vd"), (x, j) =>
-          x + noise(col("rep"), col("vec_id"), j.cast("long"))).as("vd"))
-      .withColumn("nrm", sqrt(aggregate(col("vd"), lit(0.0),
-        (acc, x) => acc + x * x)))
-      .select(col("vec_id"), transform(col("vd"), x => x / col("nrm"))
-        .as("an"))
-
     val nVecs = nBase / 5 * 4 * scale
     val cells = math.max(16, math.round(math.sqrt(nVecs / 2.0))).toInt
     val idxDir = s"$work/index"
 
-    val (_, buildS) = timed {
-      val (cents, postings) = IvfIndex.build(corpus, cells)
+    // ---- untimed fixture prep: materialize the scaled corpus once
+    // (sentinel-guarded against half-writes, keyed on the source
+    // vintage so a refreshed base fixture regenerates)
+    val corpusDir = s"$work/corpus.parquet"
+    val sentinel = java.nio.file.Paths.get(
+      s"$work/_graft_ivfcorpus_${scale}x_" +
+        Tables.pathFingerprint(spark, src).replaceAll("[^0-9a-zA-Z-]", "_"))
+    val (_, fixtureS) = timed {
+      if (!java.nio.file.Files.exists(sentinel)) {
+        val reps = spark.range(scale).toDF("rep")
+        val noise = (r: org.apache.spark.sql.Column,
+            v: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =>
+          (pmod(r * lit(2654435761L) + v * lit(40503L) + j * lit(69427L) +
+            lit(2166136261L), lit(1000003L)).cast("double") / lit(1000003.0) -
+            lit(0.5)) * lit(0.05)
+        emb.crossJoin(broadcast(reps))
+          .filter(col("vec_id") % 5 =!= 4)
+          .select((col("vec_id") + col("rep") * lit(nBase)).as("vec_id"),
+            transform(col("vd"), (x, j) =>
+              x + noise(col("rep"), col("vec_id"), j.cast("long"))).as("vd"))
+          .withColumn("nrm", sqrt(aggregate(col("vd"), lit(0.0),
+            (acc, x) => acc + x * x)))
+          .select(col("vec_id"), transform(col("vd"), x => x / col("nrm"))
+            .as("an"))
+          .repartition(cpus.toInt)
+          .write.mode("overwrite").parquet(corpusDir)
+        val listing = java.nio.file.Files.list(java.nio.file.Paths.get(work))
+        try listing.filter(p =>
+            p.getFileName.toString.startsWith("_graft_ivfcorpus_"))
+          .forEach(java.nio.file.Files.delete(_))
+        finally listing.close()
+        java.nio.file.Files.createFile(sentinel)
+      }
+    }
+
+    // ---- timed build, from the on-disk corpus: bounded-sample train
+    // (deterministic 1-in-m id-hash sample targeting ~64 vectors per
+    // cell), ONE n·cells assignment pass, partitioned write
+    val (trainS, buildS) = {
+      val t0 = System.nanoTime()
+      val corpus = spark.read.parquet(corpusDir)
+      val m = math.max(1L, nVecs / (cells * 64L))
+      val sample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0)
+      val trained = IvfIndex.trainSampled(sample, cells, rounds = 2)
+        .localCheckpoint(false) // train once; the assignment broadcast
+                                // must not re-run the Lloyd plan
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val (cents, postings) = IvfIndex.build(corpus, cells,
+        centsOverride = Some(trained))
       IvfIndex.save(idxDir, cents, postings)
+      (tTrain, (System.nanoTime() - t0) / 1e9)
     }
 
     // fixed 1x query batch (the production serving regime: batch size
@@ -111,6 +155,7 @@ object IndexPersist {
       .select(col("cell")).distinct().count()
     println(s"""{"metric":"ivf_index_persist","scale":$scale,""" +
       s""""vecs":$nVecs,"cells":$cells,"batch":$nQueries,""" +
+      f""""fixture_s":$fixtureS%.2f,"train_s":$trainS%.2f,""" +
       f""""build_s":$buildS%.2f,""" +
       s""""serve_s":[${serveS.map(s => f"$s%.2f").mkString(",")}],""" +
       s""""probed_cells":$probedCells,""" +

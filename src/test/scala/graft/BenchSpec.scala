@@ -163,6 +163,32 @@ class BenchSpec extends AnyFunSuite with SparkTestSession {
   // row-preserving left join whose right side aggregates on the join
   // key — td_dup_spans benched at 0.0 MB shuffle while its real plan
   // shuffles a gigabyte at 100×.
+  test("guardedRecordWrite never clobbers an anchor_eligible record") {
+    // VERDICT r16 #3: the overwrite gotcha, fixed in code. An existing
+    // eligible record diverts later writes to an -unpromoted sibling;
+    // ineligible/missing records are overwritten; force overrides.
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft-benchguard-")
+    val rec = dir.resolve("bench_full_r99.json").toString
+    val eligible = """{"metric":"total","anchor_eligible":true,"v":1}"""
+    val noisy = """{"metric":"total","anchor_eligible":false,"v":2}"""
+    // missing file: plain write
+    assert(Bench.guardedRecordWrite(rec, noisy, force = false) == rec)
+    // ineligible previous run: overwritten (an eligible run SHOULD win)
+    assert(Bench.guardedRecordWrite(rec, eligible, force = false) == rec)
+    assert(Files.readString(Paths.get(rec)) == eligible)
+    // eligible record in place: the new content lands side-by-side
+    val diverted = Bench.guardedRecordWrite(rec, noisy, force = false)
+    assert(diverted != rec && diverted.contains("-unpromoted-")
+      && diverted.endsWith(".json"))
+    assert(Files.readString(Paths.get(rec)) == eligible,
+      "the promoted record must survive byte-for-byte")
+    assert(Files.readString(Paths.get(diverted)) == noisy)
+    // force: explicit overwrite is still possible
+    assert(Bench.guardedRecordWrite(rec, noisy, force = true) == rec)
+    assert(Files.readString(Paths.get(rec)) == noisy)
+  }
+
   test("consume executes subtrees that count() would eliminate") {
     val sess = spark
     import sess.implicits._

