@@ -95,7 +95,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => MapRatioFold(es(0), es(1))),
     (FunctionIdentifier("graft_sort_bits"),
       info("graft_sort_bits", classOf[DoubleSortBits]),
-      (es: Seq[Expression]) => DoubleSortBits(es(0)))
+      (es: Seq[Expression]) => DoubleSortBits(es(0))),
+    (FunctionIdentifier("graft_jaccard_ge_half"),
+      info("graft_jaccard_ge_half", classOf[SortedJaccardGeHalf]),
+      (es: Seq[Expression]) => SortedJaccardGeHalf(es(0), es(1)))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -243,4 +246,11 @@ object GraftFunctions {
     * double division |A∩B| / |A∪B| (bit-identical cross-engine). */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** `jaccard(a, b) >= 1/2` as one fused merge walk over SORTED
+    * distinct non-empty long arrays, with impossibility/sufficiency
+    * early exits (see [[SortedJaccardGeHalf]] for the exactness
+    * argument and the sortedness contract). */
+  def jaccardGeHalfSorted(a: Column, b: Column): Column =
+    call_function("graft_jaccard_ge_half", a, b)
 }

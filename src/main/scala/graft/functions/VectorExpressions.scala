@@ -319,6 +319,90 @@ case class HyperplaneBucket(child: Expression)
   * streaming groupBy where a rank window cannot run. NaN (never
   * produced by the vector kernels on valid input) canonicalizes above
   * +Infinity, matching SQL's NaN-last ordering. */
+/** Codegen'd `jaccard(a, b) >= 1/2` over two SORTED distinct
+  * `array<long>` columns — the verification kernel of the incremental-
+  * dedup band join (VERDICT r16 #1). For distinct arrays
+  * |A∪B| = |A|+|B|−|A∩B|, so J ≥ 1/2 ⟺ 3·|A∩B| ≥ |A|+|B| — an
+  * integer test that is EXACTLY the oracle's double comparison at
+  * these set sizes (x/y vs 0.5 cannot round across the threshold below
+  * 2^52 elements; IncrementalDedupSpec pins the full size/overlap
+  * grid). The merge walk replaces `array_intersect`'s per-pair hash-
+  * set build and result-array allocation with two cursors and
+  * IMPOSSIBILITY / SUFFICIENCY early exits:
+  *
+  *   - abandon FALSE the moment 3·(found + min(remainA, remainB))
+  *     < |A|+|B| — at iteration 0 this is 2·min < max, i.e. the
+  *     length-ratio prefilter folds into the same loop head;
+  *   - accept TRUE the moment 3·found ≥ |A|+|B| (a true near-dup pair
+  *     confirms ~⅓ of the way through its merge, compounding with the
+  *     band join's LEFT SEMI first-match exit).
+  *
+  * CONTRACT: inputs must be sorted ascending and duplicate-free (the
+  * plan sorts once per class at signature build — O(n log n) per ROW,
+  * amortized over every pair the class participates in); an unsorted
+  * input silently under-counts the intersection. Null if either side
+  * is null — the same rows the oracle's NULL jaccard fails to verify.
+  */
+case class SortedJaccardGeHalf(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+      ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_jaccard_ge_half"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements()
+    val nb = y.numElements()
+    val s = na + nb
+    var i = 0; var j = 0; var found = 0
+    var verdict = false
+    var done = false
+    while (!done && i < na && j < nb) {
+      if (3 * (found + math.min(na - i, nb - j)) < s) done = true
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv < yv) i += 1
+        else if (xv > yv) j += 1
+        else { found += 1; i += 1; j += 1 }
+        if (3 * found >= s) { verdict = true; done = true }
+      }
+    }
+    verdict || 3 * found >= s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val v = ev.value
+      s"""
+         |int ${v}_na = $a.numElements();
+         |int ${v}_nb = $b.numElements();
+         |int ${v}_s = ${v}_na + ${v}_nb;
+         |int ${v}_i = 0; int ${v}_j = 0; int ${v}_f = 0;
+         |while (${v}_i < ${v}_na && ${v}_j < ${v}_nb) {
+         |  int ${v}_rem = ${v}_na - ${v}_i < ${v}_nb - ${v}_j
+         |    ? ${v}_na - ${v}_i : ${v}_nb - ${v}_j;
+         |  if (3 * (${v}_f + ${v}_rem) < ${v}_s) break;
+         |  long ${v}_x = $a.getLong(${v}_i);
+         |  long ${v}_y = $b.getLong(${v}_j);
+         |  if (${v}_x < ${v}_y) { ${v}_i++; }
+         |  else if (${v}_x > ${v}_y) { ${v}_j++; }
+         |  else { ${v}_f++; ${v}_i++; ${v}_j++; }
+         |  if (3 * ${v}_f >= ${v}_s) break;
+         |}
+         |$v = 3 * ${v}_f >= ${v}_s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class DoubleSortBits(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 

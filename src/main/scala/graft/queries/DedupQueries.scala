@@ -272,30 +272,47 @@ object DedupQueries {
       xxhash64(col("text")), length(col("text"))).as("_dig")
     // digest classes (the shingleGroups contraction, with parity flags
     // riding the agg): one row per distinct text, shuffled once with
-    // map-side partials holding one text per digest per task
+    // map-side partials. `text` rides in the GROUPING KEY, not a
+    // first() buffer (round 17, StagePeek): var-width aggregation
+    // buffers are ineligible for hash aggregation, so first(text)
+    // silently demoted this whole corpus-wide pass to sort-based
+    // aggregation — the two class-agg stages cost 1600 core-s at the
+    // 1600× rung, more than the band join itself. Var-width KEYS are
+    // fine for the unsafe hash map, and _dig (md5 + xxhash64 + length)
+    // determines text byte-exactly, so the classes are unchanged.
     val classes = docs.select(col("doc_id"), dig, col("text"))
-      .groupBy(col("_dig"))
-      .agg(first(col("text")).as("text"),
-        max(when(isNew, 1).otherwise(0)).as("has_new"),
+      .groupBy(col("_dig"), col("text"))
+      .agg(max(when(isNew, 1).otherwise(0)).as("has_new"),
         max(when(!isNew, 1).otherwise(0)).as("has_existing"))
     val ws = words(col("text"))
     val sigd = classes
       .select(col("_dig"), col("has_new"), col("has_existing"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("_dig"), col("has_new"), col("has_existing"),
-        array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
+        array_sort(array_distinct(shingleHash60(col("ws"), 3, modP = true)))
+          .as("hs"))
       .withColumn("sig", minhashSig(col("hs"), 8))
     val bandArr = transform(sequence(lit(0), lit(3)), b =>
       concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
         element_at(col("sig"), b * 2 + 2)))
     // band frames CARRY the shingle set (linear payload: 4 rows × one
     // array per class) so verification needs no post-join hs fetch.
+    // hs is kept SORTED (order is free here — minhash and the set
+    // predicate are order-blind) so the verification kernel below can
+    // merge-walk instead of hash-building.
     // New side = all-new classes only: a mixed class's new members are
     // exact-dropped below, so banding them would be dead work — and
     // the oracle's ver-minus-ex difference never surfaces them either.
     val nB = sigd.filter(col("has_new") === 1 && col("has_existing") === 0)
       .select(col("_dig"), col("hs").as("n_hs"), explode(bandArr).as("bkey"))
-    val eB = sigd.filter(col("has_existing") === 1)
+    // the vacuous has_new >= 0 conjunct is LOAD-BEARING: it keeps
+    // has_new among this leg's required columns, so both band legs
+    // prune to the SAME column set below the class aggregation and the
+    // optimizer plans ONE partial-agg + exchange reused by both (and by
+    // the exact leg) — without it, column pruning specializes the two
+    // aggregates and the full corpus-wide class pass runs twice
+    // (StagePeek r17: two ~identical 915 MB exchanges at 1600×)
+    val eB = sigd.filter(col("has_existing") === 1 && col("has_new") >= 0)
       .select(col("hs").as("e_hs"), explode(bandArr).as("bkey"))
     // the jaccard predicate is PIPELINED inside the band-join stage:
     // in-bucket pairs are enumerated and discarded in-task, and only
@@ -309,29 +326,20 @@ object DedupQueries {
     // which collapses the match-dense stress buckets (the replica
     // model multiplies both sides of every colliding pair, so most
     // in-bucket pairs verify) from width² predicate evaluations to
-    // ~width. For the pairs that ARE evaluated, the predicate is
-    // STAGED behind codegen's short-circuiting And:
-    //   (1) the O(1) size-ratio necessary condition (J >= 0.5 forces
-    //       |A∩B| <= min and |A∪B| >= max, hence 2·min >= max) kills
-    //       length-mismatched pairs before any per-element work;
-    //   (2) ONE array_intersect hash build with the integer-exact
-    //       threshold: for distinct arrays |A∪B| = |A|+|B|-|A∩B|, so
-    //       J >= 0.5 ⟺ 3·|A∩B| >= |A|+|B| — the old
-    //       intersect-AND-union double build halved, and the integer
-    //       comparison is exactly the oracle's double test (the sets
-    //       here are far below the 2^52 sizes where x/y >= 0.5 and
-    //       2x >= y could diverge). hs is non-empty by the
-    //       size(ws) >= 3 filter above, so the oracle's 0/0 = NaN
-    //       corner is unreachable on both plans.
-    // Survivor-set identity vs the literal pair-materializing plan is
-    // pinned by IncrementalDedupSpec (incl. the J = 0.5 and
-    // 2·min = max equality boundaries).
-    val sn = size(col("n_hs"))
-    val se = size(col("e_hs"))
-    val verified = least(sn, se) * 2 >= greatest(sn, se) &&
-      size(array_intersect(col("n_hs"), col("e_hs"))) * 3 >= sn + se
+    // ~width. For the pairs that ARE evaluated, the predicate is the
+    // fused SortedJaccardGeHalf merge walk over the sorted shingle
+    // sets: integer-exactly J >= 0.5 (3·|∩| >= |A|+|B| for distinct
+    // arrays), with the length-ratio prefilter and an accept-early /
+    // abandon-early bound folded into one generated loop — no hash-set
+    // build, no array allocation, per pair. hs is non-empty by the
+    // size(ws) >= 3 filter above, so the oracle's 0/0 = NaN corner is
+    // unreachable on both plans. Survivor-set identity vs the literal
+    // pair-materializing plan is pinned by IncrementalDedupSpec
+    // (incl. the J = 0.5 and 2·min = max equality boundaries, and a
+    // full size/overlap grid against the double-division oracle).
     val verDig = nB.join(eB.withColumnRenamed("bkey", "e_bkey"),
-        col("bkey") === col("e_bkey") && verified, "left_semi")
+        col("bkey") === col("e_bkey") &&
+          jaccardGeHalfSorted(col("n_hs"), col("e_hs")), "left_semi")
       .select(col("_dig")).distinct()
     // exact leg: classes holding both parities — their new members are
     // text-equal to an existing doc (covers <3-word texts too)

@@ -1,0 +1,185 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.{BenchConfs, Tables}
+import graft.operators.IvfIndex
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The STREAMING-NATIVE drift→retrain handoff (VERDICT r16 #8):
+  * [[DriftRetrain]] proves each leg of the loop as a manually-sequenced
+  * A/B; this tool closes it INSIDE one streaming query — no operator
+  * between the signal and the republish:
+  *
+  *   - the arrival stream runs st_embedding_drift's exact scoring
+  *     aggregation (same [[graft.queries.StreamingQueries.driftScoreAgg]]
+  *     state: two longs per label, Complete mode) in micro-batches
+  *     (`maxFilesPerTrigger` splits the fixture's part files so the
+  *     monitor sees the drift ACCUMULATE batch over batch);
+  *   - the sink is a foreachBatch that joins each epoch's state against
+  *     the static pre-drift baseline and evaluates the calibrated
+  *     trigger (mean drift < −0.05 — three orders of magnitude below
+  *     the measured ±0.002 same-epoch control band, DriftRetrain r16);
+  *   - the FIRST epoch that fires runs the handoff in-sink: Lloyd-2
+  *     retrain on the grown corpus (the bench-only ivf.train lever),
+  *     `IvfIndex.ensureSaved` republish under a NEW content-derived
+  *     artifact key — the atomic-rename publish means any concurrent
+  *     server either still reads the old vintage or the complete new
+  *     one, never a torn index — and records the new vintage's dir;
+  *   - after the stream drains, the arrival batch is served from BOTH
+  *     vintages through the production `servePruned` read path, and
+  *     the before/after serving-cost deltas (candidates per query,
+  *     worst-cell skew — the metrics DriftRetrain proved the retrain
+  *     improves) are printed alongside which epoch fired.
+  *
+  * Fixture: the same two-epoch distribution shift as [[DriftRetrain]]
+  * (shared `ensureFixture`), so the trigger calibration carries over.
+  *
+  * {{{ tools/runmain.sh graft.tools.DriftAutoRetrain 10 /root/testdata/sf0.1 }}}
+  */
+object DriftAutoRetrain {
+
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(10)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2)
+      else s"${System.getProperty("java.io.tmpdir")}/graft-adrift-x$scale"
+    val noise = if (args.length > 3) args(3).toDouble else 0.6
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.pinDialect(Tables.localSession("graft-adrift", cpus))
+    import graft.queries.{DedupQueries, SimilarityQueries, StreamingQueries}
+
+    val (nBase, total) = DriftRetrain.ensureFixture(
+      spark, src, out, scale, noise, control = false, cpus.toInt)
+    val cells = math.max(16, math.round(math.sqrt(total / 2.0))).toInt
+    val tmp = System.getProperty("java.io.tmpdir")
+    val embPath = s"$out/embeddings.parquet"
+
+    val n = DedupQueries.normalizedEmbeddings(spark, out)
+    val grown = n.select(col("vec_id"), col("an")).localCheckpoint(false)
+    val ex = n.filter(col("vec_id") % 5 =!= 4).localCheckpoint(false)
+    val preDrift = ex.select(col("vec_id"), col("an"))
+
+    // ---- the CURRENTLY-SERVING vintage, published before any arrival
+    // (Lloyd-2 on the pre-drift corpus; seed bound widened 5/4 so both
+    // quantizers train exactly `cells` centroids — the DriftRetrain
+    // discipline)
+    spark.conf.set(BenchConfs.IvfTrain, "2")
+    val staleDir = IvfIndex.ensureSaved(
+      s"$tmp/${Tables.artifactKey(spark, "graft-ardx-stale", embPath)}") {
+      IvfIndex.build(preDrift, cells, Some(SimilarityQueries
+        .ivfCentroids(spark, preDrift, cells * 5 / 4)))
+    }
+
+    // ---- static baseline of the monitor (pre-drift mean cosine per
+    // label), computed once — exactly st_embedding_drift's batch leg
+    val cu = StreamingQueries.labelCentroids(
+      ex.select(col("label"), col("an"))).localCheckpoint(false)
+    val est = StreamingQueries
+      .driftScoreAgg(ex.select(col("label"), col("an")), cu,
+        "n_existing", "esum")
+      .localCheckpoint(false)
+
+    // ---- the monitored arrival stream: micro-batched file source over
+    // the SAME fixture files, st_embedding_drift's scoring state
+    val schema = spark.read.parquet(embPath).schema
+    val parts = new java.io.File(embPath)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val arrivals = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", math.max(1, parts / 4))
+      .parquet(s"$out/{embeddings.parquet}")
+      .filter(col("vec_id") % 5 === 4)
+      .select(col("label"),
+        col("embedding").cast("array<double>").as("vd"))
+      .withColumn("nrm",
+        sqrt(graft.functions.GraftFunctions.dot(col("vd"), col("vd"))))
+      .select(col("label"),
+        transform(col("vd"), x => x / col("nrm")).as("an"))
+    val scored = StreamingQueries.driftScoreAgg(arrivals, cu, "n_new", "nsum")
+
+    // ---- the handoff sink: trigger evaluated per epoch; first firing
+    // epoch retrains + republishes IN-SINK
+    val fired = new AtomicReference[(Long, Double, String)](null)
+    val ck = java.nio.file.Files
+      .createTempDirectory("graft-adrift-ck-").toString
+    val query = scored.writeStream.foreachBatch {
+      (batch: Dataset[Row], epoch: Long) =>
+        val d = batch.join(est, "label")
+          .select(
+            (col("nsum").cast("double") / (lit(1e6) * col("n_new")) -
+              col("esum").cast("double") / (lit(1e6) * col("n_existing")))
+              .as("drift"))
+          .collect().map(_.getDouble(0))
+        val mean = if (d.isEmpty) 0.0 else d.sum / d.length
+        val trigger = d.nonEmpty && mean < -0.05
+        println(f"""{"metric":"adrift_epoch","epoch":$epoch,""" +
+          f""""labels":${d.length},"mean_drift":$mean%.4f,""" +
+          f""""retrain_triggered":$trigger}""")
+        if (trigger && fired.get() == null) {
+          // THE HANDOFF: retrain on the grown corpus, publish the new
+          // vintage under its own content key; ensureSaved's atomic
+          // rename makes the vintage swap safe under concurrent readers
+          val freshDir = IvfIndex.ensureSaved(
+            s"$tmp/${Tables.artifactKey(
+              spark, "graft-ardx-fresh", embPath)}") {
+            IvfIndex.build(grown, cells, Some(SimilarityQueries
+              .ivfCentroids(spark, grown, cells)))
+          }
+          fired.compareAndSet(null, (epoch, mean, freshDir))
+          println(s"""{"metric":"adrift_handoff","epoch":$epoch,""" +
+            s""""published":"$freshDir"}""")
+        }
+        ()
+    }
+      .option("checkpointLocation", ck)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    Tables.deleteRecursively(ck, bestEffort = true)
+    spark.conf.unset(BenchConfs.IvfTrain)
+
+    require(fired.get() != null,
+      "the drift trigger never fired on the shifted fixture — " +
+        "monitor or threshold regression")
+    val (fireEpoch, fireMean, freshDir) = fired.get()
+
+    // ---- before/after: the arrival batch served from BOTH persisted
+    // vintages through the production read path
+    val queries = n.filter(col("vec_id") % 5 === 4 &&
+        col("vec_id") < nBase * 2)
+      .select(col("vec_id").as("q_id"), col("an").as("qa"))
+      .localCheckpoint(false)
+    val nQueries = queries.count()
+    val stats = for ((tag, dir) <- Seq("stale" -> staleDir,
+        "fresh" -> freshDir)) yield {
+      val (lc, lp) = IvfIndex.load(spark, dir)
+      val t0 = System.nanoTime()
+      val served = IvfIndex.servePruned(queries, lc, lp).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val cands = IvfIndex.probeFrame(queries, lc, "q_id", "qa", 1)
+        .select(col("q_id"), col("cell"))
+        .join(lp.select(col("cell")), Seq("cell")).count()
+      val occ = lp.groupBy(col("cell")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      // the stale index holds the pre-drift corpus (4/5 of total), the
+      // fresh one the grown corpus — normalize skew by each index's own
+      // mean list size
+      val indexed = lp.count()
+      val skew = occ.toDouble * cells / indexed
+      (tag, cands.toDouble / nQueries, skew, served, sec)
+    }
+    val Seq(stale, fresh) = stats
+    println(f"""{"metric":"adrift_serving","fired_epoch":$fireEpoch,""" +
+      f""""fired_mean_drift":$fireMean%.4f,"cells":$cells,""" +
+      f""""batch":$nQueries,""" +
+      f""""stale_cands_per_query":${stale._2}%.1f,""" +
+      f""""fresh_cands_per_query":${fresh._2}%.1f,""" +
+      f""""stale_cell_skew":${stale._3}%.2f,""" +
+      f""""fresh_cell_skew":${fresh._3}%.2f,""" +
+      f""""stale_serve_rows":${stale._4},"fresh_serve_rows":${fresh._4},""" +
+      f""""stale_serve_s":${stale._5}%.2f,"fresh_serve_s":${fresh._5}%.2f}""")
+    spark.stop()
+  }
+}

@@ -62,23 +62,19 @@ object DriftRetrain {
     (hit, truth.count())
   }
 
-  def main(args: Array[String]): Unit = {
-    val scale = args.headOption.map(_.toInt).getOrElse(10)
-    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val out = if (args.length > 2) args(2)
-      else s"${System.getProperty("java.io.tmpdir")}/graft-drift-x$scale"
-    val noise = if (args.length > 3) args(3).toDouble else 0.6
-    // 5th arg `control`: arrivals draw from the SAME epoch as the
-    // corpus — the no-drift baseline that calibrates the trigger
-    // threshold (the monitor's same-epoch reading on clustered data)
-    val control = args.length > 4 && args(4) == "control"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = Tables.pinDialect(Tables.localSession("graft-drift", cpus))
-
+  /** Build (once, marker-guarded) the TWO-EPOCH drift fixture at
+    * `$out/embeddings.parquet` — corpus vectors (vec_id % 5 ≠ 4)
+    * clustered around epoch-A per-label directions, arrivals around
+    * epoch-B (near-orthogonal in 64-d) unless `control`. Shared with
+    * [[DriftAutoRetrain]] (round 17) so the manual-sequenced A/B and
+    * the streaming-native handoff measure the same distribution shift.
+    * Returns (nBase, total). */
+  private[tools] def ensureFixture(spark: org.apache.spark.sql.SparkSession,
+      src: String, out: String, scale: Int, noise: Double,
+      control: Boolean, cpus: Int): (Long, Long) = {
     val emb = Tables.load(spark, src, "embeddings")
     val nBase = emb.count()
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val total = nBase * scale
 
     val marker = java.nio.file.Paths.get(
       s"$out/_graft_drift_${scale}x_${nBase}_s${noise}_c$control")
@@ -104,7 +100,7 @@ object DriftRetrain {
               lit(noise) * AnnQualityAb.mix(col("vec_id"), j)).cast("float"))
             .as("embedding"),
           col("label"))
-      clustered.repartition(cpus.toInt)
+      clustered.repartition(cpus)
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       val listing = java.nio.file.Files.list(java.nio.file.Paths.get(out))
       try listing.filter(p =>
@@ -113,6 +109,24 @@ object DriftRetrain {
       finally listing.close()
       java.nio.file.Files.createFile(marker)
     }
+    (nBase, nBase * scale)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(10)
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = if (args.length > 2) args(2)
+      else s"${System.getProperty("java.io.tmpdir")}/graft-drift-x$scale"
+    val noise = if (args.length > 3) args(3).toDouble else 0.6
+    // 5th arg `control`: arrivals draw from the SAME epoch as the
+    // corpus — the no-drift baseline that calibrates the trigger
+    // threshold (the monitor's same-epoch reading on clustered data)
+    val control = args.length > 4 && args(4) == "control"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.pinDialect(Tables.localSession("graft-drift", cpus))
+
+    val (nBase, total) =
+      ensureFixture(spark, src, out, scale, noise, control, cpus.toInt)
 
     // ---- leg 1: the monitor. Strongly negative drift on every label
     // is the retrain trigger (threshold here: mean drift < -0.05).

@@ -5,7 +5,7 @@ object PlanPeek {
     for (n <- args) {
       println(s"===== $n")
       println(graft.SparkEntry.registry(n).build(spark, "/root/testdata/sf0.001")
-        .queryExecution.executedPlan.toString.take(4000))
+        .queryExecution.executedPlan.toString.take(sys.env.getOrElse("PLANPEEK_CHARS", "4000").toInt))
     }
     spark.stop()
   }

@@ -114,31 +114,50 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assertEquivalent(docs, "null/empty texts")
   }
 
-  test("staged predicate ≡ jaccard >= 0.5 on the full size/overlap grid") {
-    // round 17 (VERDICT r16 #1): the in-join verification became a
-    // STAGED integer predicate (size-ratio cut, then ONE intersect
-    // with 3·|∩| >= |A|+|B|). This pins it cell-by-cell against the
-    // oracle-shaped double test |∩|/|∪| >= 0.5 over EVERY (|A|, |B|,
-    // |∩|) combination up to 8 — including the equality boundaries
-    // 3·|∩| = |A|+|B| (J exactly 0.5, must verify) and 2·min = max
-    // (the ratio cut's edge, must not over-prune), where an off-by-one
-    // in either stage would silently change the survivor set.
+  test("fused merge-walk predicate ≡ jaccard >= 0.5 on the full size/overlap grid") {
+    // round 17 (VERDICT r16 #1): the in-join verification is the
+    // SortedJaccardGeHalf merge walk (integer 3·|∩| >= |A|+|B| with
+    // length-ratio / accept-early / abandon-early exits folded into one
+    // loop). This pins it cell-by-cell against the oracle-shaped
+    // double test |∩|/|∪| >= 0.5 over EVERY (|A|, |B|, |∩|)
+    // combination up to 8 non-empty — including the equality
+    // boundaries 3·|∩| = |A|+|B| (J exactly 0.5, must verify) and
+    // 2·min = max (the abandon bound's edge, must not over-prune),
+    // where an off-by-one in any exit would silently change the
+    // survivor set. (Both-empty arrays — where the double test is
+    // 0/0 = NaN — are unreachable in the plan: banding requires
+    // size(ws) >= 3, hence a non-empty shingle set.)
+    // Interleaved value layouts exercise every merge-cursor path, not
+    // just prefix overlaps.
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val grid = for {
       sa <- 1 to 8; sb <- 1 to 8; i <- 0 to math.min(sa, sb)
-    } yield (
-      (1L to sa.toLong).toArray,                               // A = 1..sa
-      ((1L to i.toLong) ++ (101L until (101L + sb - i))).toArray) // B: i shared
+      layout <- 0 to 1
+    } yield
+      if (layout == 0)
+        ((1L to sa.toLong).toArray,                               // A = 1..sa
+          ((1L to i.toLong) ++ (101L until (101L + sb - i))).toArray)
+      else (
+        // shared values interleave with exclusives on BOTH sides
+        (0 until sa).map(k => if (k < i) k * 1000L else 500L + k * 1000L)
+          .sorted.toArray,
+        (0 until sb).map(k => if (k < i) k * 1000L else 700L + k * 1000L)
+          .sorted.toArray)
     val df = grid.toDF("a_hs", "b_hs")
-    val sn = size(col("a_hs")); val se = size(col("b_hs"))
-    val staged = least(sn, se) * 2 >= greatest(sn, se) &&
-      size(array_intersect(col("a_hs"), col("b_hs"))) * 3 >= sn + se
+    val fused = graft.functions.GraftFunctions
+      .jaccardGeHalfSorted(col("a_hs"), col("b_hs"))
     val oracle = size(array_intersect(col("a_hs"), col("b_hs")))
       .cast("double") / size(array_union(col("a_hs"), col("b_hs"))) >= 0.5
-    val diverging = df.filter(staged =!= oracle).collect()
+    val diverging = df.filter(fused =!= oracle).collect()
     assert(diverging.isEmpty,
-      s"staged predicate diverges from jaccard>=0.5 on: ${diverging.toSeq}")
+      s"fused predicate diverges from jaccard>=0.5 on: ${diverging.toSeq}")
+    // and null propagation matches the oracle's null jaccard
+    val withNull = Seq((Array(1L, 2L), null: Array[Long]))
+      .toDF("a_hs", "b_hs")
+    assert(withNull.select(
+      graft.functions.GraftFunctions
+        .jaccardGeHalfSorted(col("a_hs"), col("b_hs"))).head().isNullAt(0))
   }
 
   test("J = 0.5 boundary corpus: prefix near-dups stay equivalent") {
