@@ -267,10 +267,14 @@ object Butterfly {
     * shuffle on already-distinct input; correctness cannot be left to
     * the caller). Pure plan, no persist — [[adjacency]] caches it,
     * [[releaseCaches]] uses the same canonical plan to drop it. */
+  private def distinctHalf(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame =
+    edges.select(col(aCol).cast("long").as("x"),
+      col(bCol).cast("long").as("y")).distinct()
+
   private def undirected(edges: DataFrame, aCol: String, bCol: String)
       : DataFrame = {
-    val e = edges.select(col(aCol).cast("long").as("x"),
-      col(bCol).cast("long").as("y")).distinct()
+    val e = distinctHalf(edges, aCol, bCol)
     e.union(e.select(col("y"), col("x")))
   }
 
@@ -282,9 +286,25 @@ object Butterfly {
     // first (the same staleness class Tables' ts-stats path
     // fingerprint guards against for scan stats).
     val und0 = undirected(edges, aCol, bCol)
-    val und = cachedIfCold(und0.queryExecution.analyzed.canonicalized, und0)
-    val deg = und.groupBy("x").agg(count(lit(1)).as("d"))
-      .select(col("x").as("id"), col("d"))
+    val key = und0.queryExecution.analyzed.canonicalized
+    // r17 (ButterflyCold/StagePeek attribution of the 12 s bench cold):
+    // cache the distinct HALF under the same registry key — the union
+    // duplicates it into two branches and the sizing ladder's actions
+    // run BEFORE the union cache is warm, so the edge-derivation
+    // exchange (the source join + distinct) executed ~7× per cold
+    // build. With the half persisted first, every later plan — the
+    // union's branches included — is substituted to the one cached
+    // copy by the cache manager's canonical matching.
+    cachedIfCold(key, distinctHalf(edges, aCol, bCol))
+    val und = cachedIfCold(key, und0)
+    // r17, same attribution: the DEGREE table is consumed seven times
+    // per cold build (the r sizing action, and two broadcast legs per
+    // adjacency consumer — the dominated-bound action and the wedge
+    // enumeration), and each consumption re-aggregated the full
+    // undirected cache. O(vertices) rows, same lifecycle key.
+    val deg = cachedIfCold(key,
+      und.groupBy("x").agg(count(lit(1)).as("d"))
+        .select(col("x").as("id"), col("d")))
 
     val limit = edges.sparkSession.conf
       .getOption("spark.graft.pagerank.broadcastNodeLimit")

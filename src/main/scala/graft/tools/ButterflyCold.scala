@@ -45,6 +45,10 @@ object ButterflyCold {
     val t0 = System.nanoTime()
     val df = SparkEntry.registry(name).build(spark, sfDir)
     val t1 = System.nanoTime()
+    val analyzed = df.queryExecution.analyzed
+    val tA = System.nanoTime()
+    val optimized = df.queryExecution.optimizedPlan
+    val tO = System.nanoTime()
     val plan = df.queryExecution.executedPlan
     val t2 = System.nanoTime()
     val rows = df.collect().length
@@ -53,10 +57,17 @@ object ButterflyCold {
     val warmT0 = System.nanoTime()
     SparkEntry.registry(name).build(spark, sfDir).collect()
     val warmS = (System.nanoTime() - warmT0) / 1e9
-    println(s"[bfcold] stages=${plan.collectLeaves().size} rows=$rows")
+    def nodes(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      1 + p.children.map(c =>
+        nodes(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]]))
+        .sum
+    println(s"[bfcold] rows=$rows analyzed_nodes=${nodes(analyzed)} " +
+      s"optimized_nodes=${nodes(optimized)} physical_nodes=${nodes(plan)}")
     println(f"""{"metric":"butterfly_cold","query":"$name",""" +
       f""""build_s":${(t1 - t0) / 1e9}%.2f,""" +
-      f""""plan_s":${(t2 - t1) / 1e9}%.2f,""" +
+      f""""analyze_s":${(tA - t1) / 1e9}%.2f,""" +
+      f""""optimize_s":${(tO - tA) / 1e9}%.2f,""" +
+      f""""physical_s":${(t2 - tO) / 1e9}%.2f,""" +
       f""""exec_s":${(t3 - t2) / 1e9}%.2f,""" +
       f""""codegen_ms":${ms1 - ms0},"codegen_n":${n1 - n0},""" +
       f""""warm_s":$warmS%.2f}""")
