@@ -412,9 +412,13 @@ object Bench {
     import java.nio.file.{Files, Paths}
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val p = Paths.get(path)
+    // regex, not contains: a promoted record that went through jq or a
+    // hand edit ("anchor_eligible": true with a space) must still be
+    // recognized — a missed detection IS the silent clobber this guard
+    // exists to stop (review r17)
     val promoted = !force && Files.exists(p) &&
-      new String(Files.readAllBytes(p), utf8)
-        .contains("\"anchor_eligible\":true")
+      "\"anchor_eligible\"\\s*:\\s*true".r.findFirstIn(
+        new String(Files.readAllBytes(p), utf8)).isDefined
     val target =
       if (!promoted) path
       else {

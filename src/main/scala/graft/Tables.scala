@@ -209,9 +209,34 @@ object Tables {
       val p = Paths.get(dir).toAbsolutePath
       val name = p.getFileName.toString
       val cut = name.lastIndexOf('-')
-      if (cut <= 0 || !name.substring(cut + 1).matches("[0-9a-f]{6}")) return
+      // [0-9a-f]{6,} — artifactKey emits take(6) BYTES = 12 hex chars
+      // (review r17: a {6}-only gate made the whole sweep a silent
+      // no-op on every production family; EnsureSavedSpec now uses the
+      // real 12-char shape)
+      if (cut <= 0 || !name.substring(cut + 1).matches("[0-9a-f]{6,}"))
+        return
       val stem = name.substring(0, cut + 1)
+      // a sibling is KIN only when its name is the same stem + a hex
+      // key of the same family, optionally with this protocol's
+      // staging/trash suffix — a plain startsWith(stem) also matched
+      // extended families like <stem>v2-<hash> (review r17)
+      val kin = "[0-9a-f]{6,}(\\.(tmp|trash)-.*)?".r
       val cutoff = System.currentTimeMillis() - olderThanMs
+      // age is judged on the DEEPEST mtime in the sibling, not the
+      // root's: a builder >2 h into a long staging write only touches
+      // subdirectories, and sweeping its live staging out from under
+      // it would fail the build (review r17). Best-effort walk — an
+      // unreadable child just makes the sibling look recent (skipped).
+      def lastTouch(sib: java.nio.file.Path): Long =
+        try {
+          val w = Files.walk(sib)
+          try w.iterator().asScala
+            .map(f => Files.getLastModifiedTime(f).toMillis)
+            .foldLeft(0L)(math.max)
+          finally w.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => Long.MaxValue
+        }
       def ours(sib: java.nio.file.Path): Boolean = {
         val sn = sib.getFileName.toString
         sn.contains(".tmp-") || sn.contains(".trash-") ||
@@ -228,7 +253,8 @@ object Tables {
         .filter { sib =>
           val sn = sib.getFileName.toString
           sn != name && sn.startsWith(stem) &&
-            Files.getLastModifiedTime(sib).toMillis < cutoff && ours(sib)
+            kin.matches(sn.substring(stem.length)) &&
+            lastTouch(sib) < cutoff && ours(sib)
         }
         .foreach(sib => deleteRecursively(sib.toString, bestEffort = true))
       finally ls.close()

@@ -96,8 +96,8 @@ object GraftFunctions {
     (FunctionIdentifier("graft_sort_bits"),
       info("graft_sort_bits", classOf[DoubleSortBits]),
       (es: Seq[Expression]) => DoubleSortBits(es(0))),
-    (FunctionIdentifier("graft_jaccard_ge_half"),
-      info("graft_jaccard_ge_half", classOf[SortedJaccardGeHalf]),
+    (FunctionIdentifier("graft_jaccard_ge_half_sorted"),
+      info("graft_jaccard_ge_half_sorted", classOf[SortedJaccardGeHalf]),
       (es: Seq[Expression]) => SortedJaccardGeHalf(es(0), es(1)))
   )
 
@@ -252,5 +252,5 @@ object GraftFunctions {
     * early exits (see [[SortedJaccardGeHalf]] for the exactness
     * argument and the sortedness contract). */
   def jaccardGeHalfSorted(a: Column, b: Column): Column =
-    call_function("graft_jaccard_ge_half", a, b)
+    call_function("graft_jaccard_ge_half_sorted", a, b)
 }

@@ -350,7 +350,7 @@ case class SortedJaccardGeHalf(left: Expression, right: Expression)
     Seq(ArrayType(org.apache.spark.sql.types.LongType),
       ArrayType(org.apache.spark.sql.types.LongType))
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
-  override def prettyName: String = "graft_jaccard_ge_half"
+  override def prettyName: String = "graft_jaccard_ge_half_sorted"
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -296,7 +296,14 @@ object Butterfly {
     // union's branches included — is substituted to the one cached
     // copy by the cache manager's canonical matching.
     cachedIfCold(key, distinctHalf(edges, aCol, bCol))
-    val und = cachedIfCold(key, und0)
+    // the union itself is NOT persisted (review r17): its branches are
+    // plan-substituted to the cached half, so re-deriving und is a
+    // cache scan plus a concat — while persisting it stored every
+    // undirected edge a SECOND and THIRD time (half 1× + union 2×) in
+    // MEMORY_AND_DISK, exactly the storage pressure the sizing ladder
+    // exists to avoid on dense graphs. Local A/B: within box noise on
+    // wall, 3× → 1× on edge-cache storage.
+    val und = und0
     // r17, same attribution: the DEGREE table is consumed seven times
     // per cold build (the r sizing action, and two broadcast legs per
     // adjacency consumer — the dominated-bound action and the wedge

@@ -183,8 +183,13 @@ object IvfIndex {
     * discards its staging dir and reads the winner — the registry's
     * sentinel discipline (StressSmoke.markerPath) adapted to an
     * artifact multiple JVMs may race to create. A `dir` left behind
-    * WITHOUT the marker (a crash before the rename protocol existed,
-    * or a foreign layout) is torn down and rebuilt. Returns `dir`. */
+    * WITHOUT the marker is torn down and rebuilt ONLY when it carries
+    * the graft ownership sentinel (stamped into every staging dir
+    * before its first content byte, r17); a dir with neither marker
+    * nor sentinel — foreign data, or a torn layout from before the
+    * sentinel existed — is refused with an IllegalStateException and
+    * must be removed manually (VERDICT r16 #5: the protocol must never
+    * destroy a directory it cannot prove it created). Returns `dir`. */
   def ensureSaved(dir: String)(build: => (DataFrame, DataFrame)): String =
     graft.Tables.ensurePublished(dir, "_graft_ivf_ok") { staging =>
       val (cents, postings) = build

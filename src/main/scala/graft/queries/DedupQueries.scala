@@ -306,12 +306,15 @@ object DedupQueries {
     val nB = sigd.filter(col("has_new") === 1 && col("has_existing") === 0)
       .select(col("_dig"), col("hs").as("n_hs"), explode(bandArr).as("bkey"))
     // the vacuous has_new >= 0 conjunct is LOAD-BEARING: it keeps
-    // has_new among this leg's required columns, so both band legs
-    // prune to the SAME column set below the class aggregation and the
-    // optimizer plans ONE partial-agg + exchange reused by both (and by
-    // the exact leg) — without it, column pruning specializes the two
-    // aggregates and the full corpus-wide class pass runs twice
-    // (StagePeek r17: two ~identical 915 MB exchanges at 1600×)
+    // has_new among this leg's required columns, so this leg's partial
+    // aggregate prunes to the SAME column set as the others and its
+    // exchange canonicalizes equal — measured at 400× (StagePeek r17):
+    // three class-exchange materializations without it, two with it
+    // (one pair unifies; the third consumer differs above the exchange
+    // and stays separate — IncrementalDedupSpec pins the ≤2 count so a
+    // future optimizer that folds the tautology, re-specializing the
+    // aggregates back to three full corpus passes, fails a test
+    // instead of silently regressing)
     val eB = sigd.filter(col("has_existing") === 1 && col("has_new") >= 0)
       .select(col("hs").as("e_hs"), explode(bandArr).as("bkey"))
     // the jaccard predicate is PIPELINED inside the band-join stage:

@@ -71,9 +71,13 @@ object IndexPersist {
     // (sentinel-guarded against half-writes, keyed on the source
     // vintage so a refreshed base fixture regenerates)
     val corpusDir = s"$work/corpus.parquet"
+    // fingerprint the TABLE actually read, not the dataset root — the
+    // root listing only stamps immediate children (the artifactKey
+    // call-site contract; review r17)
     val sentinel = java.nio.file.Paths.get(
       s"$work/_graft_ivfcorpus_${scale}x_" +
-        Tables.pathFingerprint(spark, src).replaceAll("[^0-9a-zA-Z-]", "_"))
+        Tables.pathFingerprint(spark, s"$src/embeddings.parquet")
+          .replaceAll("[^0-9a-zA-Z-]", "_"))
     val (_, fixtureS) = timed {
       if (!java.nio.file.Files.exists(sentinel)) {
         val reps = spark.range(scale).toDF("rep")

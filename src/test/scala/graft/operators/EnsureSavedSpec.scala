@@ -91,35 +91,58 @@ class EnsureSavedSpec extends AnyFunSuite with SparkTestSession {
     // orphaned staging dirs. The sweep runs after a successful publish
     // and must delete ONLY provably-graft siblings older than the age
     // bound.
+    // names use the PRODUCTION key shape — artifactKey emits take(6)
+    // BYTES = 12 hex chars (the r17 review caught a {6}-only gate that
+    // made the sweep a silent no-op on every real family)
     val parent = Files.createTempDirectory("graft-sweep-")
     val fam = (h: String) => parent.resolve(s"graft-unit-$h")
     // the freshly published dir (never swept: it is `dir` itself)
-    val live = fam("aaaaaa")
+    val live = fam("aaaaaaaaaaaa")
     Files.createDirectories(live)
     // an OLD superseded vintage with a marker (pre-sentinel rounds)
-    val staleKey = fam("bbbbbb")
+    val staleKey = fam("bbbbbbbbbbbb")
     Files.createDirectories(staleKey)
     Files.createFile(staleKey.resolve("_graft_pub_ok"))
     // an OLD orphaned staging dir
-    val staleTmp = parent.resolve("graft-unit-cccccc.tmp-42-1")
+    val staleTmp = parent.resolve("graft-unit-cccccccccccc.tmp-42-1")
     Files.createDirectories(staleTmp)
     // an OLD dir sharing the stem but provably NOT ours
-    val foreign = fam("dddddd")
+    val foreign = fam("dddddddddddd")
     Files.createDirectories(foreign)
     Files.writeString(foreign.resolve("user.txt"), "mine")
     // a YOUNG graft sibling (a concurrent builder's fresh vintage)
-    val young = fam("eeeeee")
+    val young = fam("eeeeeeeeeeee")
     Files.createDirectories(young)
     Files.createFile(young.resolve(graft.Tables.ArtifactSentinel))
+    // an OLD graft sibling from an EXTENDED family — shares the stem
+    // prefix but is not stem+hexkey, so it belongs to a DIFFERENT
+    // key family and must be spared (r17 review)
+    val extended = parent.resolve("graft-unit-v2-ffffffffffff")
+    Files.createDirectories(extended)
+    Files.createFile(extended.resolve(graft.Tables.ArtifactSentinel))
+    // an OLD staging dir whose ROOT mtime is stale but which a live
+    // builder touched DEEP inside recently — must be spared (age is
+    // judged on the deepest mtime; r17 review)
+    val liveStaging = parent.resolve("graft-unit-999999999999.tmp-7-1")
+    Files.createDirectories(liveStaging.resolve("postings"))
+    Files.writeString(liveStaging.resolve("postings/part-0"), "writing")
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 3L * 3600 * 1000)
-    Seq(staleKey, staleTmp, foreign).foreach(
-      Files.setLastModifiedTime(_, old))
+    // age the stale dirs DEEPLY (the sweep judges the deepest mtime)
+    for (d <- Seq(staleKey, staleTmp, foreign, extended)) {
+      val w = Files.walk(d)
+      try w.forEach(Files.setLastModifiedTime(_, old))
+      finally w.close()
+    }
+    Files.setLastModifiedTime(liveStaging, old) // root stale, child fresh
     graft.Tables.sweepStaleSiblings(live.toString)
     assert(!Files.exists(staleKey), "old superseded vintage must be swept")
     assert(!Files.exists(staleTmp), "old orphaned staging must be swept")
     assert(Files.exists(foreign), "non-graft sibling must be spared")
     assert(Files.exists(young), "young graft sibling must be spared")
+    assert(Files.exists(extended), "extended-family sibling must be spared")
+    assert(Files.exists(liveStaging.resolve("postings/part-0")),
+      "a staging dir with recent deep writes must be spared")
     assert(Files.exists(live))
   }
 

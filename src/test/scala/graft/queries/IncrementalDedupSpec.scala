@@ -174,6 +174,35 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     assertEquivalent(docs, "J=0.5 prefix boundary")
   }
 
+  test("class exchange is shared: ≤2 distinct canonical (dig, text) shuffles") {
+    // round-17 review: the vacuous has_new >= 0 conjunct on the eB leg
+    // exists only to align column pruning so the corpus-wide class
+    // aggregation's exchange canonicalizes equal across consumers —
+    // measured three materializations without it, two with it. This
+    // pins the ≤2 count in the non-adaptive physical plan, so a future
+    // optimizer that constant-folds the tautology (re-specializing the
+    // aggregates back to three full corpus passes) fails HERE instead
+    // of silently tripling the dominant linear stage at stress scale.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      val plan = DedupQueries.incrementalDedup(docs)
+        .queryExecution.executedPlan
+      val classExchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("_dig") &&
+              e.outputPartitioning.toString.contains("text") =>
+          e.canonicalized
+      }
+      assert(classExchanges.nonEmpty, "expected (dig, text) class exchanges")
+      val distinct = classExchanges.distinct.size
+      assert(distinct <= 2,
+        s"class exchange specialized into $distinct canonical forms — " +
+          "the column-pruning alignment regressed (see eB's conjunct)")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("staged plan is deterministic across runs") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val a = DedupQueries.incrementalDedup(docs).collect().toSeq
