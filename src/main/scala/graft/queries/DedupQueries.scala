@@ -285,9 +285,18 @@ object DedupQueries {
       .agg(max(when(isNew, 1).otherwise(0)).as("has_new"),
         max(when(!isNew, 1).otherwise(0)).as("has_existing"))
     val ws = words(col("text"))
+    // noPushdown pins the shingling precondition ABOVE the class
+    // aggregation (round-17 ExchangePeek): pushed into the band legs'
+    // scans it SPLIT the class exchange into two canonical forms —
+    // filtered for the band legs, unfiltered for the exact leg, which
+    // must see short texts — so the corpus-wide pass materialized
+    // twice. Pinned here, all three consumers share ONE exchange (the
+    // IncrementalDedupSpec plan-shape case asserts exactly one
+    // canonical form), at the cost of carrying the few sub-3-word
+    // classes through it.
     val sigd = classes
       .select(col("_dig"), col("has_new"), col("has_existing"), ws.as("ws"))
-      .filter(size(col("ws")) >= 3)
+      .filter(noPushdown(size(col("ws")) >= 3))
       .select(col("_dig"), col("has_new"), col("has_existing"),
         array_sort(array_distinct(shingleHash60(col("ws"), 3, modP = true)))
           .as("hs"))

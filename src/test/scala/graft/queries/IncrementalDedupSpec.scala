@@ -197,9 +197,14 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
       }
       assert(classExchanges.nonEmpty, "expected (dig, text) class exchanges")
       val distinct = classExchanges.distinct.size
-      assert(distinct <= 2,
+      // exactly ONE since the noPushdown pin (r17): the eB conjunct
+      // aligns column pruning and the barrier keeps the shingling
+      // precondition above the aggregate, so the filtered/unfiltered
+      // split cannot re-specialize the corpus-wide pass
+      assert(distinct == 1,
         s"class exchange specialized into $distinct canonical forms — " +
-          "the column-pruning alignment regressed (see eB's conjunct)")
+          "the pruning alignment (eB conjunct) or the noPushdown pin " +
+          "regressed; the corpus-wide class pass would run that many times")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
