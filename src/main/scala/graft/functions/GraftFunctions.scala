@@ -98,7 +98,16 @@ object GraftFunctions {
       (es: Seq[Expression]) => DoubleSortBits(es(0))),
     (FunctionIdentifier("graft_jaccard_ge_half_sorted"),
       info("graft_jaccard_ge_half_sorted", classOf[SortedJaccardGeHalf]),
-      (es: Seq[Expression]) => SortedJaccardGeHalf(es(0), es(1)))
+      (es: Seq[Expression]) => SortedJaccardGeHalf(es(0), es(1))),
+    (FunctionIdentifier("graft_delta_varint"),
+      info("graft_delta_varint", classOf[DeltaVarintEncode]),
+      (es: Seq[Expression]) => DeltaVarintEncode(es(0))),
+    (FunctionIdentifier("graft_delta_varint_decode"),
+      info("graft_delta_varint_decode", classOf[DeltaVarintDecode]),
+      (es: Seq[Expression]) => DeltaVarintDecode(es(0))),
+    (FunctionIdentifier("graft_jaccard_ge_half_delta"),
+      info("graft_jaccard_ge_half_delta", classOf[DeltaJaccardGeHalf]),
+      (es: Seq[Expression]) => DeltaJaccardGeHalf(es(0), es(1)))
   )
 
   /** Idempotently register the graft functions on an existing session. */
@@ -253,4 +262,20 @@ object GraftFunctions {
     * argument and the sortedness contract). */
   def jaccardGeHalfSorted(a: Column, b: Column): Column =
     call_function("graft_jaccard_ge_half_sorted", a, b)
+
+  /** Sorted distinct `array<long>` → delta-varint `binary` — the
+    * compact exchange form of a shingle set (see [[DeltaVarint]]). */
+  def deltaVarint(a: Column): Column =
+    call_function("graft_delta_varint", a)
+
+  /** delta-varint `binary` → `array<long>` (see [[DeltaVarintDecode]]
+    * for where the decode belongs relative to the exchange). */
+  def deltaVarintDecode(a: Column): Column =
+    call_function("graft_delta_varint_decode", a)
+
+  /** [[jaccardGeHalfSorted]] over two [[deltaVarint]]-encoded sets —
+    * same verdict and early exits, walked directly on the encoded
+    * bytes (see [[DeltaVarint.geHalf]]). */
+  def jaccardGeHalfDelta(a: Column, b: Column): Column =
+    call_function("graft_jaccard_ge_half_delta", a, b)
 }

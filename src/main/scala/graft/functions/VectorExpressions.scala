@@ -430,3 +430,202 @@ case class DoubleSortBits(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** LEB128 delta codec for sorted distinct long sets, plus the jaccard
+  * kernel that merge-walks two encoded streams directly.
+  *
+  * The incremental-dedup band frames carry every class's sorted shingle
+  * set through the band-join exchange on BOTH legs (DedupQueries
+  * .incrementalDedup). As a Spark `array<long>` that payload costs
+  * 8 B/element plus UnsafeArrayData header and null-bitmap words — yet
+  * the values are [[Sketches.P]]-reduced (< 2^30) and sorted, so the
+  * information content per element is the GAP to its predecessor
+  * (~ P / n, i.e. 3-4 varint bytes at realistic set sizes). Encoding
+  * [count, v0, v1−v0, …] as LEB128 varints into a `binary` column
+  * halves the dominant exchange payload at the top dedup rungs
+  * (VERDICT r17 #1: the 4.1 GB band-frame exchange at 1600× is what the
+  * disk-throughput lottery holds hostage), and the verification kernel
+  * below walks the encoded form directly — same integer-exact
+  * 3·|∩| ≥ |A|+|B| test, same early exits as [[SortedJaccardGeHalf]] —
+  * so nothing ever decodes back to an array.
+  *
+  * Both kernels live here as plain JVM methods invoked from generated
+  * code (`MODULE$` static calls): the byte-wise decode loop JIT-compiles
+  * tighter as one C2 method than as codegen-inlined Java, and eval +
+  * codegen share one implementation.
+  */
+object DeltaVarint {
+
+  /** LEB128 decode at `pos0`; returns `(newPos << 40) | value`.
+    * Callers guarantee values < 2^40 (shingle hashes and counts are
+    * < 2^30 by construction — [[Sketches.P]]). */
+  @inline private def vdec(a: Array[Byte], pos0: Int): Long = {
+    var pos = pos0; var v = 0L; var sh = 0; var bb = 0
+    do {
+      bb = a(pos); pos += 1
+      v |= (bb & 0x7fL) << sh; sh += 7
+    } while ((bb & 0x80) != 0)
+    (pos.toLong << 40) | v
+  }
+
+  @inline private def venc(buf: Array[Byte], pos0: Int, v0: Long): Int = {
+    var v = v0; var p = pos0
+    while ((v & ~0x7fL) != 0) {
+      buf(p) = ((v & 0x7f) | 0x80).toByte; p += 1; v >>>= 7
+    }
+    buf(p) = v.toByte
+    p + 1
+  }
+
+  /** Encode a SORTED ascending, duplicate-free `array<long>` of
+    * non-negative values as [varint(n), varint(v0), varint(gap)…].
+    * (Unsorted input still encodes losslessly — negative gaps take the
+    * full 10 varint bytes — but the jaccard kernel's merge walk would
+    * under-count on it, same contract as [[SortedJaccardGeHalf]].) */
+  def encode(arr: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = arr.numElements()
+    val buf = new Array[Byte](10 * n + 10)
+    var p = venc(buf, 0, n.toLong)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      p = venc(buf, p, if (i == 0) v else v - prev)
+      prev = v
+      i += 1
+    }
+    java.util.Arrays.copyOf(buf, p)
+  }
+
+  /** Decode back to the long array (spec/debugging aid; the hot path
+    * never calls this). */
+  def decode(a: Array[Byte]): Array[Long] = {
+    var d = vdec(a, 0)
+    val n = (d & 0xffffffffffL).toInt
+    val out = new Array[Long](n)
+    var p = (d >>> 40).toInt
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      d = vdec(a, p); p = (d >>> 40).toInt
+      prev = (if (i == 0) 0L else prev) + (d & 0xffffffffffL)
+      out(i) = prev
+      i += 1
+    }
+    out
+  }
+
+  /** `jaccard(A, B) >= 1/2` over two [[encode]]d sorted distinct sets —
+    * bit-identical verdict to [[SortedJaccardGeHalf]] on the decoded
+    * arrays: integer 3·|∩| ≥ |A|+|B| with the length-ratio prefilter,
+    * abandon-early impossibility bound and accept-early sufficiency
+    * bound folded into the merge walk, which advances by adding decoded
+    * gaps — no array is ever materialized per pair. */
+  def geHalf(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var d = vdec(a, 0)
+    val na = (d & 0xffffffffffL).toInt
+    var pa = (d >>> 40).toInt
+    d = vdec(b, 0)
+    val nb = (d & 0xffffffffffL).toInt
+    var pb = (d >>> 40).toInt
+    val s = na + nb
+    var i = 0; var j = 0; var found = 0
+    var ax = 0L; var bx = 0L
+    if (na > 0) { d = vdec(a, pa); pa = (d >>> 40).toInt; ax = d & 0xffffffffffL }
+    if (nb > 0) { d = vdec(b, pb); pb = (d >>> 40).toInt; bx = d & 0xffffffffffL }
+    while (i < na && j < nb) {
+      val remA = na - i; val remB = nb - j
+      val rem = if (remA < remB) remA else remB
+      if (3 * (found + rem) < s) return false
+      if (ax < bx) {
+        i += 1
+        if (i < na) { d = vdec(a, pa); pa = (d >>> 40).toInt; ax += d & 0xffffffffffL }
+      } else if (ax > bx) {
+        j += 1
+        if (j < nb) { d = vdec(b, pb); pb = (d >>> 40).toInt; bx += d & 0xffffffffffL }
+      } else {
+        found += 1; i += 1; j += 1
+        if (i < na) { d = vdec(a, pa); pa = (d >>> 40).toInt; ax += d & 0xffffffffffL }
+        if (j < nb) { d = vdec(b, pb); pb = (d >>> 40).toInt; bx += d & 0xffffffffffL }
+      }
+      if (3 * found >= s) return true
+    }
+    3 * found >= s
+  }
+}
+
+/** `array<long>` → delta-varint `binary` (see [[DeltaVarint]]). The
+  * encode runs once per CLASS at signature build; the payload win is
+  * collected on every band row the class fans out to and every byte the
+  * band-join exchange writes. */
+case class DeltaVarintEncode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def prettyName: String = "graft_delta_varint"
+
+  override def nullSafeEval(input: Any): Any =
+    DeltaVarint.encode(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.DeltaVarint$$.MODULE$$.encode($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** delta-varint `binary` → `array<long>` (inverse of
+  * [[DeltaVarintEncode]]). Runs once per band ROW, directly above the
+  * band-frame exchange: the exchange carries the compact encoding, the
+  * join predicate walks the decoded UnsafeArrayData in place — per-PAIR
+  * evaluation stays zero-copy (a BinaryType join condition would
+  * re-copy the byte[] out of the row on every pair evaluation, which
+  * measured 2.7× the r17 join-stage CPU at the 1600× rung). */
+case class DeltaVarintDecode(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_delta_varint_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      DeltaVarint.decode(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.DeltaVarint$$.MODULE$$.decode($c));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[SortedJaccardGeHalf]] over two delta-varint-encoded sets (see
+  * [[DeltaVarint.geHalf]]): same verdict, same early exits, no decode
+  * to arrays. Null if either side is null — the same rows the oracle's
+  * NULL jaccard fails to verify. */
+case class DeltaJaccardGeHalf(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(org.apache.spark.sql.types.BinaryType,
+      org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "graft_jaccard_ge_half_delta"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DeltaVarint.geHalf(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.DeltaVarint$$.MODULE$$.geHalf($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

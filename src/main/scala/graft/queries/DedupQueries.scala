@@ -268,7 +268,12 @@ object DedupQueries {
     * doc_id — bit-identical to [[incrementalDedupDirect]]. */
   private[graft] def incrementalDedup(docs: DataFrame): DataFrame = {
     val isNew = col("doc_id") % 5 === 4
-    val dig = struct(md5(col("text").cast("binary")),
+    // md5 rides as 16 raw bytes, not the 32-char hex string (round 18):
+    // the digest crosses the corpus-wide class exchange once per doc
+    // and the band-frame exchange 4× per all-new class, so the hex↔raw
+    // bijection is 16 B/row of pure exchange savings with identical
+    // class structure (unhex∘md5 collides iff md5 does)
+    val dig = struct(unhex(md5(col("text").cast("binary"))),
       xxhash64(col("text")), length(col("text"))).as("_dig")
     // digest classes (the shingleGroups contraction, with parity flags
     // riding the agg): one row per distinct text, shuffled once with
@@ -300,20 +305,43 @@ object DedupQueries {
       .select(col("_dig"), col("has_new"), col("has_existing"),
         array_sort(array_distinct(shingleHash60(col("ws"), 3, modP = true)))
           .as("hs"))
-      .withColumn("sig", minhashSig(col("hs"), 8))
+      // the shingle set crosses the band-frame exchange as a
+      // delta-varint binary, NOT an array<long> (round 18, VERDICT r17
+      // #1): values are P-reduced (< 2^30) and sorted, so each element
+      // is a ~3-4-byte encoded gap instead of 8 B + UnsafeArrayData
+      // header/bitmap — the dominant exchange payload at the top rungs
+      // (4.1 GB of the 1600× band frame) roughly halves, and the
+      // verify kernel walks the encoded form directly, so nothing
+      // decodes back. Encoded once per class, here, above the fan-out.
+      .select(col("_dig"), col("has_new"), col("has_existing"),
+        deltaVarint(col("hs")).as("hsb"), minhashSig(col("hs"), 8).as("sig"))
+    // band key packed into ONE long — injective since minhash values
+    // are < P < 2^30 and the band index is < 4: (b << 60) | (h1 << 30)
+    // | h2. Replaces the "b_h1_h2" string (~20 B UTF8 + offset word
+    // per band row) with 8 fixed bytes, and the band-join's equi-key
+    // becomes a primitive long compare.
     val bandArr = transform(sequence(lit(0), lit(3)), b =>
-      concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
-        element_at(col("sig"), b * 2 + 2)))
+      shiftleft(b.cast("long"), 60) +
+        shiftleft(element_at(col("sig"), b * 2 + 1), 30) +
+        element_at(col("sig"), b * 2 + 2))
     // band frames CARRY the shingle set (linear payload: 4 rows × one
-    // array per class) so verification needs no post-join hs fetch.
+    // encoded set per class) so verification needs no post-join fetch.
     // hs is kept SORTED (order is free here — minhash and the set
     // predicate are order-blind) so the verification kernel below can
     // merge-walk instead of hash-building.
     // New side = all-new classes only: a mixed class's new members are
     // exact-dropped below, so banding them would be dead work — and
     // the oracle's ver-minus-ex difference never surfaces them either.
+    // the encoding stays in place THROUGH the sort-merge join: the
+    // SMJ's cost at the top rungs is dominated by row width (sort
+    // memcpy + merge-buffer locality over 16M band rows at 1600×), so
+    // the compact binary row wins even though a BinaryType join
+    // condition re-copies the byte[] out of the row per pair
+    // evaluation — measured same-phase at 1600×: 503 core-s for the
+    // encoded join stage vs 599 for the r17 array rows vs 706 for
+    // shuffle-binary-then-decode-above-the-exchange (widest sort).
     val nB = sigd.filter(col("has_new") === 1 && col("has_existing") === 0)
-      .select(col("_dig"), col("hs").as("n_hs"), explode(bandArr).as("bkey"))
+      .select(col("_dig"), col("hsb").as("n_hsb"), explode(bandArr).as("bkey"))
     // the vacuous has_new >= 0 conjunct is LOAD-BEARING: it keeps
     // has_new among this leg's required columns, so this leg's partial
     // aggregate prunes to the SAME column set as the others and its
@@ -325,7 +353,7 @@ object DedupQueries {
     // aggregates back to three full corpus passes, fails a test
     // instead of silently regressing)
     val eB = sigd.filter(col("has_existing") === 1 && col("has_new") >= 0)
-      .select(col("hs").as("e_hs"), explode(bandArr).as("bkey"))
+      .select(col("hsb").as("e_hsb"), explode(bandArr).as("bkey"))
     // the jaccard predicate is PIPELINED inside the band-join stage:
     // in-bucket pairs are enumerated and discarded in-task, and only
     // verified digests are exchanged (the distinct's input is bounded
@@ -339,11 +367,13 @@ object DedupQueries {
     // model multiplies both sides of every colliding pair, so most
     // in-bucket pairs verify) from width² predicate evaluations to
     // ~width. For the pairs that ARE evaluated, the predicate is the
-    // fused SortedJaccardGeHalf merge walk over the sorted shingle
-    // sets: integer-exactly J >= 0.5 (3·|∩| >= |A|+|B| for distinct
+    // fused DeltaJaccardGeHalf merge walk DIRECTLY over the two
+    // delta-varint-encoded sorted shingle sets (verdict bit-identical
+    // to SortedJaccardGeHalf on the decoded arrays, spec grid-pinned):
+    // integer-exactly J >= 0.5 (3·|∩| >= |A|+|B| for distinct
     // arrays), with the length-ratio prefilter and an accept-early /
-    // abandon-early bound folded into one generated loop — no hash-set
-    // build, no array allocation, per pair. hs is non-empty by the
+    // abandon-early bound folded into one loop — no hash-set build,
+    // no per-pair array materialization. hs is non-empty by the
     // size(ws) >= 3 filter above, so the oracle's 0/0 = NaN corner is
     // unreachable on both plans. Survivor-set identity vs the literal
     // pair-materializing plan is pinned by IncrementalDedupSpec
@@ -351,7 +381,7 @@ object DedupQueries {
     // full size/overlap grid against the double-division oracle).
     val verDig = nB.join(eB.withColumnRenamed("bkey", "e_bkey"),
         col("bkey") === col("e_bkey") &&
-          jaccardGeHalfSorted(col("n_hs"), col("e_hs")), "left_semi")
+          jaccardGeHalfDelta(col("n_hsb"), col("e_hsb")), "left_semi")
       .select(col("_dig")).distinct()
     // exact leg: classes holding both parities — their new members are
     // text-equal to an existing doc (covers <3-word texts too)

@@ -160,6 +160,65 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
         .jaccardGeHalfSorted(col("a_hs"), col("b_hs"))).head().isNullAt(0))
   }
 
+  test("delta-varint codec: roundtrip + encoded kernel ≡ array kernel on the grid") {
+    // round 18 (VERDICT r17 #1): the band frames carry the shingle set
+    // as a delta-varint binary and the join predicate merge-walks the
+    // ENCODED form. Two pins: (a) encode∘decode is the identity on
+    // sorted distinct P-reduced sets, including the adversarial
+    // boundary values; (b) DeltaJaccardGeHalf over encoded pairs gives
+    // the bit-identical verdict to SortedJaccardGeHalf over the arrays
+    // on the full size/overlap grid — so swapping the carrier cannot
+    // move the survivor set.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.{DeltaVarint, GraftFunctions}
+    // (a) roundtrip, driver-side: empty, singleton 0, max P-1 values,
+    // dense run, wide gaps
+    val cases = Seq(
+      Array.emptyLongArray,
+      Array(0L), Array(graft.functions.Sketches.P - 1),
+      (0L until 100L).toArray,
+      Array(0L, 1L, graft.functions.Sketches.P / 2, graft.functions.Sketches.P - 1))
+    for (c <- cases) {
+      val rt = DeltaVarint.decode(DeltaVarint.encode(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(c)))
+      assert(rt.toSeq == c.toSeq, s"roundtrip broke on ${c.toSeq}")
+    }
+    // (b) verdict identity through the SQL layer on the same grid the
+    // array kernel is pinned on (plus the interleaved layouts)
+    val grid = for {
+      sa <- 1 to 8; sb <- 1 to 8; i <- 0 to math.min(sa, sb)
+      layout <- 0 to 1
+    } yield
+      if (layout == 0)
+        ((1L to sa.toLong).toArray,
+          ((1L to i.toLong) ++ (101L until (101L + sb - i))).toArray)
+      else (
+        (0 until sa).map(k => if (k < i) k * 1000L else 500L + k * 1000L)
+          .sorted.toArray,
+        (0 until sb).map(k => if (k < i) k * 1000L else 700L + k * 1000L)
+          .sorted.toArray)
+    val df = grid.toDF("a_hs", "b_hs")
+    val enc = GraftFunctions.jaccardGeHalfDelta(
+      GraftFunctions.deltaVarint(col("a_hs")),
+      GraftFunctions.deltaVarint(col("b_hs")))
+    val arr = GraftFunctions.jaccardGeHalfSorted(col("a_hs"), col("b_hs"))
+    val diverging = df.filter(enc =!= arr).collect()
+    assert(diverging.isEmpty,
+      s"encoded kernel diverges from array kernel on: ${diverging.toSeq}")
+    // SQL-layer roundtrip too (decode expression under codegen):
+    // decode(encode(x)) must be x for every grid row
+    val rtDiverging = df.filter(GraftFunctions.deltaVarintDecode(
+      GraftFunctions.deltaVarint(col("a_hs"))) =!= col("a_hs")).collect()
+    assert(rtDiverging.isEmpty,
+      s"SQL-layer roundtrip broke on: ${rtDiverging.toSeq}")
+    // null propagation matches (null binary -> null verdict)
+    val withNull = Seq((Array(1L, 2L), null: Array[Long])).toDF("a_hs", "b_hs")
+    assert(withNull.select(GraftFunctions.jaccardGeHalfDelta(
+      GraftFunctions.deltaVarint(col("a_hs")),
+      GraftFunctions.deltaVarint(col("b_hs")))).head().isNullAt(0))
+  }
+
   test("J = 0.5 boundary corpus: prefix near-dups stay equivalent") {
     // pairs engineered to land EXACTLY on the threshold: existing = 6
     // distinct words (4 shingles), new = its 4-word prefix (2 shingles,
