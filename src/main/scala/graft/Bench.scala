@@ -422,9 +422,16 @@ object Bench {
     val target =
       if (!promoted) path
       else {
-        val side = path.stripSuffix(".json") +
-          s"-unpromoted-${ProcessHandle.current().pid()}" +
-          s"-${recordWriteSeq.incrementAndGet()}.json"
+        // diverted records land in a SUBDIRECTORY (ADVICE r17): side
+        // files in the repo root sorted next to the promoted records,
+        // were mistakable for them, and accumulated untracked forever;
+        // bench_unpromoted/ is gitignored and one `rm -r` to clean
+        val sideDir = p.toAbsolutePath.getParent.resolve("bench_unpromoted")
+        Files.createDirectories(sideDir)
+        val side = sideDir.resolve(
+          p.getFileName.toString.stripSuffix(".json") +
+            s"-unpromoted-${ProcessHandle.current().pid()}" +
+            s"-${recordWriteSeq.incrementAndGet()}.json").toString
         println(s"bench: $path holds an anchor_eligible record; wrote " +
           s"$side instead (SPARK_GRAFT_BENCH_FORCE=1 overrides)")
         side

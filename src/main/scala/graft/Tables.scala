@@ -200,10 +200,23 @@ object Tables {
     * or `.trash-` name from this protocol, the [[ArtifactSentinel]],
     * or a `_graft_*` marker from a pre-sentinel round), and has not
     * been modified for `olderThanMs` — old enough that no live builder
-    * is writing it and no fresh run can have keyed to it. */
+    * is writing it and no fresh run can have keyed to it.
+    *
+    * READER CONTRACT (ADVICE r17): mtime proves no live WRITER, not no
+    * live reader — a long-lived server that lazily loaded a superseded
+    * vintage (IvfIndex.load is a lazy parquet plan) hours ago still
+    * references those files and would hit FileNotFoundException
+    * mid-query after a sibling publish sweeps them. A process that
+    * serves a vintage past the age bound after supersession must
+    * either re-resolve its [[artifactKey]] within the bound (every
+    * batch/bench run re-keys naturally) or disable the GC with
+    * `-Dgraft.artifact.sweep=off`. The default bound is 12 h — long
+    * enough that routine re-resolution makes sweeps unobservable,
+    * short enough that a bench box's tmpdir is still reclaimed daily. */
   private[graft] def sweepStaleSiblings(dir: String,
-      olderThanMs: Long = 2L * 3600 * 1000): Unit =
+      olderThanMs: Long = 12L * 3600 * 1000): Unit =
     try {
+      if (System.getProperty("graft.artifact.sweep", "on") == "off") return
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
       val p = Paths.get(dir).toAbsolutePath
@@ -260,6 +273,39 @@ object Tables {
       finally ls.close()
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Structural ownership test for the pre-sentinel migration path of
+    * [[publishDir]] (ADVICE r17): a torn pre-r17 graft artifact is a
+    * dir whose every entry is a `_graft_*` marker, a hidden file, or a
+    * Spark write-output subdirectory (all children `part-*`,
+    * `_SUCCESS`, `_committed*`/`_started*`, or hidden). Conservative
+    * by construction: one unrecognized entry anywhere → not ours. */
+  private def looksLikeGraftLayout(dir: String): Boolean = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def sparkOutput(p: java.nio.file.Path): Boolean = {
+      val ls = Files.list(p)
+      try {
+        val names = ls.iterator().asScala.map(_.getFileName.toString).toSeq
+        names.nonEmpty && names.forall(n => n.startsWith("part-") ||
+          n == "_SUCCESS" || n.startsWith("_committed") ||
+          n.startsWith("_started") || n.startsWith("."))
+      } finally ls.close()
+    }
+    try {
+      val p = Paths.get(dir)
+      if (!Files.isDirectory(p)) return false
+      val ls = Files.list(p)
+      try {
+        val entries = ls.iterator().asScala.toSeq
+        entries.nonEmpty && entries.forall { e =>
+          val n = e.getFileName.toString
+          n.startsWith("_graft_") || n.startsWith(".") ||
+            (Files.isDirectory(e) && sparkOutput(e))
+        }
+      } finally ls.close()
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
   /** The rename-or-discard step of [[ensurePublished]]: an atomic move
     * of the complete staging dir into place. The JDK surfaces a lost
     * rename differently per platform — Linux throws the PLAIN
@@ -300,11 +346,23 @@ object Tables {
         //    delete could also throw mid-walk if the dir was
         //    concurrently replaced). The trash dir is removed
         //    best-effort; a leftover is swept by [[sweepStaleSiblings]].
-        if (!complete && !Files.exists(Paths.get(dir, ArtifactSentinel)))
+        // MIGRATION PATH (ADVICE r17): pre-sentinel builds left torn
+        // layouts with content but neither marker nor sentinel; those
+        // used to be auto-torn-down and would otherwise hard-fail
+        // every publish at this key forever (also discarding the
+        // fully-built staging artifact). A dir whose entries are ALL
+        // recognizable graft/Spark output shapes — `_graft_*` markers,
+        // hidden files, or subdirectories that are themselves Spark
+        // write outputs (every child a part-/_SUCCESS/hidden file) —
+        // is provably one of ours structurally; anything else stays a
+        // loud refusal.
+        if (!complete && !Files.exists(Paths.get(dir, ArtifactSentinel))
+            && !looksLikeGraftLayout(dir))
           throw new IllegalStateException(
             s"refusing to tear down $dir: holds neither $marker nor " +
-              s"$ArtifactSentinel — not a graft-published artifact; " +
-              "remove it manually if it is expendable")
+              s"$ArtifactSentinel and is not a recognizable graft " +
+              "layout — not a graft-published artifact; remove it " +
+              "manually if it is expendable")
         if (!complete) {
           val trash = s"$dir.trash-${ProcessHandle.current().pid()}" +
             s"-${pubSeq.incrementAndGet()}"

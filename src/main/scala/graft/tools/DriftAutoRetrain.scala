@@ -161,13 +161,17 @@ object DriftAutoRetrain {
       val cands = IvfIndex.probeFrame(queries, lc, "q_id", "qa", 1)
         .select(col("q_id"), col("cell"))
         .join(lp.select(col("cell")), Seq("cell")).count()
-      val occ = lp.groupBy(col("cell")).count()
-        .agg(max(col("count"))).head().getLong(0)
-      // the stale index holds the pre-drift corpus (4/5 of total), the
-      // fresh one the grown corpus — normalize skew by each index's own
-      // mean list size
-      val indexed = lp.count()
-      val skew = occ.toDouble * cells / indexed
+      // one pass for max occupancy, LIVE cell count, and total: skew
+      // = max/mean over cells that actually hold postings. Normalizing
+      // by the CONFIGURED cell count (ADVICE r17) overstated the
+      // divisor differently per vintage — Lloyd drops empty cells, and
+      // the stale quantizer is seeded from a widened id bound — biasing
+      // exactly the stale/fresh comparison this tool exists to print.
+      val occRow = lp.groupBy(col("cell")).count()
+        .agg(max(col("count")), count(lit(1)), sum(col("count"))).head()
+      val (occ, liveCells, indexed) =
+        (occRow.getLong(0), occRow.getLong(1), occRow.getLong(2))
+      val skew = occ.toDouble * liveCells / indexed
       (tag, cands.toDouble / nQueries, skew, served, sec)
     }
     val Seq(stale, fresh) = stats

@@ -114,9 +114,13 @@ object IndexPersist {
       val corpus = spark.read.parquet(corpusDir)
       val m = math.max(1L, nVecs / (cells * 64L))
       val sample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0)
+      // EAGER checkpoint: with eager=false nothing runs before tTrain
+      // is captured, so train_s would record only driver-side plan
+      // assembly while the Lloyd compute silently lands in build_s
+      // (ADVICE r17). Eager also keeps the guarantee that the
+      // assignment broadcast never re-runs the Lloyd plan.
       val trained = IvfIndex.trainSampled(sample, cells, rounds = 2)
-        .localCheckpoint(false) // train once; the assignment broadcast
-                                // must not re-run the Lloyd plan
+        .localCheckpoint(true)
       val tTrain = (System.nanoTime() - t0) / 1e9
       val (cents, postings) = IvfIndex.build(corpus, cells,
         centsOverride = Some(trained))

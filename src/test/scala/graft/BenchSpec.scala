@@ -177,10 +177,14 @@ class BenchSpec extends AnyFunSuite with SparkTestSession {
     // ineligible previous run: overwritten (an eligible run SHOULD win)
     assert(Bench.guardedRecordWrite(rec, eligible, force = false) == rec)
     assert(Files.readString(Paths.get(rec)) == eligible)
-    // eligible record in place: the new content lands side-by-side
+    // eligible record in place: the new content lands in the
+    // bench_unpromoted/ subdirectory (ADVICE r17 — root-level side
+    // files sorted next to real records and were mistakable for them)
     val diverted = Bench.guardedRecordWrite(rec, noisy, force = false)
     assert(diverted != rec && diverted.contains("-unpromoted-")
-      && diverted.endsWith(".json"))
+      && diverted.endsWith(".json")
+      && Paths.get(diverted).getParent.getFileName.toString
+        == "bench_unpromoted")
     assert(Files.readString(Paths.get(rec)) == eligible,
       "the promoted record must survive byte-for-byte")
     assert(Files.readString(Paths.get(diverted)) == noisy)

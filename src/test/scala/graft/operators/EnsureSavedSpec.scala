@@ -79,6 +79,36 @@ class EnsureSavedSpec extends AnyFunSuite with SparkTestSession {
       == "keep me")
   }
 
+  test("a PRE-SENTINEL torn graft layout is recognized and rebuilt") {
+    // ADVICE r17 migration path: builds older than the sentinel left
+    // torn layouts with content but neither marker nor sentinel; the
+    // r17 ownership guard hard-failed every publish at such a key
+    // forever (and discarded the fresh staging artifact). A dir whose
+    // entries are all Spark write outputs / _graft_* names is
+    // structurally ours and may be torn down and rebuilt.
+    val dir = freshDir("presentinel")
+    Files.createDirectories(Paths.get(dir, "postings"))
+    Files.writeString(Paths.get(dir, "postings", "part-00000"), "torn")
+    Files.createFile(Paths.get(dir, "postings", "_SUCCESS"))
+    Files.createDirectories(Paths.get(dir, "centroids"))
+    Files.writeString(Paths.get(dir, "centroids", "part-00000"), "torn")
+    IvfIndex.ensureSaved(dir)(IvfIndex.build(corpus(), cells = 16))
+    assert(Files.exists(Paths.get(dir, "_graft_ivf_ok")))
+    val (_, lp) = IvfIndex.load(spark, dir)
+    assert(lp.count() == corpus().count())
+    // but ONE unrecognized entry anywhere makes it foreign again
+    val dir2 = freshDir("presentinel2")
+    Files.createDirectories(Paths.get(dir2, "postings"))
+    Files.createFile(Paths.get(dir2, "postings", "_SUCCESS"))
+    Files.writeString(Paths.get(dir2, "postings", "notes.md"), "keep")
+    val ex = intercept[IllegalStateException] {
+      IvfIndex.ensureSaved(dir2)(IvfIndex.build(corpus(), cells = 16))
+    }
+    assert(ex.getMessage.contains("refusing to tear down"))
+    assert(Files.readString(Paths.get(dir2, "postings", "notes.md"))
+      == "keep")
+  }
+
   test("published artifacts carry the ownership sentinel") {
     val dir = freshDir("sentinel")
     IvfIndex.ensureSaved(dir)(IvfIndex.build(corpus(), cells = 16))
@@ -126,8 +156,11 @@ class EnsureSavedSpec extends AnyFunSuite with SparkTestSession {
     val liveStaging = parent.resolve("graft-unit-999999999999.tmp-7-1")
     Files.createDirectories(liveStaging.resolve("postings"))
     Files.writeString(liveStaging.resolve("postings/part-0"), "writing")
+    // past the 12 h default bound (lengthened in r18, ADVICE r17: the
+    // bound is also the ceiling on how long a lazy reader may serve a
+    // superseded vintage without re-resolving its artifactKey)
     val old = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 3L * 3600 * 1000)
+      System.currentTimeMillis() - 13L * 3600 * 1000)
     // age the stale dirs DEEPLY (the sweep judges the deepest mtime)
     for (d <- Seq(staleKey, staleTmp, foreign, extended)) {
       val w = Files.walk(d)
@@ -135,6 +168,14 @@ class EnsureSavedSpec extends AnyFunSuite with SparkTestSession {
       finally w.close()
     }
     Files.setLastModifiedTime(liveStaging, old) // root stale, child fresh
+    // the opt-out kills the GC entirely (ADVICE r17: a process serving
+    // lazy-loaded vintages indefinitely sets this instead of racing
+    // the age bound)
+    System.setProperty("graft.artifact.sweep", "off")
+    try graft.Tables.sweepStaleSiblings(live.toString)
+    finally System.clearProperty("graft.artifact.sweep")
+    assert(Files.exists(staleKey) && Files.exists(staleTmp),
+      "-Dgraft.artifact.sweep=off must disable the GC")
     graft.Tables.sweepStaleSiblings(live.toString)
     assert(!Files.exists(staleKey), "old superseded vintage must be swept")
     assert(!Files.exists(staleTmp), "old orphaned staging must be swept")
