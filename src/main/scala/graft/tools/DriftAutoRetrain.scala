@@ -41,6 +41,24 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object DriftAutoRetrain {
 
+  /** One epoch of the handoff loop as the sink saw it: the drift
+    * verdict, and — the handoff's observable contract — which vintage
+    * a server resolving NOW would read (`servingDir`) plus proof that
+    * vintage is complete and readable mid-stream (`servingCells`, a
+    * centroid count through `IvfIndex.load`). */
+  private[graft] case class EpochRec(epoch: Long, labels: Int,
+    meanDrift: Double, triggered: Boolean, servingDir: String,
+    servingCells: Long)
+
+  /** What [[runHandoff]] proved: the per-epoch trail, the two vintage
+    * dirs, the firing epoch, and how many times the in-sink publish
+    * branch actually ran (the exactly-once guarantee under a trigger
+    * condition that stays true for every post-shift epoch). */
+  private[graft] case class HandoffReport(nBase: Long, total: Long,
+    cells: Int, staleDir: String, freshDir: Option[String],
+    firedEpoch: Option[Long], firedMean: Double, handoffRuns: Int,
+    epochs: Seq[EpochRec])
+
   def main(args: Array[String]): Unit = {
     val scale = args.headOption.map(_.toInt).getOrElse(10)
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -49,10 +67,33 @@ object DriftAutoRetrain {
     val noise = if (args.length > 3) args(3).toDouble else 0.6
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Tables.pinDialect(Tables.localSession("graft-adrift", cpus))
+    import graft.queries.DedupQueries
+
+    val report = runHandoff(spark, src, out, scale, noise, cpus.toInt)
+    require(report.firedEpoch.isDefined,
+      "the drift trigger never fired on the shifted fixture — " +
+        "monitor or threshold regression")
+    val (nBase, cells) = (report.nBase, report.cells)
+    val (staleDir, freshDir) = (report.staleDir, report.freshDir.get)
+    val (fireEpoch, fireMean) = (report.firedEpoch.get, report.firedMean)
+    val n = DedupQueries.normalizedEmbeddings(spark, out)
+    serveAb(spark, n, nBase, cells, staleDir, freshDir, fireEpoch, fireMean)
+    spark.stop()
+  }
+
+  /** The streaming-native loop itself (factored out of main so
+    * DriftAutoRetrainSpec can run it on a small shifted fixture and
+    * assert the handoff contract — VERDICT r17 #3). Publishes the
+    * stale vintage, monitors the arrival stream with
+    * st_embedding_drift's scoring state, and lets the FIRST firing
+    * epoch retrain + republish in-sink. Leaves no bench conf set. */
+  private[graft] def runHandoff(spark: org.apache.spark.sql.SparkSession,
+      src: String, out: String, scale: Int, noise: Double,
+      cpus: Int): HandoffReport = {
     import graft.queries.{DedupQueries, SimilarityQueries, StreamingQueries}
 
     val (nBase, total) = DriftRetrain.ensureFixture(
-      spark, src, out, scale, noise, control = false, cpus.toInt)
+      spark, src, out, scale, noise, control = false, cpus)
     val cells = math.max(16, math.round(math.sqrt(total / 2.0))).toInt
     val tmp = System.getProperty("java.io.tmpdir")
     val embPath = s"$out/embeddings.parquet"
@@ -103,6 +144,9 @@ object DriftAutoRetrain {
     // ---- the handoff sink: trigger evaluated per epoch; first firing
     // epoch retrains + republishes IN-SINK
     val fired = new AtomicReference[(Long, Double, String)](null)
+    val handoffRuns = new java.util.concurrent.atomic.AtomicInteger
+    val epochs =
+      new java.util.concurrent.ConcurrentLinkedQueue[EpochRec]()
     val ck = java.nio.file.Files
       .createTempDirectory("graft-adrift-ck-").toString
     val query = scored.writeStream.foreachBatch {
@@ -122,6 +166,7 @@ object DriftAutoRetrain {
           // THE HANDOFF: retrain on the grown corpus, publish the new
           // vintage under its own content key; ensureSaved's atomic
           // rename makes the vintage swap safe under concurrent readers
+          handoffRuns.incrementAndGet()
           val freshDir = IvfIndex.ensureSaved(
             s"$tmp/${Tables.artifactKey(
               spark, "graft-ardx-fresh", embPath)}") {
@@ -132,6 +177,14 @@ object DriftAutoRetrain {
           println(s"""{"metric":"adrift_handoff","epoch":$epoch,""" +
             s""""published":"$freshDir"}""")
         }
+        // the epoch's observable serving state: which vintage a server
+        // resolving NOW reads (fresh from the firing epoch onwards),
+        // proven complete by loading it mid-stream
+        val servingDir =
+          if (fired.get() == null) staleDir else fired.get()._3
+        val servingCells = IvfIndex.load(spark, servingDir)._1.count()
+        epochs.add(EpochRec(epoch, d.length, mean, trigger, servingDir,
+          servingCells))
         ()
     }
       .option("checkpointLocation", ck)
@@ -140,13 +193,20 @@ object DriftAutoRetrain {
     Tables.deleteRecursively(ck, bestEffort = true)
     spark.conf.unset(BenchConfs.IvfTrain)
 
-    require(fired.get() != null,
-      "the drift trigger never fired on the shifted fixture — " +
-        "monitor or threshold regression")
-    val (fireEpoch, fireMean, freshDir) = fired.get()
+    import scala.jdk.CollectionConverters._
+    HandoffReport(nBase, total, cells, staleDir,
+      Option(fired.get()).map(_._3), Option(fired.get()).map(_._1),
+      Option(fired.get()).map(_._2).getOrElse(0.0), handoffRuns.get(),
+      epochs.iterator().asScala.toSeq.sortBy(_.epoch))
+  }
 
-    // ---- before/after: the arrival batch served from BOTH persisted
-    // vintages through the production read path
+  /** The after-drain A/B: the arrival batch served from BOTH persisted
+    * vintages through the production `servePruned` read path, printing
+    * the before/after serving-cost deltas (candidates per query,
+    * worst-cell skew) alongside which epoch fired. */
+  private def serveAb(spark: org.apache.spark.sql.SparkSession,
+      n: DataFrame, nBase: Long, cells: Int, staleDir: String,
+      freshDir: String, fireEpoch: Long, fireMean: Double): Unit = {
     val queries = n.filter(col("vec_id") % 5 === 4 &&
         col("vec_id") < nBase * 2)
       .select(col("vec_id").as("q_id"), col("an").as("qa"))
@@ -184,6 +244,5 @@ object DriftAutoRetrain {
       f""""fresh_cell_skew":${fresh._3}%.2f,""" +
       f""""stale_serve_rows":${stale._4},"fresh_serve_rows":${fresh._4},""" +
       f""""stale_serve_s":${stale._5}%.2f,"fresh_serve_s":${fresh._5}%.2f}""")
-    spark.stop()
   }
 }

@@ -201,4 +201,47 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       assert(exchanges <= 2, s"$name has $exchanges exchanges:\n$p")
     }
   }
+
+  test("exchange budgets hold for the top-5 warm bench queries") {
+    // VERDICT r17 #5: the IncrementalDedupSpec ==1 class-exchange pin,
+    // generalized. For the five most expensive warm entries the
+    // NON-ADAPTIVE physical plan's canonical ShuffleExchangeExec count
+    // (and the ReusedExchange count where sharing is the design) is
+    // pinned, so a Spark upgrade or refactor that splits a shared
+    // exchange — re-running a corpus-wide pass once per consumer —
+    // fails HERE instead of silently at the rungs. The two iterative
+    // graph queries read 1 because their per-round plans sit behind
+    // localCheckpoint barriers; what is pinned is exactly the visible
+    // final-stage plan (a checkpoint-discipline regression would
+    // surface as the whole iteration's exchange chain reappearing).
+    val budgets = Seq(
+      // (name, canonical forms, total exchanges, reused)
+      ("rel_graph_pagerank", 1, 1, 0),
+      ("rel_fuzzy_join_sig", 5, 5, 2),
+      ("td_dedup_lsh_recall", 4, 4, 3),
+      ("rel_graph_kcore", 1, 1, 0),
+      ("rel_fuzzy_join", 1, 1, 0))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for ((name, forms, total, reused) <- budgets) {
+        val p = SparkEntry.registry(name).build(spark, sfDir)
+          .queryExecution.executedPlan
+        val exchanges = p.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            => e
+        }
+        val reusedN = p.collect {
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+            => r
+        }.size
+        val formsN = exchanges.map(_.canonicalized).distinct.size
+        assert((formsN, exchanges.size, reusedN) == ((forms, total, reused)),
+          s"$name exchange budget moved: canonical=$formsN (pinned $forms), " +
+            s"total=${exchanges.size} (pinned $total), reused=$reusedN " +
+            s"(pinned $reused) — a split shared exchange re-runs a " +
+            "corpus-wide pass per consumer at the rungs")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
