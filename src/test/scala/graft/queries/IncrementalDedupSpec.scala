@@ -267,6 +267,43 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("the verify join is LEFT SEMI over the ENCODED sets with a long band key") {
+    // round-18 plan-shape pin: the three load-bearing physical
+    // properties of the band join — (a) LeftSemi (per-probe early
+    // exit; an inner-join+distinct would re-explode match-dense
+    // buckets to width²), (b) the condition walks the delta-varint
+    // BINARY columns (an array<long> payload would re-widen the
+    // exchange the r18 encoding shrank to 65%), (c) the band equi-key
+    // is a packed LONG, not the legacy string. A refactor or optimizer
+    // change reverting any of them fails here, not at the 1600× rung.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try {
+        val docs =
+          graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        DedupQueries.incrementalDedup(docs).queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val semis = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType.sql == "LEFT SEMI" &&
+            j.condition.exists(_.toString
+              .contains("graft_jaccard_ge_half_delta")) => j
+    }
+    assert(semis.size == 1,
+      s"expected exactly one LeftSemi with the delta condition:\n$plan")
+    val j = semis.head
+    assert(j.leftKeys.size == 1 &&
+      j.leftKeys.head.dataType == org.apache.spark.sql.types.LongType,
+      s"band key must be one packed long, got ${j.leftKeys}")
+    val condTypes = j.condition.get.collect {
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.dataType
+    }
+    assert(condTypes.forall(_ ==
+        org.apache.spark.sql.types.BinaryType),
+      s"condition must reference only encoded binary columns: $condTypes")
+  }
+
   test("staged plan is deterministic across runs") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val a = DedupQueries.incrementalDedup(docs).collect().toSeq
