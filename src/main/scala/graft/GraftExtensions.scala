@@ -14,6 +14,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((id, info, builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.BucketAdmitJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RewriteRankingFilterToTopK)
     ext.injectOptimizerRule(_ => graft.plans.RewriteDeferredBuild)
   }

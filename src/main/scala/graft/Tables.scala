@@ -23,6 +23,11 @@ object Tables {
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.BucketAdmitJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+
+          graft.plans.BucketAdmitJoinStrategy
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.RewriteRankingFilterToTopK))
       spark.experimental.extraOptimizations =

@@ -341,7 +341,7 @@ object DedupQueries {
     // encoded join stage vs 599 for the r17 array rows vs 706 for
     // shuffle-binary-then-decode-above-the-exchange (widest sort).
     val nB = sigd.filter(col("has_new") === 1 && col("has_existing") === 0)
-      .select(col("_dig"), col("hsb").as("n_hsb"), explode(bandArr).as("bkey"))
+      .select(explode(bandArr).as("bkey"), col("_dig"), col("hsb"))
     // the vacuous has_new >= 0 conjunct is LOAD-BEARING: it keeps
     // has_new among this leg's required columns, so this leg's partial
     // aggregate prunes to the SAME column set as the others and its
@@ -353,36 +353,36 @@ object DedupQueries {
     // aggregates back to three full corpus passes, fails a test
     // instead of silently regressing)
     val eB = sigd.filter(col("has_existing") === 1 && col("has_new") >= 0)
-      .select(col("hsb").as("e_hsb"), explode(bandArr).as("bkey"))
-    // the jaccard predicate is PIPELINED inside the band-join stage:
-    // in-bucket pairs are enumerated and discarded in-task, and only
-    // verified digests are exchanged (the distinct's input is bounded
-    // by the TRUE near-dup volume, not the candidate volume).
-    //
-    // Round 17 (VERDICT r16 #1 — the verify-CPU cap): the semantics
-    // needed per new class is EXISTS(matching existing class), so the
-    // join is LEFT SEMI — per probed band row the scan of the bucket's
-    // existing side STOPS at the first row satisfying the condition,
-    // which collapses the match-dense stress buckets (the replica
-    // model multiplies both sides of every colliding pair, so most
-    // in-bucket pairs verify) from width² predicate evaluations to
-    // ~width. For the pairs that ARE evaluated, the predicate is the
-    // fused DeltaJaccardGeHalf merge walk DIRECTLY over the two
-    // delta-varint-encoded sorted shingle sets (verdict bit-identical
-    // to SortedJaccardGeHalf on the decoded arrays, spec grid-pinned):
-    // integer-exactly J >= 0.5 (3·|∩| >= |A|+|B| for distinct
-    // arrays), with the length-ratio prefilter and an accept-early /
-    // abandon-early bound folded into one loop — no hash-set build,
-    // no per-pair array materialization. hs is non-empty by the
-    // size(ws) >= 3 filter above, so the oracle's 0/0 = NaN corner is
-    // unreachable on both plans. Survivor-set identity vs the literal
-    // pair-materializing plan is pinned by IncrementalDedupSpec
-    // (incl. the J = 0.5 and 2·min = max equality boundaries, and a
-    // full size/overlap grid against the double-division oracle).
-    val verDig = nB.join(eB.withColumnRenamed("bkey", "e_bkey"),
-        col("bkey") === col("e_bkey") &&
-          jaccardGeHalfDelta(col("n_hsb"), col("e_hsb")), "left_semi")
-      .select(col("_dig")).distinct()
+      .select(explode(bandArr).as("bkey"), col("hsb"))
+    // Round 18 (the verify-CPU law, settled for real): the LEFT SEMI
+    // band join that stood here evaluated the jaccard kernel on every
+    // (new, existing) in-bucket pair until a probe's first accept —
+    // and the deterministic work probe (tools/VerifyWorkProbe) showed
+    // that to be GENUINELY QUADRATIC across octaves (pair evals ×3.99
+    // at 800×/1600×/3200×): LSH buckets keyed by common shingles grow
+    // linearly with the corpus, accepts are 0.03% of evaluations, so
+    // the per-probe early exit cannot save the reject-only probes
+    // that dominate. Making rejects cheap needs a per-bucket INDEX
+    // built once and probed per row — bucket-level state a join
+    // condition (pairwise by construction) cannot hold — so the band
+    // legs now feed [[graft.plans.BucketAdmitJoin]]: the SAME two
+    // flat band-frame exchanges and sorts (byte-identical physical
+    // economics, Catalyst-inserted via the operator's distribution/
+    // ordering requirements), with each aligned bucket evaluated by
+    // BucketAdmit.admitCore — the AllPairs/PPJoin prefix-filter index
+    // (local-df token order, floor(n/2)+1 prefixes, exact
+    // DeltaVarint.geHalf on candidates, first-accept early exit;
+    // direct scan under DirectPairCap pairs so the p50-width-1
+    // buckets skip the index build). Candidates ⊇ all true matches is
+    // the prefix theorem (BucketAdmit's scaladoc); measured work is
+    // LINEAR: evaluated pairs == accepted pairs exactly on the stress
+    // ladder, 596.6M → 176k evaluations at 1600×. Survivor identity
+    // vs the literal pair-materializing plan stays pinned by
+    // IncrementalDedupSpec (incl. the J = 0.5 boundary and the
+    // size/overlap grid), and only verified digests leave the stage —
+    // the distinct's input is bounded by the TRUE near-dup volume.
+    val verDig = graft.plans.BucketAdmitJoinApi.admitJoin(nB, eB)
+      .distinct()
     // exact leg: classes holding both parities — their new members are
     // text-equal to an existing doc (covers <3-word texts too)
     val exDig = classes

@@ -267,15 +267,86 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("the verify join is LEFT SEMI over the ENCODED sets with a long band key") {
-    // round-18 plan-shape pin: the three load-bearing physical
-    // properties of the band join — (a) LeftSemi (per-probe early
-    // exit; an inner-join+distinct would re-explode match-dense
-    // buckets to width²), (b) the condition walks the delta-varint
-    // BINARY columns (an array<long> payload would re-widen the
-    // exchange the r18 encoding shrank to 65%), (c) the band equi-key
-    // is a packed LONG, not the legacy string. A refactor or optimizer
-    // change reverting any of them fails here, not at the 1600× rung.
+  test("the verify stage is the BucketAdmitJoin operator on flat band legs") {
+    // round-18 plan-shape pin, rewritten with the verify stage itself:
+    // the LEFT SEMI band join was measured GENUINELY QUADRATIC by the
+    // deterministic work probe (pair evals ×3.99/octave — wide LSH
+    // buckets scan to reject, accepts are 0.03% of evals), so the
+    // verify stage is now the custom BucketAdmitJoinExec: (a) NO join
+    // node carries the jaccard kernel anywhere in the plan, (b) the
+    // operator appears exactly once, with its two FLAT band legs
+    // hash-clustered on the single packed-LONG band key by exactly
+    // two exchanges (the aggregate alternative wrapped both legs in
+    // per-partial-group arrays — measured +45% band-frame exchange
+    // bytes — and a union leg would null-pad; the operator keeps the
+    // bytes the SMJ moved, byte for byte), and (c) its output is the
+    // dig struct alone. A refactor or optimizer change reverting any
+    // of these re-opens the n² cliff at the top rungs and fails HERE.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the SHUFFLE variant — the rung shape this test pins; the
+    // broadcast variant's selection is pinned separately below
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try {
+        val docs =
+          graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        DedupQueries.incrementalDedup(docs).queryExecution.executedPlan
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      }
+    val kernelJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.condition.exists(_.toString.contains("graft_jaccard")) => j
+    }
+    assert(kernelJoins.isEmpty,
+      s"the jaccard kernel must not run as a join condition (pairwise " +
+        s"bucket scans are quadratic):\n$kernelJoins")
+    val admits = plan.collect {
+      case b: graft.plans.BucketAdmitJoinExec => b
+    }
+    assert(admits.size == 1,
+      s"expected exactly one BucketAdmitJoinExec, got ${admits.size}:\n$plan")
+    val exec = admits.head
+    assert(exec.left.output.head.dataType ==
+        org.apache.spark.sql.types.LongType &&
+      exec.right.output.head.dataType ==
+        org.apache.spark.sql.types.LongType,
+      "band key must be the packed long on both legs")
+    assert(exec.left.output.map(_.dataType).count(_ ==
+        org.apache.spark.sql.types.BinaryType) == 1 &&
+      exec.right.output.last.dataType ==
+        org.apache.spark.sql.types.BinaryType,
+      "band legs must carry the delta-varint BINARY payload, flat")
+    val bkeyExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+              if h.expressions.size == 1 &&
+                h.expressions.head.dataType ==
+                  org.apache.spark.sql.types.LongType &&
+                h.expressions.head.toString.contains("bkey") => Some(e)
+          case _ => None
+        }
+    }.flatten
+    assert(bkeyExchanges.size == 2,
+      s"expected the two flat band-leg exchanges on the packed band " +
+        s"key, got ${bkeyExchanges.size}:\n$plan")
+    assert(exec.output.size == 1 &&
+      exec.output.head.dataType.isInstanceOf[
+        org.apache.spark.sql.types.StructType],
+      s"operator must emit the dig struct alone, got ${exec.output}")
+  }
+
+  test("small probe side selects the BROADCAST admit variant, exchange-free") {
+    // mode selection mirrors Spark's join selection: under the default
+    // autoBroadcastJoinThreshold the sf0.001 probe side is small, so
+    // the planner must choose BucketAdmitBroadcastExec — the shape
+    // that keeps bench-scale runs free of BOTH band-leg exchanges
+    // (the pre-rewrite plan got this via AQE's broadcast semi join;
+    // a custom node only gets static selection, pinned here)
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val plan =
@@ -284,24 +355,34 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
           graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
         DedupQueries.incrementalDedup(docs).queryExecution.executedPlan
       } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-    val semis = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
-          if j.joinType.sql == "LEFT SEMI" &&
-            j.condition.exists(_.toString
-              .contains("graft_jaccard_ge_half_delta")) => j
+    val bcasts = plan.collect {
+      case b: graft.plans.BucketAdmitBroadcastExec => b
     }
-    assert(semis.size == 1,
-      s"expected exactly one LeftSemi with the delta condition:\n$plan")
-    val j = semis.head
-    assert(j.leftKeys.size == 1 &&
-      j.leftKeys.head.dataType == org.apache.spark.sql.types.LongType,
-      s"band key must be one packed long, got ${j.leftKeys}")
-    val condTypes = j.condition.get.collect {
-      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.dataType
+    assert(bcasts.size == 1,
+      s"expected the broadcast admit variant at fixture scale:\n$plan")
+    val bkeyExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.toString.contains("bkey") => e
     }
-    assert(condTypes.forall(_ ==
-        org.apache.spark.sql.types.BinaryType),
-      s"condition must reference only encoded binary columns: $condTypes")
+    assert(bkeyExchanges.isEmpty,
+      s"broadcast variant must not shuffle either band leg:\n$plan")
+  }
+
+  test("shuffle and broadcast admit variants emit identical survivor sets") {
+    // both variants run the same prefix-filter theorem from opposite
+    // directions (index over existing vs index over broadcast new);
+    // their survivor sets must be row-identical on the corpora that
+    // exercise wide buckets and the J = 0.5 boundary
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val viaBroadcast = DedupQueries.incrementalDedup(docs).collect().toSeq
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val viaShuffle = DedupQueries.incrementalDedup(docs).collect().toSeq
+      assert(viaShuffle == viaBroadcast,
+        "shuffled and broadcast admit variants diverged")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
   test("staged plan is deterministic across runs") {
