@@ -834,11 +834,19 @@ object RelationalQueries {
         |       quantile_cont(l_extendedprice, 0.9) AS p90_price,
         |       count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // One Percentile buffer for both quantiles: the two-call form built
+      // the SAME value-count map twice (l_extendedprice is near-unique at
+      // sf0.1, so each buffer is ~the raw column), doubling the partial
+      // maps crossing the exchange and the eval-time sort. The array form
+      // evaluates both percentages on one sorted buffer — same
+      // interpolation, bit-identical doubles out.
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med_price"),
-          percentile(col("l_extendedprice"), lit(0.9)).as("p90_price"),
+        .agg(percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.9))).as("pcts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("pcts").getItem(0).as("med_price"),
+          col("pcts").getItem(1).as("p90_price"), col("n"))
         .orderBy("l_returnflag")
     },
 
