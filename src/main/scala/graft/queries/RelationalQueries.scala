@@ -110,6 +110,14 @@ object RelationalQueries {
       // close pairs share MANY deletion variants: dedupe before refine
       .select(col("a_key"), col("b_key"))
       .distinct()
+      // Same verify-parallelism pin as fuzzyJoinSig (StagePeek, round
+      // 18): the candidate frame is tiny in bytes, AQE coalesces its
+      // exchange to one partition, and the name joins + banded
+      // levenshtein run single-task TWICE (the final orderBy's range
+      // sampling recomputes its child). The explicit count is exempt
+      // from coalescing and derives from the session, not a constant;
+      // the exchange itself carries only the two int keys.
+      .repartition(verifyWidth(customers), col("a_key"), col("b_key"))
       .join(broadcast(base.select(col("k").as("a_key"), col("n").as("a_name"))),
         "a_key")
       .join(broadcast(base.select(col("k").as("b_key"), col("n").as("b_name"))),
@@ -147,6 +155,21 @@ object RelationalQueries {
       // a pair sharing several signature grams appears once per gram
       .select(col("a_key"), col("b_key"))
       .distinct()
+      // Pin the verify-stage parallelism (StagePeek, round 18): the
+      // distinct pair frame is tiny in BYTES (~0.5 MB at sf0.1), so
+      // AQE coalesces its exchange to ONE partition — and everything
+      // downstream (both broadcast joins + the banded levenshtein +
+      // the ~23x row fan-out) runs single-task, TWICE, because the
+      // final orderBy's RangePartitioning samples its child by
+      // computing it before the real shuffle. Measured 3.6 + 3.0
+      // CPU-s serialized on one core while 31 idled (~7 of 15.5 s
+      // wall). An EXPLICIT partition count is exempt from AQE
+      // coalescing; defaultParallelism derives from the session (the
+      // bench's core-count contract), not a constant — and at scale a
+      // candidate frame is coalesce-proof by byte size anyway, so the
+      // floor only bites in exactly this cheap-bytes/expensive-rows
+      // regime.
+      .repartition(verifyWidth(customers), col("a_key"), col("b_key"))
       .join(broadcast(base.select(col("k").as("a_key"), col("n").as("a_name"))),
         "a_key")
       .join(broadcast(base.select(col("k").as("b_key"), col("n").as("b_name"))),
@@ -161,6 +184,22 @@ object RelationalQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
+
+  /** Explicit partition width for cheap-bytes/expensive-rows stages
+    * (candidate-pair verification): an EXPLICIT repartition count is
+    * exempt from AQE's byte-based coalescing, which otherwise collapses
+    * a ~0.5 MB candidate exchange to ONE partition and runs the
+    * downstream levenshtein verify single-task — twice, because a final
+    * orderBy's RangePartitioning samples its child by computing it
+    * (StagePeek, round 18). Derived from the session (the bench's
+    * core-count contract), never a constant; the max() keeps it from
+    * REDUCING parallelism on clusters whose shuffle.partitions exceeds
+    * core count. */
+  private def verifyWidth(df: DataFrame): Int = {
+    val s = df.sparkSession
+    math.max(s.sparkContext.defaultParallelism,
+      s.sessionState.conf.numShufflePartitions)
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -1403,8 +1442,13 @@ object RelationalQueries {
         |ORDER BY a_name, b_name""".stripMargin) { (s, dir) =>
       val c = t(s, dir, "customer")
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      // the probe side of the nation-blocked broadcast self-join reads
+      // ONE parquet split at fixture scale, so blocking + the banded
+      // levenshtein ran single-task (twice — the orderBy's range
+      // sampling); see verifyWidth. The exchange carries 15K narrow rows.
       val x = c.select(col("c_custkey").as("a_key"),
         col("c_name").as("a_name"), col("c_nationkey").as("nk"))
+        .repartition(verifyWidth(c), col("a_key"))
       val y = c.select(col("c_custkey").as("b_key"),
         col("c_name").as("b_name"), col("c_nationkey").as("nk_y"))
       x.join(y, col("nk") === col("nk_y") && col("a_key") < col("b_key"))
