@@ -602,7 +602,21 @@ object DedupQueries {
         .join(pf.select(col("doc_id").as("b_id"), col("tok").as("tok_y")),
           col("tok") === col("tok_y") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id")).distinct()
+      // Pin the verify parallelism (StagePeek, round 18; the
+      // relational fuzzy family's verifyWidth rationale): the pair
+      // frame is cheap in bytes (~6 MB for 790K pairs at sf0.1), so
+      // AQE coalesces its exchange to a handful of partitions while
+      // the downstream hs-attach + exact jaccard is expensive per ROW
+      // (15.6 CPU-s over 5 tasks measured). An EXPLICIT count is
+      // exempt from coalescing and derives from the session, not a
+      // constant; the exchange carries only the two long keys.
+      val verifyWidth = math.max(s.sparkContext.defaultParallelism,
+        s.sessionState.conf.numShufflePartitions)
+      // (keyless round-robin: a repartition BY the distinct's own keys
+      // at the same width is collapsed as redundant and the coalesce
+      // returns — measured; the keyless form is not collapsible)
       def withJ(pairs: DataFrame): DataFrame = pairs
+        .repartition(verifyWidth)
         .join(sh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
         .select(col("a_id"), col("b_id"),
