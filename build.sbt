@@ -15,6 +15,13 @@ libraryDependencies ++= Seq(
 ThisBuild / scalacOptions += "-deprecation"
 Test / fork := true
 run / fork := true
+// Pass the forked run's output through RAW (no "[info] " logger
+// decoration): the bench's one-line JSON contract is parsed from the
+// process tail by the driver, and sbt's default LoggedOutput prefixed
+// every line — the driver has never been able to parse a bench record
+// because of it (VERDICT r18 #1/#2). StdoutOutput inherits the parent's
+// stdout/stderr, so `{"metric":"total",...}` survives verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -296,6 +296,17 @@ object Bench {
       try guardedRecordWrite(p, full + "\n", force)
       catch { case scala.util.control.NonFatal(_) => () } // best-effort
     }
+    // LATEST-RUN record, UNGUARDED (VERDICT r18 #2): guardedRecordWrite
+    // diverts a run when the target already holds a promoted record —
+    // including the DRIVER's own runs — so a reader of the guarded files
+    // sees best-of-N, not latest. bench_last.json is unconditionally
+    // overwritten with this run's full line (gitignored; never promoted,
+    // never compared across rounds — it exists so the most recent run is
+    // always machine-readable regardless of promotion state).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_last.json"),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(_) => () } // best-effort
     spark.stop()
     println(compact)
   }
