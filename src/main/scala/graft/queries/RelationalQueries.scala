@@ -116,8 +116,11 @@ object RelationalQueries {
       // levenshtein run single-task TWICE (the final orderBy's range
       // sampling recomputes its child). The explicit count is exempt
       // from coalescing and derives from the session, not a constant;
-      // the exchange itself carries only the two int keys.
-      .repartition(verifyWidth(customers), col("a_key"), col("b_key"))
+      // the exchange itself carries only the two int keys. KEYLESS
+      // (ADVICE r19): keyed-by-own-keys is optimizer-collapsed when the
+      // upstream distinct already hash-partitions on them — see
+      // VerifyWidth's scaladoc.
+      .repartition(verifyWidth(customers))
       .join(broadcast(base.select(col("k").as("a_key"), col("n").as("a_name"))),
         "a_key")
       .join(broadcast(base.select(col("k").as("b_key"), col("n").as("b_name"))),
@@ -168,8 +171,10 @@ object RelationalQueries {
       // bench's core-count contract), not a constant — and at scale a
       // candidate frame is coalesce-proof by byte size anyway, so the
       // floor only bites in exactly this cheap-bytes/expensive-rows
-      // regime.
-      .repartition(verifyWidth(customers), col("a_key"), col("b_key"))
+      // regime. KEYLESS (ADVICE r19): keyed-by-own-keys is
+      // optimizer-collapsed when the upstream distinct already
+      // hash-partitions on them — see VerifyWidth's scaladoc.
+      .repartition(verifyWidth(customers))
       .join(broadcast(base.select(col("k").as("a_key"), col("n").as("a_name"))),
         "a_key")
       .join(broadcast(base.select(col("k").as("b_key"), col("n").as("b_name"))),
@@ -185,21 +190,9 @@ object RelationalQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Explicit partition width for cheap-bytes/expensive-rows stages
-    * (candidate-pair verification): an EXPLICIT repartition count is
-    * exempt from AQE's byte-based coalescing, which otherwise collapses
-    * a ~0.5 MB candidate exchange to ONE partition and runs the
-    * downstream levenshtein verify single-task — twice, because a final
-    * orderBy's RangePartitioning samples its child by computing it
-    * (StagePeek, round 18). Derived from the session (the bench's
-    * core-count contract), never a constant; the max() keeps it from
-    * REDUCING parallelism on clusters whose shuffle.partitions exceeds
-    * core count. */
-  private def verifyWidth(df: DataFrame): Int = {
-    val s = df.sparkSession
-    math.max(s.sparkContext.defaultParallelism,
-      s.sessionState.conf.numShufflePartitions)
-  }
+  /** See [[VerifyWidth]] — the shared helper (ADVICE r18: the inline
+    * copies here and in DedupQueries had diverged). */
+  private def verifyWidth(df: DataFrame): Int = VerifyWidth(df)
 
   val defs: Map[String, QueryDef] = Map(
 

@@ -223,12 +223,16 @@ class PlanSpec extends AnyFunSuite with SparkTestSession {
       // back to the old counts means the verify went single-task again.
       ("rel_graph_pagerank", 1, 1, 0),
       ("rel_fuzzy_join_sig", 6, 6, 2),
-      // lsh_recall +3 (round 18): the keyless verify-width repartition
-      // inside withJ, applied to BOTH pair frames (truth + candidate) —
-      // keyless because a repartition BY the distinct's own keys at the
-      // same width is collapsed as redundant and AQE's one-partition
-      // coalesce returns (measured: warm 4.07 with the collapse, 3.20
-      // with the keyless form, verify stage 5 -> 32 tasks).
+      // lsh_recall +3 (round 18): +2 from the keyless verify-width
+      // repartition inside withJ (one per pair frame: truth +
+      // candidate), +1 from a duplicated ENSURE_REQUIREMENTS
+      // hashpartitioning(a_id, b_id) exchange whose reuse was lost as a
+      // side effect of the new repartitions (ADVICE r18 — the earlier
+      // comment attributed all three to withJ). Keyless because a
+      // repartition BY the distinct's own keys at the same width is
+      // collapsed as redundant and AQE's one-partition coalesce returns
+      // (measured: warm 4.07 with the collapse, 3.20 with the keyless
+      // form, verify stage 5 -> 32 tasks).
       ("td_dedup_lsh_recall", 7, 7, 3),
       ("rel_graph_kcore", 1, 1, 0),
       ("rel_fuzzy_join", 2, 2, 0))
