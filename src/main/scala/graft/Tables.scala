@@ -408,6 +408,20 @@ object Tables {
     s"$prefix-$digest"
   }
 
+  /** Total on-disk bytes of a table path (file, or one directory level —
+    * the same listing scope as [[pathFingerprint]]). Driver-side, one FS
+    * listing; -1 on any error so callers treating it as a size gate fail
+    * CLOSED (gate off) rather than guessing. */
+  private[graft] def pathBytes(spark: SparkSession, path: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).map(_.getLen).sum else st.getLen
+    } catch {
+      case scala.util.control.NonFatal(_) => -1L
+    }
+
   private[graft] def pathFingerprint(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)

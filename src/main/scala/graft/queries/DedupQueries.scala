@@ -82,6 +82,54 @@ object DedupQueries {
     * passes the >=3-word gate, members = (doc_id, rep) for every doc in
     * such a group — exactly the docs the uncontracted machinery admits).
     */
+  /** Scale gate for the materialize-once contraction pass (VERDICT r18
+    * #1 / round 19). The shingleGroups/simhash contraction subtree is
+    * referenced 5-10× per consumer plan, so without materialization the
+    * corpus is re-scanned and re-shingled once per reference. The cost
+    * model flips with corpus size:
+    *
+    *  - BELOW the gate (fixture scale), materializing LOSES — measured
+    *    in round 18 (minhash_lsh cold 7.1→23.1 s with an unconditional
+    *    checkpoint): the duplicate subtrees hide in idle cores as
+    *    parallel broadcast-build jobs, ExistingRDD consumers lose
+    *    pruning/fusion, and the barrier serializes the plan.
+    *  - ABOVE it, the duplicated scan+shingle CPU dominates every one of
+    *    those effects (there are no idle cores once one scan saturates
+    *    the session), and one checkpointed pass wins — the round-19 rung
+    *    study in OPTIMIZATION_r19.md locates the crossover.
+    *
+    * The threshold is SESSION-DERIVED, never a local constant: idle-core
+    * hiding is what makes small corpora favor recompute, so the
+    * crossover scales with core count — gate on documents bytes ≥
+    * perCoreBytes × defaultParallelism (perCoreBytes from the rung
+    * study, overridable via `spark.graft.dedup.materializePerCoreBytes`;
+    * `spark.graft.dedup.materialize` = on/off forces either side for
+    * A/B). A size-listing error fails CLOSED (pathBytes -1 < any gate).
+    * Results are unchanged on both sides — localCheckpoint is
+    * semantics-preserving and each query build re-materializes from the
+    * parquet inputs (nothing is reused across runs). */
+  private[graft] def materializeContraction(s: SparkSession, dir: String)
+      : Boolean =
+    s.conf.getOption("spark.graft.dedup.materialize").getOrElse("auto") match {
+      case "on" => true
+      case "off" => false
+      case _ =>
+        val perCore = s.conf
+          .getOption("spark.graft.dedup.materializePerCoreBytes")
+          .map(_.toLong).getOrElse(DefaultMaterializePerCoreBytes)
+        Tables.pathBytes(s, s"$dir/documents.parquet") >=
+          perCore * s.sparkContext.defaultParallelism
+    }
+
+  /** Crossover bytes-per-core for [[materializeContraction]], measured
+    * by the round-19 StressSmoke rung study (OPTIMIZATION_r19.md
+    * §materialize-once; 32 cores): recompute still won cold at the
+    * 50×/28.8 MB rung (minhash_lsh 12.5 vs 20.1 s), the checkpoint won
+    * at 100×/58.1 MB (87.2 vs 111.7 s, simhash a wash) and above —
+    * the default sits at the bracket midpoint, 1.34 MiB/core ≈ 43 MB
+    * on the 32-core study box. */
+  private[graft] val DefaultMaterializePerCoreBytes = 1400000L
+
   private def shingleGroups(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // digest = (md5, xxhash64, length): an md5 collision between distinct
     // texts would silently merge their rep groups (fabricating jaccard-1.0
@@ -96,14 +144,25 @@ object DedupQueries {
     val reps = keyed.groupBy(col("_dig"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
     val ws = words(col("text"))
-    val repHs = reps
+    val repHs0 = reps
       .select(col("_dig"), col("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("_dig"), col("doc_id"),
         array_distinct(shingleHash60(col("ws"), 3, modP = true)).as("hs"))
-    val members = keyed.select(col("doc_id"), col("_dig"))
+    // Materialize-once above the scale gate (see materializeContraction):
+    // one scan+shingle pass feeds every downstream reference instead of
+    // one per reference. LAZY localCheckpoint — materialized by the
+    // consuming query's own first action, re-done per build, never
+    // shared across runs. `members` is checkpointed too ((doc_id, rep),
+    // two longs/row): its digest scan of the corpus is otherwise
+    // duplicated once per expansion join.
+    val repHs = if (materializeContraction(s, dir))
+      repHs0.localCheckpoint(false) else repHs0
+    val members0 = keyed.select(col("doc_id"), col("_dig"))
       .join(repHs.select(col("_dig"), col("doc_id").as("rep")), "_dig")
       .select(col("doc_id"), col("rep"))
+    val members = if (materializeContraction(s, dir))
+      members0.localCheckpoint(false) else members0
     (repHs.select(col("doc_id"), col("hs")), members)
   }
 
@@ -111,7 +170,8 @@ object DedupQueries {
     * texts (rep level): band → bucket equi-join → exact verify.
     * Identical-text (within-group) pairs are jaccard 1.0 by construction
     * and handled at expansion time. */
-  private def minhashVerifiedRepPairs(sh: DataFrame): DataFrame = {
+  private def minhashVerifiedRepPairs(sh: DataFrame,
+      persistPairs: Boolean = true): DataFrame = {
     val sig = sh.select(col("doc_id"), minhashSig(col("hs"), 8).as("sig"))
     val bandArr = transform(sequence(lit(0), lit(3)), b =>
       concat_ws("_", b, element_at(col("sig"), b * 2 + 1),
@@ -121,12 +181,20 @@ object DedupQueries {
       .join(bands.select(col("doc_id").as("b_id"), col("bkey").as("bkey_y")),
         col("bkey") === col("bkey_y") && col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    cachedIfCold(cand
+    val pairs = cand
       .join(sh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_hs"), col("b_hs")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5))
+      .filter(col("jaccard") >= 0.5)
+    // persistPairs=false rides the materialize-once gate: a checkpointed
+    // `sh` makes this plan's canonical form unique PER BUILD (ExistingRDD
+    // identity), so cachedIfCold would persist a never-hit new copy every
+    // build — a storage leak with zero reuse. Above the gate each build
+    // recomputes the pair join from the checkpointed contraction instead
+    // (one linear band join; the corpus passes are already deduplicated
+    // by the checkpoint).
+    if (persistPairs) cachedIfCold(pairs) else pairs
   }
 
   /** All verified near-dup DOC pairs: rep-level pairs expanded to member
@@ -136,7 +204,8 @@ object DedupQueries {
     * functions of `hs` alone. */
   private def minhashVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val (repHs, m) = shingleGroups(s, dir)
-    val cross = minhashVerifiedRepPairs(repHs)
+    val cross = minhashVerifiedRepPairs(repHs,
+        persistPairs = !materializeContraction(s, dir))
       .join(m.select(col("rep").as("a_id"), col("doc_id").as("x")), "a_id")
       .join(m.select(col("rep").as("b_id"), col("doc_id").as("y")), "b_id")
       .select(least(col("x"), col("y")).as("a_id"),
@@ -234,8 +303,13 @@ object DedupQueries {
       .foreach(_.unpersist(blocking = true))
     // same canonical-plan unpersist discipline as Butterfly: the lazy
     // re-persist inside the builder materializes nothing before the
-    // unpersist drops the entry
-    minhashVerifiedRepPairs(shingleGroups(s, dir)._1).unpersist(blocking = true)
+    // unpersist drops the entry. Above the materialize gate nothing was
+    // persisted (see minhashVerifiedRepPairs) and the canonical-plan
+    // reconstruction could not match a checkpoint-built plan anyway, so
+    // the unpersist is skipped rather than persisting a fresh no-op copy.
+    if (!materializeContraction(s, dir))
+      minhashVerifiedRepPairs(shingleGroups(s, dir)._1)
+        .unpersist(blocking = true)
   }
 
   private def computeDupClusterLabels(s: SparkSession, dir: String)
@@ -246,7 +320,9 @@ object DedupQueries {
     // texts; a group's rep id is its min doc_id, hence the
     // component-min label at rep level IS the component-min doc id
     val repLabels = graft.operators.ConnectedComponents.labels(
-      minhashVerifiedRepPairs(repHs), srcCol = "a_id", dstCol = "b_id")
+      minhashVerifiedRepPairs(repHs,
+        persistPairs = !materializeContraction(s, dir)),
+      srcCol = "a_id", dstCol = "b_id")
     val sizes = m.groupBy(col("rep")).agg(count(lit(1)).as("_n"))
     // labeled nodes = docs incident to >=1 verified pair: members of a
     // multi-doc group (within-group jaccard-1.0 edges) or of a group with
@@ -610,8 +686,7 @@ object DedupQueries {
       // (15.6 CPU-s over 5 tasks measured). An EXPLICIT count is
       // exempt from coalescing and derives from the session, not a
       // constant; the exchange carries only the two long keys.
-      val verifyWidth = math.max(s.sparkContext.defaultParallelism,
-        s.sessionState.conf.numShufflePartitions)
+      val verifyWidth = VerifyWidth(sh)
       // (keyless round-robin: a repartition BY the distinct's own keys
       // at the same width is collapsed as redundant and the coalesce
       // returns — measured; the keyless form is not collapsible)
@@ -756,7 +831,14 @@ object DedupQueries {
         .select(col("doc_id"), ws.as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), shingleHash60(col("ws"), 1, modP = false).as("wh"))
-      val sims = wh.select(col("doc_id"), simhash(col("wh"), 32).as("sim"))
+      val sims0 = wh.select(col("doc_id"), simhash(col("wh"), 32).as("sim"))
+      // materialize-once above the scale gate (see materializeContraction):
+      // sims is (doc_id, sim) — two longs/row — but its subtree re-scans
+      // and re-hashes the corpus once per reference (reps agg + the m
+      // join side + every m expansion: 8 document scans in the plan).
+      // One checkpointed pass feeds them all; lazy, per-build.
+      val sims = if (materializeContraction(s, dir))
+        sims0.localCheckpoint(false) else sims0
       // hamming depends only on the fingerprint → contract identical
       // fingerprints to a representative, band-join the DISTINCT
       // fingerprints, and expand. Keeps the band join linear in distinct
