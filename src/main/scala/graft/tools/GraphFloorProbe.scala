@@ -38,7 +38,10 @@ object GraphFloorProbe {
         i => graft.operators.LabelPropagation.run(undirected, i).count()))
     for ((name, run) <- ops) {
       run(3) // JIT/page-cache warmup per operator
-      for (iters <- Seq(0, 1, 2, 3, 3)) {
+      // KCore requires rounds >= 1: its floor is read as 2*t(1) - t(2)
+      // (derivation + caches = t(1) minus one round's delta)
+      val ladder = if (name == "kcore") Seq(1, 2, 3, 3) else Seq(0, 1, 2, 3, 3)
+      for (iters <- ladder) {
         val t0 = System.nanoTime()
         val n = run(iters)
         println(f"[gfprobe] op=$name iters=$iters rows=$n " +
