@@ -687,11 +687,17 @@ object DedupQueries {
       // exempt from coalescing and derives from the session, not a
       // constant; the exchange carries only the two long keys.
       val verifyWidth = VerifyWidth(sh)
-      // (keyless round-robin: a repartition BY the distinct's own keys
-      // at the same width is collapsed as redundant and the coalesce
-      // returns — measured; the keyless form is not collapsible)
+      // Keyed on a DERIVED expression (round 19; see VerifyWidth's
+      // scaladoc): a repartition BY the distinct's own keys at the same
+      // width is collapsed as redundant and the coalesce returns
+      // (measured, round 18); the keyless round-robin form shipped in
+      // r18 is not collapsible but pays sortBeforeRepartition on every
+      // input partition (measured +1.5 s warm on rel_fuzzy_join_sig's
+      // sibling exchange). The hash expression differs from any child
+      // partitioning — neither collapsible nor coalescible, at plain
+      // hash-exchange cost.
       def withJ(pairs: DataFrame): DataFrame = pairs
-        .repartition(verifyWidth)
+        .repartition(verifyWidth, xxhash64(col("a_id"), col("b_id")))
         .join(sh.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), "b_id")
         .select(col("a_id"), col("b_id"),

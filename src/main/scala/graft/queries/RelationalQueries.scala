@@ -116,11 +116,17 @@ object RelationalQueries {
       // levenshtein run single-task TWICE (the final orderBy's range
       // sampling recomputes its child). The explicit count is exempt
       // from coalescing and derives from the session, not a constant;
-      // the exchange itself carries only the two int keys. KEYLESS
-      // (ADVICE r19): keyed-by-own-keys is optimizer-collapsed when the
-      // upstream distinct already hash-partitions on them — see
-      // VerifyWidth's scaladoc.
-      .repartition(verifyWidth(customers))
+      // the exchange itself carries only the two int keys. Keyed on a
+      // DERIVED expression (ADVICE r19): keyed-by-own-keys is
+      // optimizer-collapsed when the upstream distinct already
+      // hash-partitions on them (see VerifyWidth's scaladoc), and the
+      // keyless round-robin form pays sortBeforeRepartition on every
+      // input partition (measured +1.5 s warm on the sig sibling); the
+      // hash expression differs from any child partitioning, so the
+      // exchange is neither collapsible nor coalescible, at plain
+      // hash-exchange cost.
+      .repartition(verifyWidth(customers),
+        xxhash64(col("a_key"), col("b_key")))
       .join(broadcast(base.select(col("k").as("a_key"), col("n").as("a_name"))),
         "a_key")
       .join(broadcast(base.select(col("k").as("b_key"), col("n").as("b_name"))),
@@ -171,10 +177,12 @@ object RelationalQueries {
       // bench's core-count contract), not a constant — and at scale a
       // candidate frame is coalesce-proof by byte size anyway, so the
       // floor only bites in exactly this cheap-bytes/expensive-rows
-      // regime. KEYLESS (ADVICE r19): keyed-by-own-keys is
-      // optimizer-collapsed when the upstream distinct already
-      // hash-partitions on them — see VerifyWidth's scaladoc.
-      .repartition(verifyWidth(customers))
+      // regime. Keyed on a DERIVED expression (ADVICE r19): see the
+      // symDel sibling above — non-collapsible against the distinct's
+      // own hash partitioning, coalesce-exempt, and cheaper than the
+      // keyless round-robin form (no sortBeforeRepartition).
+      .repartition(verifyWidth(customers),
+        xxhash64(col("a_key"), col("b_key")))
       .join(broadcast(base.select(col("k").as("a_key"), col("n").as("a_name"))),
         "a_key")
       .join(broadcast(base.select(col("k").as("b_key"), col("n").as("b_name"))),
